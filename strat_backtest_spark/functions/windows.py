@@ -1,0 +1,137 @@
+"""Window / time-series function library (SURVEY.md §2.5 W1-W11).
+
+Each helper is a pure Column-in / Column-out (or DataFrame transform)
+replicating the pandas semantics the reference relies on — with the
+null-handling quirks made explicit:
+
+- pandas ``rolling(n).mean()`` yields NaN for the first n-1 rows
+  (min_periods=n): replicated with a row-count guard (W1).
+- pandas ``shift(1)`` yields NaN at the head; comparisons against NaN
+  are False: callers get the null and decide (W2).
+- cumprod has no Spark builtin: ``exp(sum(log))`` for positive inputs,
+  with a sign-aware general fallback (W5).
+
+Every window is explicitly ordered — Spark has no implicit row order
+(SURVEY.md §4.2). All helpers partition by ``ticker`` (and optionally
+``run_id``) so a thousand-ticker, million-row-per-ticker table
+computes each series independently with no cross-partition traffic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec, functions as F
+
+
+def ticker_window(*extra_keys: str, order_col: str = "date") -> WindowSpec:
+    """Per-ticker, date-ordered window — the engine's standard frame."""
+    return Window.partitionBy("ticker", *extra_keys).orderBy(order_col)
+
+
+def _cum(w: WindowSpec) -> WindowSpec:
+    return w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+
+def rolling_mean(col: str | Column, n: int, w: WindowSpec) -> Column:
+    """W1 — pandas ``rolling(n).mean()`` parity (custom_strats.py:38-39):
+    null until n observations exist (min_periods defaults to the window
+    size in pandas)."""
+    c = F.col(col) if isinstance(col, str) else col
+    frame = w.rowsBetween(-(n - 1), 0)
+    return F.when(F.count(c).over(frame) >= n, F.avg(c).over(frame))
+
+
+def lag(col: str | Column, w: WindowSpec, offset: int = 1) -> Column:
+    """W2 — ``shift(offset)`` (custom_strats.py:47-48)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lag(c, offset).over(w)
+
+
+def pct_change(col: str | Column, w: WindowSpec) -> Column:
+    """W3 — ``pct_change()`` (finance_data.py:38-39; strats.py:730)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c / F.lag(c, 1).over(w) - 1
+
+
+def cum_sum(col: str | Column, w: WindowSpec) -> Column:
+    """W4 — running sum (strats.py:570-571)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c).over(_cum(w))
+
+
+def cum_prod(col: str | Column, w: WindowSpec) -> Column:
+    """W5 — running product (finance_data.py:38-39 ``cumprod``).
+
+    No Spark builtin; rewritten as sign-aware exp(sum(log(|x|))):
+    product of |x|, negated when the running count of negative factors
+    is odd, zeroed after any zero factor. Exact for the reference's
+    (1 + r) > 0 domain and correct for the general one.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    cw = _cum(w)
+    n_zero = F.sum(F.when(c == 0, 1).otherwise(0)).over(cw)
+    n_neg = F.sum(F.when(c < 0, 1).otherwise(0)).over(cw)
+    magnitude = F.exp(F.sum(F.log(F.abs(c))).over(cw))
+    signed = F.when(n_neg % 2 == 1, -magnitude).otherwise(magnitude)
+    return F.when(n_zero > 0, F.lit(0.0)).otherwise(signed)
+
+
+def cum_max(col: str | Column, w: WindowSpec) -> Column:
+    """W6 — running max, e.g. drawdown peaks (strats.py:702-703)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.max(c).over(_cum(w))
+
+
+def forward_fill(col: str | Column, w: WindowSpec, default=None) -> Column:
+    """W7 — ``ffill()`` (strats.py:562-565): last non-null so far."""
+    c = F.col(col) if isinstance(col, str) else col
+    filled = F.last(c, ignorenulls=True).over(_cum(w))
+    if default is None:
+        return filled
+    return F.coalesce(filled, F.lit(default))
+
+
+def first_value(col: str | Column, w: WindowSpec) -> Column:
+    """W8 — first element of the ordered series (strats.py:675)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.first(c).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+
+
+def last_value(col: str | Column, w: WindowSpec) -> Column:
+    """W8 — last element of the ordered series (strats.py:669)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.last(c).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+
+
+def tail_n(df: DataFrame, n: int, w: WindowSpec, order_col: str = "date") -> DataFrame:
+    """W9 — positional ``.tail(n)`` per partition (strats.py:594-597):
+    row_number over descending order <= n."""
+    desc_w = Window.partitionBy(*_partition_cols(w)).orderBy(F.col(order_col).desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(desc_w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
+def _partition_cols(w: WindowSpec):
+    # WindowSpec does not expose its keys; engine convention is ticker.
+    return ["ticker"]
+
+
+def trailing_period_filter(df: DataFrame, col: str, interval: str, partition_cols: list[str] | None = None) -> DataFrame:
+    """W10 — pandas ``.last("10Y")`` parity (tests/test_strat.py:7):
+    keep rows with ``col > max(col) - interval`` (pandas ``last`` is an
+    exclusive lower bound: strictly after anchor-minus-offset).
+
+    Expressed with an unpartitioned (or per-ticker) window max so no
+    driver round-trip is needed and Catalyst can keep it in one pass.
+    """
+    w = Window.partitionBy(*(partition_cols or []))
+    maxd = F.max(F.col(col)).over(w)
+    return df.withColumn("__maxd", maxd).filter(
+        F.col(col) > F.col("__maxd") - F.expr(f"INTERVAL {interval}")
+    ).drop("__maxd")

@@ -1,0 +1,411 @@
+"""The sequential order-matching kernel (SURVEY.md §2.9 K1-K10).
+
+Everything else in the engine is declarative DataFrame algebra; this
+module is the one genuinely path-dependent component — cash balance,
+FIFO order book, stop-loss heap, and the strategy decision loop — and
+it runs as a per-(ticker, run_id) ``groupBy(...).applyInPandas`` pandas
+UDF. State is O(open orders) per group; groups are independent, so the
+kernel parallelizes across tickers × parameter points on a cluster
+(the two axes the reference cannot exploit: its grid search is
+effectively serial, optimize.py:221-225).
+
+Semantics replicate the reference order engine exactly, including its
+quirks (SURVEY.md Appendix A), because the golden tests depend on
+them. Each quirk is flagged inline; ``parity=False`` switches the
+documented fixes on.
+
+Reference citations: _Order strats.py:24-97, Order_Manager
+strats.py:133-245, Strategy.buy/sell strats.py:343-420,
+MA-cross driver custom_strats.py:41-62, band driver
+custom_strats.py:83-101.
+"""
+
+from __future__ import annotations
+
+import heapq
+from collections import deque
+from typing import Callable, Iterable
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+from strat_backtest_spark.schemas import KERNEL_OUT_SCHEMA
+
+
+class _KOrder:
+    """One order (reference: _Order, strats.py:24-97)."""
+
+    __slots__ = (
+        "oid",
+        "num_shares",
+        "start_time",
+        "start_amount",
+        "filled",
+        "end_time",
+        "end_amount",
+        "profit",
+        "stop_loss",
+    )
+
+    def __init__(self, oid, num_shares, start_time, start_amount, stop_loss=None):
+        self.oid = oid
+        self.num_shares = num_shares
+        self.start_time = start_time
+        self.start_amount = start_amount
+        self.stop_loss = stop_loss
+        self.filled = False
+        self.end_time = None
+        self.end_amount = None
+        self.profit = None
+
+    def fill(self, num_shares, end_t, end_a):
+        # Q4 parity: a partial fill OVERWRITES num_shares with the
+        # requested amount (strats.py:81).
+        if num_shares != -1:
+            self.num_shares = num_shares
+        self.end_time = end_t
+        self.end_amount = end_a
+        self.filled = True
+
+    def profit_loss(self):
+        if self.end_amount is None or self.start_amount is None:
+            return None
+        self.profit = (self.end_amount - self.start_amount) * self.num_shares
+        return self.profit
+
+    def value(self):
+        # Q3 parity: an open order's "worth" is its bare entry PRICE,
+        # not price × shares (strats.py:95-97).
+        return self.end_amount if self.filled else self.start_amount
+
+
+class _OrderBook:
+    """FIFO order book (reference: Order_Manager, strats.py:133-245)."""
+
+    def __init__(self, parity: bool = True):
+        self.open_orders: deque[_KOrder] = deque()
+        self.completed: list[_KOrder] = []
+        self.shares_owned: dict = {}
+        self.by_id: dict[int, _KOrder] = {}
+        self.total_shares = 0.0
+        self._next_id = 0
+        self.parity = parity
+
+    def _new_id(self) -> int:
+        self._next_id += 1
+        return self._next_id
+
+    def new_order(self, num_shares, start_t, start_a, stop_loss=None) -> _KOrder:
+        order = _KOrder(self._new_id(), num_shares, start_t, start_a, stop_loss)
+        self.open_orders.append(order)
+        self.total_shares += num_shares
+        self.shares_owned[start_t] = self.total_shares
+        self.by_id[order.oid] = order
+        return order
+
+    def _replace_order(self, order: _KOrder, num_shares) -> _KOrder:
+        rem = _KOrder(
+            self._new_id(),
+            order.num_shares - num_shares,
+            order.start_time,
+            order.start_amount,
+            order.stop_loss,
+        )
+        self.open_orders.appendleft(rem)
+        self.by_id[rem.oid] = rem
+        return rem
+
+    def close_order(self, num_shares, end_t, end_a):
+        """Returns (shares_closed, closed_orders). Reference:
+        strats.py:179-213."""
+        if num_shares == -1 and self.open_orders:
+            order = self.open_orders.popleft()
+            order.fill(-1, end_t, end_a)
+            order.profit_loss()
+            self.completed.append(order)
+            self.total_shares -= order.num_shares
+            self.shares_owned[end_t] = self.total_shares
+            return order.num_shares, [order]
+
+        closed_shares = 0.0
+        closed = []
+        while num_shares > 0 and self.open_orders:
+            order = self.open_orders.popleft()
+            if num_shares < order.num_shares:
+                rem = self._replace_order(order, num_shares)
+                if self.parity:
+                    # Q1 parity: the remainder is queued TWICE
+                    # (strats.py:151 and strats.py:205).
+                    self.open_orders.appendleft(rem)
+            order.fill(num_shares, end_t, end_a)
+            order.profit_loss()
+            closed_shares += order.num_shares
+            closed.append(order)
+            self.completed.append(order)
+            self.total_shares -= num_shares
+            # Q4 parity: order.num_shares was overwritten by fill(), so
+            # this zeroes the loop counter after one order.
+            num_shares -= order.num_shares
+        self.shares_owned[end_t] = self.total_shares
+        return closed_shares, closed
+
+    def order_worth(self) -> float:
+        # Reference strats.py:215-224 (with Q3 inside value()).
+        return sum(o.profit_loss() or 0.0 for o in self.completed) - sum(
+            o.value() for o in self.open_orders
+        )
+
+
+class TradingEngine:
+    """Per-group simulation state (reference: Strategy,
+    strats.py:252-420). ``dates``/``closes`` are the group's full bar
+    series, needed by the stop-loss range scan (strats.py:318-322)."""
+
+    def __init__(self, dates: np.ndarray, closes: np.ndarray, initial_amount: float, parity: bool = True):
+        self.dates = dates
+        self.closes = closes
+        self.book = _OrderBook(parity=parity)
+        self.current_amount = float(initial_amount)
+        self.active_orders = 0.0
+        self.buy_orders: dict = {}   # date -> _KOrder (late mutation visible)
+        self.sell_orders: dict = {}  # date -> shares closed that day
+        self.stop_heap: list = []
+        self.parity = parity
+
+    # -- buying power (Q2 parity: MUTATES and re-adds closed profits on
+    # every call, strats.py:293-300) --
+    def _curr_amnt(self) -> float:
+        self.current_amount += self.book.order_worth()
+        return self.current_amount
+
+    def _exit_stop_loss(self, trading_date):
+        """Reference strats.py:302-326 incl. Q5: pops the CHEAPEST stop
+        first; a popped stop that never triggered is discarded."""
+        if not self.stop_heap:
+            return None
+        sl, oid = self.stop_heap[0]
+        if self.book.by_id[oid].start_time > trading_date:
+            return None
+        heapq.heappop(self.stop_heap)
+        start = self.book.by_id[oid].start_time
+        lo = np.searchsorted(self.dates, start, side="left")
+        hi = np.searchsorted(self.dates, trading_date, side="left")
+        window = self.closes[lo:hi]
+        hits = np.nonzero(window <= sl)[0]
+        if hits.size == 0:
+            return None
+        j = lo + hits[0]
+        return self.closes[j], self.dates[j], oid
+
+    def _flush_stops(self, trading_date):
+        hit = self._exit_stop_loss(trading_date)
+        while hit is not None:
+            price, date, oid = hit
+            # reference passes min(order.num_shares, -1) == -1
+            # (strats.py:371-376) → FIFO-pop-one path.
+            self._sell_functionality(-1, date, price)
+            hit = self._exit_stop_loss(trading_date)
+
+    def _sell_functionality(self, shares, end_time, end_amount):
+        closed_shares, _ = self.book.close_order(shares, end_time, end_amount)
+        self.active_orders -= closed_shares
+        self.sell_orders[end_time] = closed_shares
+
+    def buy(self, date, price, num_shares=-1, stop_loss=None):
+        """Reference strats.py:343-395."""
+        self._flush_stops(date)
+        current_amount = self._curr_amnt()
+        if num_shares == -1 and current_amount > 0:
+            num_shares = current_amount // price
+        if current_amount < price * num_shares:
+            # Q13 parity: silent rejection when unaffordable.
+            return
+        order = self.book.new_order(num_shares, date, price, stop_loss)
+        self.active_orders += num_shares
+        self.buy_orders[date] = order
+        if stop_loss is not None:
+            heapq.heappush(self.stop_heap, (stop_loss, order.oid))
+
+    def sell(self, date, price, num_shares=-1):
+        """Reference strats.py:397-420."""
+        self._flush_stops(date)
+        if self.active_orders > 0:
+            self._sell_functionality(num_shares, date, price)
+
+
+# ---------------------------------------------------------------------------
+# strategy decision drivers — the imperative residue of each Strategy
+# subclass; signal GENERATION stays vectorized in operators/signals.py.
+# ---------------------------------------------------------------------------
+
+def ma_cross_driver(eng: TradingEngine, pdf: pd.DataFrame, params: dict) -> None:
+    """Reference custom_strats.py:41-62: buy at every up-cross; sell at
+    down-crosses strictly after the first buy."""
+    events = pdf[pdf["action"].isin(["buy", "sell"])]
+    buys = events[events["action"] == "buy"]
+    if buys.empty:
+        return
+    first_buy = buys["date"].iloc[0]
+    slpct = params.get("stop_loss_pct")
+    for date, close, action in zip(events["date"], events["close"], events["action"]):
+        if action == "buy":
+            eng.buy(date, close, stop_loss=(close * slpct) if slpct else None)
+        elif date > first_buy:
+            eng.sell(date, close)
+
+
+def band_driver(eng: TradingEngine, pdf: pd.DataFrame, params: dict) -> None:
+    """Reference Ten_Percent_Strat (custom_strats.py:83-101): thresholds
+    anchored to the bar of the LAST transaction — fully path-dependent,
+    the canonical proof the kernel API generalizes."""
+    sell_mult = params.get("sell", 1.05)
+    buy_mult = params.get("buy", 0.99)
+    dates = pdf["date"].to_numpy()
+    closes = pdf["close"].to_numpy()
+    if len(closes) == 0:
+        return
+    anchor = 0
+    last_move_sell = False
+    eng.buy(dates[0], closes[0])
+    for i in range(1, len(closes)):
+        value = closes[i]
+        if value >= closes[anchor] * sell_mult and not last_move_sell:
+            eng.sell(dates[i], value)
+            anchor = i
+            last_move_sell = True
+        elif value <= closes[anchor] * buy_mult and last_move_sell:
+            eng.buy(dates[i], value)
+            anchor = i
+            last_move_sell = False
+
+
+DRIVERS: dict[str, Callable[[TradingEngine, pd.DataFrame, dict], None]] = {
+    "ma_cross": ma_cross_driver,
+    "band": band_driver,
+}
+
+
+# ---------------------------------------------------------------------------
+# the Spark-facing operator
+# ---------------------------------------------------------------------------
+
+def _simulate_group(
+    key, pdf: pd.DataFrame, driver, initial_amount: float, params: dict, parity: bool
+) -> pd.DataFrame:
+    ticker, run_id = key
+    pdf = pdf.sort_values("date").reset_index(drop=True)
+    dates = pdf["date"].to_numpy()
+    closes = pdf["close"].to_numpy()
+    eng = TradingEngine(dates, closes, initial_amount, parity=parity)
+    driver(eng, pdf, params)
+
+    orders = eng.book.completed + list(eng.book.open_orders)
+    order_rows = pd.DataFrame(
+        {
+            "order_id": [o.oid for o in orders],
+            "num_shares": [o.num_shares for o in orders],
+            "start_time": [o.start_time for o in orders],
+            "start_amount": [o.start_amount for o in orders],
+            "filled": [o.filled for o in orders],
+            "end_time": [o.end_time for o in orders],
+            "end_amount": [o.end_amount for o in orders],
+            "profit": [o.profit for o in orders],
+            "stop_loss": [o.stop_loss for o in orders],
+        }
+    )
+    order_rows["row_type"] = "order"
+
+    ev_dates = sorted(
+        set(eng.buy_orders) | set(eng.sell_orders) | set(eng.book.shares_owned)
+    )
+    event_rows = pd.DataFrame(
+        {
+            "date": ev_dates,
+            # buy_orders holds order objects: read num_shares NOW so the
+            # reference's post-hoc mutation (Q4) is reflected, matching
+            # `buy * close` evaluated after the sim (strats.py:570).
+            "buy_shares": [
+                eng.buy_orders[d].num_shares if d in eng.buy_orders else None
+                for d in ev_dates
+            ],
+            "sell_shares": [eng.sell_orders.get(d) for d in ev_dates],
+            "shares_owned": [eng.book.shares_owned.get(d) for d in ev_dates],
+        }
+    )
+    event_rows["row_type"] = "event"
+
+    out = pd.concat([order_rows, event_rows], ignore_index=True)
+    out["ticker"] = ticker
+    out["run_id"] = run_id
+    for c in (
+        "order_id",
+        "num_shares",
+        "start_time",
+        "start_amount",
+        "filled",
+        "end_time",
+        "end_amount",
+        "profit",
+        "stop_loss",
+        "date",
+        "buy_shares",
+        "sell_shares",
+        "shares_owned",
+    ):
+        if c not in out.columns:
+            out[c] = None
+    # Empty/all-null groups leave date/bool columns as float64 NaN,
+    # which Arrow cannot cast to date32/bool — normalize to object+None.
+    for c in ("start_time", "end_time", "date", "filled"):
+        out[c] = out[c].astype(object).where(pd.notna(out[c]), None)
+    return out[[f.name for f in KERNEL_OUT_SCHEMA.fields]]
+
+
+def run_kernel(
+    feed: DataFrame,
+    initial_amount: float,
+    strategy: str = "ma_cross",
+    params: dict | None = None,
+    parity: bool = True,
+) -> DataFrame:
+    """Run the order-matching simulation per (ticker, run_id) group.
+
+    ``feed``: (ticker, run_id, date, close, action) — all bars for the
+    group, with ``action`` null on non-event bars (the stop-loss scan
+    and path-dependent drivers need the full series; Catalyst prunes
+    the unused columns from the scan).
+
+    Returns the tagged kernel output (KERNEL_OUT_SCHEMA); split with
+    :func:`split_kernel_output`.
+    """
+    driver = DRIVERS[strategy]
+    params = params or {}
+
+    def fn(key, pdf):
+        return _simulate_group(key, pdf, driver, initial_amount, params, parity)
+
+    return feed.groupBy("ticker", "run_id").applyInPandas(fn, KERNEL_OUT_SCHEMA)
+
+
+def split_kernel_output(kernel_out: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(orders, trade_events) from the tagged kernel frame. Cache the
+    input if both sides are consumed to avoid re-simulation."""
+    orders = kernel_out.filter(F.col("row_type") == "order").select(
+        "ticker",
+        "run_id",
+        "order_id",
+        "num_shares",
+        "start_time",
+        "start_amount",
+        "filled",
+        "end_time",
+        "end_amount",
+        "profit",
+        "stop_loss",
+    )
+    events = kernel_out.filter(F.col("row_type") == "event").select(
+        "ticker", "run_id", "date", "buy_shares", "sell_shares", "shares_owned"
+    )
+    return orders, events

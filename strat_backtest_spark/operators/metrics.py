@@ -1,0 +1,152 @@
+"""The 18-statistic metrics suite (SURVEY.md §2.11; reference
+strats.py:657-789).
+
+One pass of window prep + one aggregation per input table, joined on
+(ticker, run_id) — each metric is a Column expression, so adding a
+ticker or a thousand parameter points changes nothing structurally.
+
+The reference's estimator idiosyncrasies are replicated on purpose
+(they are part of its observable behavior):
+
+- Q9  Sharpe compounds mean daily return ^255 but annualizes vol with
+      √252 (strats.py:730-732).
+- Q10 CAGR uses integer years = days // 365 (strats.py:696).
+- Q11 Beta divides a population-style covariance (÷ row count, NaNs
+      skipped in the sum) by a SAMPLE variance (strats.py:743-752);
+      "R-Squared" is actually the correlation coefficient.
+- Q12 Profit factor coerces a zero/absent loss to −1 (strats.py:714-716).
+
+The risk-free rate is injected (fixing Q7's import-time network I/O).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def compute_metrics(
+    portfolio: DataFrame,
+    orders: DataFrame,
+    initial_amount: float,
+    risk_free_rate: float = 0.03,
+) -> DataFrame:
+    """Returns one row per (ticker, run_id) with the full stats suite."""
+    keys = ["ticker", "run_id"]
+    w = Window.partitionBy(*keys).orderBy("date")
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+
+    r_s = F.col("net_worth") / F.lag("net_worth").over(w) - 1
+    r_m = F.col("sp500") / F.lag("sp500").over(w) - 1
+
+    prepped = portfolio.select(
+        *keys,
+        "date",
+        "net_worth",
+        r_s.alias("r_s"),
+        r_m.alias("r_m"),
+        (F.col("net_worth") / F.max("net_worth").over(cum) - 1).alias("drawdown"),
+        F.col("sp500"),
+    )
+
+    start_amt = F.lit(float(initial_amount))
+    end_amt = F.max_by("net_worth", "date")
+    days = F.datediff(F.max("date"), F.min("date"))
+    years = F.floor(days / 365)  # Q10: integer years
+    mean_rs = F.avg("r_s")
+    mean_rm = F.avg("r_m")
+    # Q11: pandas .sum() skips NaN pairs but divides by FULL row count.
+    cov_num = F.sum(
+        (F.col("r_s") - F.avg("r_s").over(Window.partitionBy(*keys)))
+        * (F.col("r_m") - F.avg("r_m").over(Window.partitionBy(*keys)))
+    )
+
+    prepped = prepped.withColumn(
+        "__cov_term",
+        (F.col("r_s") - F.avg("r_s").over(Window.partitionBy(*keys)))
+        * (F.col("r_m") - F.avg("r_m").over(Window.partitionBy(*keys))),
+    )
+
+    port_agg = prepped.groupBy(*keys).agg(
+        F.min("date").alias("start_time"),
+        F.max("date").alias("end_time"),
+        end_amt.alias("end_amount"),
+        F.min_by("net_worth", "date").alias("first_net_worth"),
+        (F.min("drawdown") * 100).alias("max_drawdown_pct"),
+        (F.avg("drawdown") * 100).alias("avg_drawdown_pct"),
+        mean_rs.alias("mean_r_s"),
+        F.stddev_samp("r_s").alias("std_r_s"),
+        F.var_samp("r_s").alias("var_r_s"),
+        mean_rm.alias("mean_r_m"),
+        F.stddev_samp("r_m").alias("std_r_m"),
+        F.sum("__cov_term").alias("cov_num"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max_by("sp500", "date").alias("sp500_last"),
+        F.min_by("sp500", "date").alias("sp500_first"),
+        years.alias("years"),
+    )
+
+    ord_agg = orders.groupBy(*keys).agg(
+        F.avg(F.datediff("end_time", "start_time")).alias("avg_hold_days"),
+        F.avg(F.when(F.col("profit") < 0, F.col("profit"))).alias("avg_losses"),
+        F.avg(F.when(F.col("profit") > 0, F.col("profit"))).alias("avg_profits"),
+        F.min(F.when(F.col("profit") < 0, F.col("profit"))).alias("biggest_loss"),
+        F.max("profit").alias("biggest_win"),
+        F.sum(F.when(F.col("profit") < 0, F.col("profit"))).alias("loss_sum"),
+        F.sum(F.when(F.col("profit") > 0, F.col("profit"))).alias("profit_sum"),
+        F.sum(F.when(F.col("filled"), F.col("profit"))).alias("filled_profit_sum"),
+        F.sum(F.col("start_amount") * F.col("num_shares")).alias("total_risked"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+    m = port_agg.join(ord_agg, keys, "left")
+
+    rf = F.lit(float(risk_free_rate))
+    cagr = (F.pow(F.col("end_amount") / start_amt, 1 / F.col("years")) - 1) * 100
+    # Q12: loss coerced to -1 when zero or null.
+    loss = F.when(
+        F.col("loss_sum").isNull() | (F.col("loss_sum") == 0), F.lit(-1.0)
+    ).otherwise(F.col("loss_sum"))
+    profit_factor = F.coalesce(F.col("profit_sum"), F.lit(0.0)) / -loss
+    risk_reward = F.when(
+        F.col("n_orders") > 0, F.col("filled_profit_sum") / F.col("total_risked")
+    )
+    annual_er = F.pow(F.col("mean_r_s") + 1, 255) - 1  # Q9
+    sharpe = (annual_er - rf) / (F.col("std_r_s") * math.sqrt(252))
+    volatility = F.col("std_r_s") * math.sqrt(252)
+    covariance = F.col("cov_num") / F.col("n_rows")  # Q11
+    beta = covariance / F.col("var_r_s")
+    stock_return = (F.col("end_amount") - F.col("first_net_worth")) / F.col(
+        "first_net_worth"
+    )
+    alpha = (
+        stock_return
+        - rf
+        - beta * ((F.col("sp500_last") / F.col("sp500_first") - 1) - rf)
+    )
+    r_squared = covariance / (F.sqrt(F.col("var_r_s")) * F.col("std_r_m"))
+
+    return m.select(
+        *keys,
+        F.col("start_time"),
+        F.col("end_time"),
+        start_amt.alias("start_amount"),
+        F.col("end_amount"),
+        F.col("avg_hold_days").alias("average_hold_time_days"),
+        F.col("avg_losses").alias("average_losses"),
+        F.col("avg_profits").alias("average_profits"),
+        F.col("biggest_loss"),
+        F.col("biggest_win").alias("biggest_win"),
+        cagr.alias("cagr_pct"),
+        F.col("max_drawdown_pct"),
+        F.col("avg_drawdown_pct"),
+        (F.col("end_amount") - start_amt).alias("net_profit"),
+        profit_factor.alias("profit_factor"),
+        risk_reward.alias("risk_reward"),
+        sharpe.alias("sharpe_ratio"),
+        volatility.alias("volatility_annualized"),
+        beta.alias("beta"),
+        alpha.alias("alpha"),
+        r_squared.alias("r_squared"),
+    )

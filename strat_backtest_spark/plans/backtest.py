@@ -1,0 +1,138 @@
+"""The user-facing backtest plan (reference: Backtest,
+strats.py:489-655).
+
+A strategy here is a DECLARATIVE SPEC — (signal generator, kernel
+driver, params) — not an eagerly-executing subclass (the reference
+runs the whole simulation inside Strategy.__init__,
+strats.py:551-554). ``Backtest.run()`` assembles one lazy DataFrame
+graph:
+
+    bars → signals (window exprs) → feed
+         → kernel (applyInPandas per ticker×run) → orders + events
+         → portfolio (window algebra) → benchmark join
+
+and Catalyst optimizes the whole thing; nothing executes until an
+action. Multi-ticker and multi-parameter runs reuse the same graph
+shape with more partitions — the cluster absorbs the scale.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+from strat_backtest_spark.operators.kernel import run_kernel, split_kernel_output
+from strat_backtest_spark.operators.metrics import compute_metrics
+from strat_backtest_spark.operators.portfolio import attach_benchmark, build_portfolio
+from strat_backtest_spark.operators.signals import band_signals, ma_cross_signals
+
+
+@dataclass
+class MACrossStrategy:
+    """MA-crossover spec (reference: MA_Cross_Strat,
+    custom_strats.py:7-62)."""
+
+    fast: int = 20
+    lagging: int = 100
+    stop_loss_pct: Optional[float] = None
+    kernel_driver: str = "ma_cross"
+
+    def signal_feed(self, bars: DataFrame, run_id: int = 0) -> DataFrame:
+        signals = ma_cross_signals(bars, self.fast, self.lagging, run_id=run_id)
+        base = bars.select(
+            "ticker",
+            F.lit(run_id).cast("long").alias("run_id"),
+            "date",
+            "close",
+        )
+        return base.join(
+            signals.select("ticker", "run_id", "date", "action"),
+            ["ticker", "run_id", "date"],
+            "left",
+        )
+
+    def kernel_params(self) -> dict:
+        return {"stop_loss_pct": self.stop_loss_pct}
+
+
+@dataclass
+class BandStrategy:
+    """Threshold-band spec (reference: Ten_Percent_Strat,
+    custom_strats.py:65-101) — fully path-dependent; every bar is a
+    decision point for the kernel callback."""
+
+    sell: float = 1.05
+    buy: float = 0.99
+    kernel_driver: str = "band"
+
+    def signal_feed(self, bars: DataFrame, run_id: int = 0) -> DataFrame:
+        return band_signals(bars, run_id=run_id).select(
+            "ticker", "run_id", "date", "close", "action"
+        )
+
+    def kernel_params(self) -> dict:
+        return {"sell": self.sell, "buy": self.buy}
+
+
+@dataclass
+class Backtest:
+    """Reference: Backtest(initial_amount, ticker, strat, ...),
+    strats.py:489-549. Ticker selection is a filter (partition-prunable
+    on ticker-partitioned parquet); omit to backtest every ticker in
+    one job."""
+
+    bars: DataFrame
+    initial_amount: float
+    strategy: object = field(default_factory=MACrossStrategy)
+    ticker: Optional[str] = None
+    benchmark: Optional[DataFrame] = None
+    parity: bool = True
+
+    _orders: Optional[DataFrame] = None
+    _portfolio: Optional[DataFrame] = None
+
+    def run(self) -> DataFrame:
+        bars = self.bars
+        if self.ticker is not None:
+            bars = bars.filter(F.col("ticker") == self.ticker.lower())
+
+        feed = self.strategy.signal_feed(bars)
+        kernel_out = run_kernel(
+            feed,
+            self.initial_amount,
+            strategy=self.strategy.kernel_driver,
+            params=self.strategy.kernel_params(),
+            parity=self.parity,
+        ).cache()  # consumed twice (orders + events); sim runs once
+        orders, events = split_kernel_output(kernel_out)
+        portfolio = build_portfolio(feed, events, self.initial_amount)
+        if self.benchmark is not None:
+            mode = "positional" if self.parity else "date"
+            portfolio = attach_benchmark(portfolio, self.benchmark, mode=mode)
+        self._orders = orders
+        self._portfolio = portfolio
+        return portfolio
+
+    def metrics(self, risk_free_rate: float = 0.03) -> DataFrame:
+        if self._portfolio is None:
+            self.run()
+        return compute_metrics(
+            self._portfolio, self._orders, self.initial_amount, risk_free_rate
+        )
+
+    @property
+    def orders(self) -> DataFrame:
+        if self._orders is None:
+            self.run()
+        return self._orders
+
+    def final_net_worth(self) -> DataFrame:
+        """(ticker, run_id, net_worth at last date) — the optimizer's
+        objective (reference: .net_worth[-1], optimize.py:135)."""
+        if self._portfolio is None:
+            self.run()
+        return self._portfolio.groupBy("ticker", "run_id").agg(
+            F.max_by("net_worth", "date").alias("net_worth")
+        )

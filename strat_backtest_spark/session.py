@@ -1,0 +1,46 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode settings mirror what we would set fleet-wide on a real
+cluster: AQE on (runtime re-planning, skew-join splitting, partition
+coalescing), Arrow on (every kernel crosses the Python boundary in
+columnar batches), UTC session timezone (oracle comparisons and
+cross-engine determinism), shuffle partitions sized to the machine
+instead of the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "strat_backtest_spark", cpus: str | int | None = None) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    On a real cluster the ``master`` and memory settings come from
+    spark-submit; everything else here is cluster-appropriate as-is.
+    """
+    cpus = str(cpus or DEFAULT_CPUS)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.default.parallelism", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        # Large parquet scans: bigger row-group-aligned splits amortize
+        # task overhead at 100 TB; local testdata is tiny either way.
+        .config("spark.sql.files.maxPartitionBytes", "256m")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship query; ``queries``/``oracle_sql`` expose
+the operator catalog (strat_backtest_spark/plans/catalog.py) for the
+DuckDB-oracle correctness gate.
 """
 
 from __future__ import annotations
@@ -15,24 +13,30 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full multi-ticker MA-cross backtest on synthetic bars
+    derived from /root/testdata/sf0.001 events — signal windows →
+    applyInPandas order kernel → portfolio net-worth algebra."""
+    from strat_backtest_spark.sources.bars import bars_from_events, load_testdata
+    from strat_backtest_spark.plans.backtest import Backtest, MACrossStrategy
+
+    tables = load_testdata(spark, "/root/testdata/sf0.001", "events")
+    from pyspark.sql import functions as F
+
+    ev = tables["events"].withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+    bars = bars_from_events(ev)
+    bt = Backtest(bars, initial_amount=10_000.0, strategy=MACrossStrategy(fast=3, lagging=8))
+    return bt.final_net_worth()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from strat_backtest_spark.plans.catalog import CATALOG
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: qd.fn for name, qd in CATALOG.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from strat_backtest_spark.plans.catalog import CATALOG
+
+    return {name: qd.oracle for name, qd in CATALOG.items() if qd.oracle is not None}

@@ -40,6 +40,9 @@ def get_spark(app_name: str = "strat_backtest_spark", cpus: str | int | None = N
         # task overhead at 100 TB; local testdata is tiny either way.
         .config("spark.sql.files.maxPartitionBytes", "256m")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # Read TIMESTAMP(NANOS) parquet (Spark has no ns timestamp type)
+        # as raw LongType nanos; sources convert to micros explicitly.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

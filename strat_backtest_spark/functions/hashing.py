@@ -1,0 +1,49 @@
+"""Deterministic, engine-portable hashing primitives.
+
+Everything here is exact 64-bit integer arithmetic expressible in both
+Spark SQL and ANSI-ish SQL (DuckDB), so dedup/similarity operators can
+be validated hash-for-hash against an external oracle — and, at 100 TB,
+recomputed anywhere without coordinating a hash-seed service.
+
+Scheme: polynomial rolling hash over codepoints, ``h = Σ h·31 + c (mod
+P)`` with P = 1e9+7; universal-hash family ``h_i(x) = (aᵢ·x + bᵢ) mod
+P`` with fixed odd multipliers. All intermediates < 2^63 — no overflow
+on either engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+P = 1_000_000_007
+
+# fixed hash family (deterministic; index i = i-th permutation)
+def perm_params(k: int) -> list[tuple[int, int]]:
+    return [((2 * i + 1) * 104_729 % P, (i * 7_919 + 13) % P) for i in range(k)]
+
+
+def char_hash(col: str | Column) -> Column:
+    """Polynomial codepoint hash of a string → LongType in [0, P)."""
+    c = F.col(col) if isinstance(col, str) else col
+    codes = F.transform(F.split(c, ""), lambda ch: F.ascii(ch))
+    return F.aggregate(
+        codes, F.lit(0).cast("long"), lambda acc, x: (acc * 31 + x) % P
+    )
+
+
+def char_hash_sql(expr: str) -> str:
+    """The same hash as DuckDB SQL over a string expression."""
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(string_split({expr}, ''), c -> ascii(c)::BIGINT)), "
+        f"(a, b) -> (a * 31 + b) % {P})"
+    )
+
+
+def perm_hash(x: Column, a: int, b: int) -> Column:
+    """h(x) = (a·x + b) mod P on a long column."""
+    return (x * F.lit(a) + F.lit(b)) % P
+
+
+def perm_hash_sql(expr: str, a: int, b: int) -> str:
+    return f"(({expr}) * {a} + {b}) % {P}"

@@ -1,0 +1,194 @@
+"""Deduplication operators for large-scale document pipelines:
+exact, MinHash+LSH, SimHash, and n-gram Jaccard.
+
+Scale design:
+- Exact dedup is a hash-groupBy — one shuffle on a 16-byte digest,
+  never on the document text itself.
+- MinHash/LSH turns all-pairs O(n²) into: per-doc signature (map-only)
+  → explode k/r bands (k·n/r rows) → groupBy band bucket (one shuffle
+  on small keys) → pairs within buckets only. At 100 TB the band
+  shuffle is the only wide stage and its payload is (doc_id, 2 longs).
+- SimHash is map-only per doc; near-dup = Hamming distance on a long.
+- All hashes are the engine-portable integer scheme in
+  functions/hashing.py, so results are reproducible anywhere and
+  oracle-checkable.
+
+These generalize the reference's distinct/counter ops (SURVEY.md §2.7)
+to the LLM-data-pipeline surface required by BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from strat_backtest_spark.functions.hashing import P, char_hash, perm_params
+from strat_backtest_spark.functions.text import whitespace_tokens
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: md5(text) → (text_hash, canonical_id,
+    dup_count). Canonical = min id. Shuffles digests, not documents."""
+    return (
+        df.select(F.md5(F.col(text_col).cast("binary")).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles + MinHash
+# ---------------------------------------------------------------------------
+
+def shingle_hashes(text_col: str | Column = "text", n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a document, each reduced to a
+    portable integer hash in [0, P)."""
+    toks = whitespace_tokens(text_col)
+    # guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0], so an
+    # explicit empty array is required for docs shorter than n tokens
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    shingle = lambda i: F.concat_ws(
+        " ", *[F.element_at(toks, i + j) for j in range(n)]
+    )
+    return F.array_distinct(F.transform(idx, lambda i: char_hash(shingle(i))))
+
+
+def minhash_signatures(
+    df: DataFrame, k: int = 8, shingle_n: int = 3,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document MinHash signature: k universal-hash permutations
+    over the shingle set; sig_i = min((aᵢ·x + bᵢ) mod P). Map-only."""
+    sh = shingle_hashes(text_col, shingle_n)
+    out = df.select(F.col(id_col), sh.alias("__sh"))
+    for i, (a, b) in enumerate(perm_params(k)):
+        out = out.withColumn(
+            f"sig_{i}",
+            F.array_min(F.transform(F.col("__sh"), lambda x: (x * a + b) % P)),
+        )
+    return out.drop("__sh")
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, k: int = 8, bands: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """LSH banding: docs sharing any band of r = k/bands consecutive
+    signature slots become a candidate pair. Returns (id_a, id_b,
+    est_jaccard) with id_a < id_b, deduplicated across bands.
+
+    Plan shape: explode bands → shuffle on (band, band_key) → pairs
+    inside buckets via self-join per bucket (groups are tiny by
+    construction) → distinct.
+    """
+    r = k // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws("_", *[F.col(f"sig_{b * r + j}") for j in range(r)]).alias(
+                    "band_key"
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+    sig_arr = F.array(*[F.col(f"sig_{i}") for i in range(k)])
+    exploded = sigs.select(
+        F.col(id_col), sig_arr.alias("sig"), F.explode(band_structs).alias("bk")
+    ).select(id_col, "sig", "bk.band", "bk.band_key")
+
+    a = exploded.select(
+        F.col("band"), F.col("band_key"),
+        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"),
+    )
+    b = exploded.select(
+        F.col("band"), F.col("band_key"),
+        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"),
+    )
+    pairs = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(
+                F.size(
+                    F.filter(
+                        F.zip_with(
+                            "sig_a", "sig_b", lambda x, y: (x == y).cast("int")
+                        ),
+                        lambda v: v == 1,
+                    )
+                )
+                / F.lit(float(k)),
+                6,
+            ).alias("est_jaccard"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(
+    df: DataFrame, bits: int = 32, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document SimHash: token char-hashes vote ±1 per bit; bit j
+    set when strictly more tokens have bit j set than clear. Map-only;
+    near-dup detection is then Hamming distance on one long."""
+    toks = whitespace_tokens(text_col)
+    hashes = F.transform(toks, lambda t: char_hash(t))
+    out = df.select(F.col(id_col), hashes.alias("__h"), F.size(toks).alias("__n"))
+    sim = F.lit(0).cast("long")
+    for j in range(bits):
+        set_cnt = F.size(
+            F.filter(F.col("__h"), lambda h: F.shiftright(h, j) % 2 == 1)
+        )
+        sim = sim + F.when(set_cnt * 2 > F.col("__n"), F.lit(2 ** j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out.select(id_col, sim.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact verification of candidate pairs)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    group_cols: list[str],
+    n: int = 2,
+    min_jaccard: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact word n-gram Jaccard similarity for all pairs WITHIN the
+    given blocking groups (at scale the blocks come from LSH buckets,
+    so the quadratic term stays bounded)."""
+    sh = shingle_hashes(text_col, n)
+    base = df.select(*group_cols, F.col(id_col), sh.alias("sh"))
+    a = base.select(
+        *group_cols, F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")
+    )
+    b = base.select(
+        *group_cols, F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        a.join(b, group_cols)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= min_jaccard)
+    )

@@ -1,0 +1,151 @@
+"""Hyper-parameter optimization (SURVEY.md §2.10; reference
+optimize.py).
+
+The reference's grid search forks a process pool but blocks per task
+(quirk Q8, optimize.py:221-225) — effectively serial, one full
+backtest per grid point. Here the WHOLE grid is one Spark job:
+
+    params (run_id, fast, lagging)  —broadcast—→  bars × params
+    signals for every point from ONE bars scan (prefix-sum self-joins,
+    operators/signals.py:ma_cross_signals_grid)
+    kernel per (ticker, run_id) group — tickers × points in parallel
+    argmax net worth per ticker
+
+Simulated annealing (reference optimize.py:138-207) keeps its
+inherently sequential temperature loop on the driver, but evaluates
+each step's full NEIGHBORHOOD as one small grid job — the cluster
+absorbs the batch, the driver only walks the chain.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from strat_backtest_spark.operators.kernel import run_kernel, split_kernel_output
+from strat_backtest_spark.operators.portfolio import build_portfolio
+from strat_backtest_spark.operators.signals import ma_cross_signals_grid
+from strat_backtest_spark.schemas import PARAMS_SCHEMA
+
+
+def expand_grid(spark: SparkSession, fast_range, lagging_range) -> DataFrame:
+    """_Range-style [start, stop, step) triples → params DataFrame
+    (reference: np.arange + itertools.product, optimize.py:27-38,218)."""
+    fasts = np.arange(*fast_range)
+    laggings = np.arange(*lagging_range)
+    rows = [
+        (int(i), int(f), int(l))
+        for i, (f, l) in enumerate((f, l) for f in fasts for l in laggings)
+    ]
+    return spark.createDataFrame(rows, PARAMS_SCHEMA)
+
+
+def evaluate_params(
+    bars: DataFrame, params: DataFrame, initial_amount: float
+) -> DataFrame:
+    """Final net worth for every (ticker, run_id): the shared engine of
+    grid search and SA neighborhoods. One bars scan, one kernel pass."""
+    signals = ma_cross_signals_grid(bars, params)
+    base = bars.select("ticker", "date", "close").crossJoin(
+        F.broadcast(params.select("run_id"))
+    )
+    feed = base.join(
+        signals.select("ticker", "run_id", "date", "action"),
+        ["ticker", "run_id", "date"],
+        "left",
+    )
+    kernel_out = run_kernel(feed, initial_amount)
+    _, events = split_kernel_output(kernel_out)
+    portfolio = build_portfolio(feed, events, initial_amount)
+    final = portfolio.groupBy("ticker", "run_id").agg(
+        F.max_by("net_worth", "date").alias("net_worth")
+    )
+    return final.join(F.broadcast(params), "run_id")
+
+
+def grid_search(
+    bars: DataFrame,
+    initial_amount: float,
+    fast_range=(10, 40, 10),
+    lagging_range=(50, 150, 50),
+) -> DataFrame:
+    """Best (fast, lagging) per ticker — reference Optimize._grid_search
+    (optimize.py:209-229) as one distributed job. Deterministic argmax
+    tiebreak: lowest run_id."""
+    spark = bars.sparkSession
+    params = expand_grid(spark, fast_range, lagging_range)
+    scored = evaluate_params(bars, params, initial_amount)
+    w = Window.partitionBy("ticker").orderBy(F.desc("net_worth"), F.asc("run_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("ticker", "fast", "lagging", F.round("net_worth", 4).alias("net_worth"))
+    )
+
+
+def simulated_annealing(
+    bars: DataFrame,
+    initial_amount: float,
+    init_state: tuple[int, int] = (10, 50),
+    bounds: tuple[tuple[int, int], tuple[int, int]] = ((2, 60), (5, 250)),
+    T: float = 100.0,
+    iterations: int = 20,
+    neighbors_per_step: int = 8,
+    seed: int = 42,
+) -> dict:
+    """Metropolis SA with geometric cooling ×0.8 (reference
+    optimize.py:138-207, ported without quirks Q15): each step scores a
+    BATCH of clamped integer-step neighbors in one cluster job and
+    Metropolis-accepts against the incumbent. Single-ticker bars
+    expected (aggregate over tickers otherwise)."""
+    rng = np.random.default_rng(seed)
+    pyrng = random.Random(seed)
+    spark = bars.sparkSession
+
+    def score(states: list[tuple[int, int]]) -> list[float]:
+        rows = [(i, int(f), int(l)) for i, (f, l) in enumerate(states)]
+        params = spark.createDataFrame(rows, PARAMS_SCHEMA)
+        scored = evaluate_params(bars, params, initial_amount)
+        got = {
+            r["run_id"]: r["net_worth"]
+            for r in scored.groupBy("run_id")
+            .agg(F.avg("net_worth").alias("net_worth"))
+            .collect()
+        }
+        return [got.get(i, float("-inf")) for i in range(len(states))]
+
+    def neighbors(state):
+        out = []
+        (flo, fhi), (llo, lhi) = bounds
+        while len(out) < neighbors_per_step:
+            df_, dl = rng.integers(-10, 11, size=2)
+            f = int(np.clip(state[0] + df_, flo, fhi))
+            l = int(np.clip(state[1] + dl, llo, lhi))
+            if (f, l) != tuple(state):
+                out.append((f, l))
+        return out
+
+    state = tuple(init_state)
+    [cur_cost] = score([state])
+    best_state, best_cost = state, cur_cost
+    history = [(state, cur_cost)]
+    temp = T
+    for _ in range(iterations):
+        cand = neighbors(state)
+        costs = score(cand)
+        # best neighbor first: batched variant of the reference's
+        # single-neighbor Metropolis step
+        j = int(np.argmax(costs))
+        new_state, new_cost = cand[j], costs[j]
+        delta = new_cost - cur_cost
+        if delta > 0 or math.exp(delta / temp) > pyrng.uniform(0, 1):
+            state, cur_cost = new_state, new_cost
+            if cur_cost > best_cost:
+                best_state, best_cost = state, cur_cost
+        history.append((state, cur_cost))
+        temp *= 0.8
+    return {"best_state": best_state, "best_net_worth": best_cost, "history": history}

@@ -95,12 +95,19 @@ def ma_cross_signals_grid(bars: DataFrame, params: DataFrame) -> DataFrame:
     g = base.crossJoin(F.broadcast(params))
 
     def attach_sma(df: DataFrame, n_col: str, out: str) -> DataFrame:
-        p = psum.withColumnRenamed("rn", "p_rn").withColumnRenamed("psum", f"__p_{out}")
+        # fully-renamed join keys: the prefix-sum table shares lineage
+        # with `df`, so positional Column references would be ambiguous
+        p = psum.select(
+            F.col("ticker").alias("__p_ticker"),
+            F.col("rn").alias("__p_rn"),
+            F.col("psum").alias(f"__p_{out}"),
+        )
         joined = df.join(
             p,
-            (df.ticker == p.ticker) & (p.p_rn == df.rn - F.col(n_col)),
+            (F.col("ticker") == F.col("__p_ticker"))
+            & (F.col("__p_rn") == F.col("rn") - F.col(n_col)),
             "left",
-        ).drop(p.ticker).drop("p_rn")
+        ).drop("__p_ticker", "__p_rn")
         lagged = F.when(F.col("rn") == F.col(n_col), F.lit(0.0)).otherwise(
             F.col(f"__p_{out}")
         )

@@ -1,0 +1,101 @@
+"""Text-analysis operators for large-scale document pipelines:
+language ID, quality scoring, token counting, fingerprinting.
+
+These generalize the reference's text mining (SURVEY.md §2.1 S7,
+§2.4 A7-A8, §2.8 F10-F12) into the operators an LLM-data pipeline
+needs. Pure Column expressions — JVM regex + array lambdas, no Python
+in the hot path, so they run at scan speed over any number of
+documents and every intermediate is columnar.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from strat_backtest_spark.functions.text import whitespace_tokens
+
+# Small per-language marker lexicons for the n-gram/stopword heuristic
+# language identifier. Deterministic and SQL-portable.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "with"),
+    "de": ("der", "die", "das", "und", "nicht", "ist", "mit", "ein"),
+    "fr": ("le", "la", "les", "et", "des", "est", "une", "dans"),
+    "es": ("el", "la", "los", "las", "es", "una", "con", "por"),
+    "zh": ("的", "是", "不", "了", "在", "人", "有", "我"),
+}
+
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+def tokens_col(col: str | Column = "text") -> Column:
+    return whitespace_tokens(col)
+
+
+def with_token_counts(df: DataFrame, col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens and a BPE-ish word/symbol
+    count (runs of alphanumerics or single punctuation marks)."""
+    toks = tokens_col(col)
+    bpe = F.regexp_extract_all(
+        F.lower(F.col(col)), F.lit(r"([a-z0-9]+|[^a-z0-9\s])"), 1
+    )
+    return df.withColumn("n_tokens", F.size(toks)).withColumn(
+        "n_bpe_tokens", F.size(bpe)
+    )
+
+
+def quality_score(df: DataFrame, col: str = "text") -> DataFrame:
+    """Document quality features: length, mean token length, stopword
+    ratio, punctuation ratio, and a composite score — the standard
+    cheap pre-filters before expensive dedup/training steps."""
+    toks = tokens_col(col)
+    n_tok = F.size(toks)
+    n_chars = F.length(col)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+    n_punct = F.size(F.filter(F.split(F.col(col), ""), lambda c: c.rlike(r"[^\w\s]")))
+    mean_tok_len = F.when(n_tok > 0, (n_chars - (n_tok - 1)) / n_tok)
+    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    score = (
+        F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.4
+        + stop_ratio * 0.3
+        + (1 - punct_ratio) * 0.3
+    )
+    return (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("mean_token_len", F.round(mean_tok_len, 6))
+        .withColumn("stopword_ratio", F.round(stop_ratio, 6))
+        .withColumn("punct_ratio", F.round(punct_ratio, 6))
+        .withColumn("quality_score", F.round(score, 6))
+    )
+
+
+def lang_scores(col: str | Column = "text") -> dict[str, Column]:
+    """Marker-hit counts per language over lowercase tokens."""
+    toks = whitespace_tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    return out
+
+
+def predict_language(df: DataFrame, col: str = "text") -> DataFrame:
+    """Heuristic language ID: cascade-argmax of marker-lexicon hits
+    with a fixed preference order (list order of LANG_MARKERS), 'und'
+    when no marker hits at all. The cascade — clause k requires
+    score_k > 0 and score_k >= every LATER language — is a
+    deterministic argmax that ports verbatim to SQL."""
+    scores = lang_scores(col)
+    langs = list(LANG_MARKERS)
+    pred = F.lit("und")
+    for k in reversed(range(len(langs))):
+        lang = langs[k]
+        cond = scores[lang] > 0
+        for other in langs[k + 1 :]:
+            cond = cond & (scores[lang] >= scores[other])
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    out = df
+    for lang in langs:
+        out = out.withColumn(f"score_{lang}", scores[lang])
+    return out.withColumn("pred_lang", pred)

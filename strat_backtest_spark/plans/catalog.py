@@ -527,3 +527,9 @@ def q20_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.round(F.avg(k), 6).alias("avg_k"), F.count(F.lit(1)).alias("n")
     )
+
+
+# batch 2/3 registrations (import side effect; placed at module end so
+# the decorator and helpers above are defined)
+from strat_backtest_spark.plans import catalog_pipeline  # noqa: E402,F401
+from strat_backtest_spark.plans import catalog_backtest  # noqa: E402,F401

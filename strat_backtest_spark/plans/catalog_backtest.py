@@ -1,0 +1,383 @@
+"""Catalog batch 3 — as-of joins, OLAP shapes (rollup/pivot/
+sessionization), the text-mining pipeline, multimodal plumbing, and
+the backtest engine itself driven on synthetic bars.
+
+Kernel-backed queries (sequential order matching) are not
+SQL-expressible; they register without an oracle and get the driver's
+rows-only check — everything vectorizable has a full oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types as T
+
+from strat_backtest_spark.plans.catalog import _t, query
+
+
+# ===========================================================================
+# As-of join (SURVEY §2.3 J5 generalized; Spark lacks a native one)
+# ===========================================================================
+
+@query(
+    "q32_asof_join",
+    oracle="""
+    SELECT event_id, o_orderkey AS last_orderkey FROM (
+      SELECT e.event_id, o.o_orderkey,
+             row_number() OVER (PARTITION BY e.event_id
+                                ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM events e JOIN orders o
+        ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+    ) WHERE rn = 1
+    """,
+)
+def q32_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of: each event matched to the user's most recent order at or
+    before the event time. Implemented as equi-join on the entity key +
+    time filter + row_number — the shuffle is on user_id only; at
+    scale, range-bucketing the time axis bounds the join fan-out."""
+    ev = _t(spark, sf_dir, "events")
+    o = _t(spark, sf_dir, "orders")
+    joined = ev.join(
+        o, (ev.user_id == o.o_custkey) & (o.o_orderdate <= ev.ts)
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", F.col("o_orderkey").alias("last_orderkey"))
+    )
+
+
+# ===========================================================================
+# OLAP shapes
+# ===========================================================================
+
+@query(
+    "q33_rollup_revenue",
+    oracle="""
+    SELECT r_name, n_name, round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def q33_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (region → nation → grand total)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+@query(
+    "q34_pivot_event_matrix",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (event_type = 'click')    AS n_click,
+           count(*) FILTER (event_type = 'view')     AS n_view,
+           count(*) FILTER (event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (event_type = 'signup')   AS n_signup,
+           count(*) FILTER (event_type = 'error')    AS n_error
+    FROM events GROUP BY user_id
+    """,
+)
+def q34_pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: event_type → columns (explicit value list so the plan is
+    a single pass, no distinct-values pre-query)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+        .select(
+            "user_id",
+            *[
+                F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
+                for t in ["click", "view", "purchase", "signup", "error"]
+            ],
+        )
+    )
+
+
+@query(
+    "q35_sessionization",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sess AS (
+      SELECT user_id,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, count(DISTINCT session_id) AS n_sessions,
+           round(count(*) / count(DISTINCT session_id), 6) AS avg_events_per_session
+    FROM sess GROUP BY user_id
+    """,
+)
+def q35_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: gap > 30 min starts a session; lag + running sum."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev_ts.isNull()
+        | (F.col("ts").cast("long") - prev_ts.cast("long") > 30 * 60),
+        1,
+    ).otherwise(0)
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    sess = ev.withColumn("new_session", new_sess).withColumn(
+        "session_id", F.sum("new_session").over(cum)
+    )
+    return sess.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.round(
+            F.count(F.lit(1)) / F.countDistinct("session_id"), 6
+        ).alias("avg_events_per_session"),
+    )
+
+
+# ===========================================================================
+# Text-mining pipeline (reference: common_stock.py most_common,
+# SURVEY §2.4 A8, §2.7 U3, §2.6 T1)
+# ===========================================================================
+
+@query(
+    "q36_token_topk",
+    oracle=r"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                    t -> t <> '')) AS token
+      FROM documents
+    )
+    SELECT token, count(*) AS n FROM toks
+    WHERE token NOT IN ('the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'is', 'it')
+    GROUP BY token
+    ORDER BY n DESC, token ASC
+    LIMIT 20
+    """,
+)
+def q36_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's Counter.most_common pipeline, distributed:
+    explode tokens → anti-filter stopwords → count → top-k."""
+    from strat_backtest_spark.functions.text import whitespace_tokens
+    from strat_backtest_spark.operators.text_analysis import STOPWORDS
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(whitespace_tokens(F.lower(F.col("text")))).alias("token")
+        )
+        .filter(~F.col("token").isin(*STOPWORDS))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+@query(
+    "q37_ticker_mentions",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               regexp_extract_all(upper(text), '([A-Z]{2,5})|\$([A-z]+)', 1),
+               t -> coalesce(nullif(t, ''), NULL))) AS token
+      FROM documents
+    )
+    SELECT token, count(*) AS n FROM toks
+    WHERE token IS NOT NULL AND len(token) >= 2
+    GROUP BY token ORDER BY n DESC, token ASC LIMIT 10
+    """,
+)
+def q37_ticker_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference ticker-extraction regex (common_stock.py:125) over
+    uppercased document text, counted and top-k'd."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(
+        F.upper(F.col("text")), F.lit(r"([A-Z]{2,5})|\$([A-z]+)"), 1
+    )
+    return (
+        docs.select(F.explode(toks).alias("token"))
+        .filter((F.col("token") != "") & (F.length("token") >= 2))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(10)
+    )
+
+
+# ===========================================================================
+# Multimodal plumbing: binary columns + Arrow-batched Python transform
+# ===========================================================================
+
+@query(
+    "q38_multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS byte_len,
+           octet_length(encode(text)) % 640 AS frame_width,
+           (octet_length(encode(text)) // 640) % 480 AS frame_height
+    FROM documents
+    """,
+)
+def q38_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column plumbing: documents encoded to a BINARY payload
+    column, then 'decoded' by an Arrow-batched mapInPandas feature
+    extractor (a deterministic stand-in for image/audio decode — the
+    real decoder slots into `_extract` unchanged; see
+    operators/multimodal.py for the stubbed real-decoder path)."""
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def _extract(batches):
+        for pdf in batches:
+            blens = pdf["payload"].map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": blens,
+                    "frame_width": blens % 640,
+                    "frame_height": (blens // 640) % 480,
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("byte_len", T.LongType()),
+            T.StructField("frame_width", T.LongType()),
+            T.StructField("frame_height", T.LongType()),
+        ]
+    )
+    return docs.mapInPandas(_extract, schema)
+
+
+# ===========================================================================
+# The backtest engine on synthetic bars (kernel ⇒ rows-only where noted)
+# ===========================================================================
+
+def _bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from strat_backtest_spark.sources.bars import bars_from_events
+
+    return bars_from_events(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "q39_ma_cross_signals",
+    oracle="""
+    WITH bars AS (
+      SELECT ticker, date, close FROM (
+        SELECT user_id::VARCHAR AS ticker, CAST(ts AS DATE) AS date, value AS close,
+               row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ), win AS (
+      SELECT ticker, date, close,
+             count(*) OVER w3 AS cnt3, avg(close) OVER w3 AS avg3,
+             count(*) OVER w8 AS cnt8, avg(close) OVER w8 AS avg8
+      FROM bars
+      WINDOW w3 AS (PARTITION BY ticker ORDER BY date ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+             w8 AS (PARTITION BY ticker ORDER BY date ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+    ), ind AS (
+      SELECT ticker, date, close,
+             CASE WHEN cnt3 >= 3 THEN avg3 END AS sma_fast,
+             CASE WHEN cnt8 >= 8 THEN avg8 END AS sma_lag
+      FROM win
+    ), crossed AS (
+      SELECT ticker, date, close,
+             coalesce(sma_fast > sma_lag, false) AS is_cross,
+             lag(coalesce(sma_fast > sma_lag, false))
+               OVER (PARTITION BY ticker ORDER BY date) AS prev_cross
+      FROM ind
+    )
+    SELECT ticker, strftime(date, '%Y-%m-%d') AS date, round(close, 6) AS close,
+           CASE WHEN is_cross THEN 'buy' ELSE 'sell' END AS action
+    FROM crossed
+    WHERE prev_cross IS NULL OR is_cross <> prev_cross
+    """,
+)
+def q39_ma_cross_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's vectorized signal layer on synthetic bars — full
+    SQL oracle for the window/edge-detection semantics."""
+    from strat_backtest_spark.operators.signals import ma_cross_signals
+
+    sig = ma_cross_signals(_bars(spark, sf_dir), fast=3, lagging=8)
+    return sig.select(
+        "ticker",
+        F.date_format("date", "yyyy-MM-dd").alias("date"),
+        F.round("close", 6).alias("close"),
+        "action",
+    )
+
+
+@query("q40_backtest_networth")  # kernel: rows-only check
+def q40_backtest_networth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end backtest (signals → order kernel → portfolio) per
+    synthetic ticker. Sequential order matching is not SQL-expressible."""
+    from strat_backtest_spark.plans.backtest import Backtest, MACrossStrategy
+
+    bt = Backtest(_bars(spark, sf_dir), 10_000.0, MACrossStrategy(fast=3, lagging=8))
+    return bt.final_net_worth()
+
+
+@query("q41_grid_search")  # kernel: rows-only check
+def q41_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyper-parameter grid sweep: one cluster job evaluates every
+    (fast, lagging) point (reference runs these serially,
+    optimize.py:221-225); returns the best point per ticker."""
+    from strat_backtest_spark.operators.optimize import grid_search
+
+    return grid_search(
+        _bars(spark, sf_dir),
+        initial_amount=10_000.0,
+        fast_range=(3, 7, 2),
+        lagging_range=(8, 14, 5),
+    )
+
+
+@query("q42_backtest_metrics")  # kernel: rows-only check
+def q42_backtest_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 18-stat metrics suite over a synthetic-bar backtest."""
+    from strat_backtest_spark.plans.backtest import Backtest, MACrossStrategy
+
+    bars = _bars(spark, sf_dir)
+    bench = bars.filter(F.col("ticker") == "0").select(
+        "date", F.col("close").alias("sp500")
+    )
+    bt = Backtest(
+        bars, 10_000.0, MACrossStrategy(fast=3, lagging=8), benchmark=bench
+    )
+    bt.run()
+    return bt.metrics(risk_free_rate=0.03)
+
+
+@query("q43_stream_windowed_agg")  # streaming: rows-only check
+def q43_stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming path: the events table replayed as a
+    stream, watermarked 1-day-windowed counts per event_type, memory
+    sink drained synchronously."""
+    from strat_backtest_spark.streaming.events_stream import windowed_event_counts
+
+    return windowed_event_counts(spark, sf_dir)

@@ -1,0 +1,345 @@
+"""Catalog batch 2 — large-scale data-pipeline operators (dedup,
+text analysis, similarity search) as oracle-checked queries over the
+``documents`` / ``embeddings`` tables.
+
+Oracle SQL for the hash-based operators is GENERATED from the same
+parameters as the Spark expressions (functions/hashing.py), so both
+engines compute identical integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from strat_backtest_spark.functions.hashing import P, char_hash_sql, perm_params
+from strat_backtest_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from strat_backtest_spark.operators.similarity import ann_topk, cosine_topk, _plane_weight
+from strat_backtest_spark.operators.text_analysis import (
+    LANG_MARKERS,
+    STOPWORDS,
+    predict_language,
+    quality_score,
+    with_token_counts,
+)
+from strat_backtest_spark.plans.catalog import _t, query
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (must mirror the Spark operators exactly)
+# ---------------------------------------------------------------------------
+
+_TOKS = r"list_filter(string_split_regex(text, '\s+'), t -> t <> '')"
+_TOKS_LOWER = r"list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"
+
+
+def _shingle_hashes_sql(n: int = 3) -> str:
+    """DuckDB mirror of operators.dedup.shingle_hashes."""
+    parts = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
+    return (
+        f"list_distinct(list_transform("
+        f"CASE WHEN len(toks) >= {n} THEN range(1, len(toks) - {n - 2}) "
+        f"ELSE [] END, i -> {char_hash_sql(parts)}))"
+    )
+
+
+# ===========================================================================
+# Deduplication
+# ===========================================================================
+
+@query(
+    "q21_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id, count(*) AS dup_count
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q21_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+_MINHASH_K = 8
+
+
+def _minhash_sigs_cte() -> str:
+    sig_cols = ", ".join(
+        f"list_min(list_transform(sh, x -> (x * {a} + {b}) % {P})) AS sig_{i}"
+        for i, (a, b) in enumerate(perm_params(_MINHASH_K))
+    )
+    return f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    shing AS (SELECT doc_id, {_shingle_hashes_sql(3)} AS sh FROM tok),
+    sigs AS (SELECT doc_id, {sig_cols} FROM shing)
+    """
+
+
+@query(
+    "q22_minhash_signatures",
+    oracle=_minhash_sigs_cte() + "SELECT * FROM sigs",
+)
+def q22_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (k=8) over word-3-shingles — map-only."""
+    return minhash_signatures(_t(spark, sf_dir, "documents"), k=_MINHASH_K)
+
+
+@query(
+    "q23_minhash_lsh_pairs",
+    oracle=_minhash_sigs_cte()
+    + f"""
+    , banded AS (
+      SELECT doc_id, [sig_0, sig_1, sig_2, sig_3, sig_4, sig_5, sig_6, sig_7] AS sig,
+             b.band,
+             CASE b.band
+               WHEN 0 THEN sig_0::VARCHAR || '_' || sig_1::VARCHAR
+               WHEN 1 THEN sig_2::VARCHAR || '_' || sig_3::VARCHAR
+               WHEN 2 THEN sig_4::VARCHAR || '_' || sig_5::VARCHAR
+               ELSE        sig_6::VARCHAR || '_' || sig_7::VARCHAR
+             END AS band_key
+      FROM sigs, (SELECT unnest(range(4)) AS band) b
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_filter(range(1, 9), i -> a.sig[i] = b.sig[i])) / 8.0, 6) AS est_jaccard
+    FROM banded a JOIN banded b USING (band, band_key)
+    WHERE a.doc_id < b.doc_id
+    """,
+)
+def q23_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding (4 bands × 2 rows) → near-dup candidate pairs with
+    signature-estimated Jaccard."""
+    sigs = minhash_signatures(_t(spark, sf_dir, "documents"), k=_MINHASH_K)
+    return lsh_candidate_pairs(sigs, k=_MINHASH_K, bands=4)
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    tok_hash = char_hash_sql("t")
+    terms = " + ".join(
+        f"CASE WHEN 2 * len(list_filter(h, x -> (x >> {j}) & 1 = 1)) > n "
+        f"THEN {2 ** j}::BIGINT ELSE 0::BIGINT END"
+        for j in range(bits)
+    )
+    return f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    h AS (SELECT doc_id, list_transform(toks, t -> {tok_hash}) AS h, len(toks) AS n FROM tok)
+    SELECT doc_id, ({terms}) AS simhash FROM h
+    """
+
+
+@query("q24_simhash", oracle=_simhash_sql(32))
+def q24_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document — near-dup via Hamming distance."""
+    return simhash(_t(spark, sf_dir, "documents"), bits=32)
+
+
+@query(
+    "q25_ngram_jaccard",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, lang, source, {_TOKS} AS toks FROM documents),
+    shing AS (SELECT doc_id, lang, source, {_shingle_hashes_sql(2)} AS sh FROM tok)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+                 THEN len(list_intersect(a.sh, b.sh))
+                      / len(list_distinct(list_concat(a.sh, b.sh)))
+                 ELSE 0 END, 6) AS jaccard
+    FROM shing a JOIN shing b USING (lang, source)
+    WHERE a.doc_id < b.doc_id
+      AND round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+            THEN len(list_intersect(a.sh, b.sh))
+                 / len(list_distinct(list_concat(a.sh, b.sh)))
+            ELSE 0 END, 6) >= 0.05
+    """,
+)
+def q25_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-2-gram Jaccard within (lang, source) blocks,
+    thresholded — the verification stage downstream of LSH blocking."""
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"),
+        group_cols=["lang", "source"],
+        n=2,
+        min_jaccard=0.05,
+    )
+
+
+# ===========================================================================
+# Text analysis
+# ===========================================================================
+
+@query(
+    "q26_token_counts",
+    oracle=rf"""
+    SELECT doc_id,
+           len({_TOKS}) AS n_tokens,
+           len(regexp_extract_all(lower(text), '([a-z0-9]+|[^a-z0-9\s])', 1)) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def q26_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_token_counts(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens", "n_bpe_tokens"
+    )
+
+
+@query(
+    "q27_quality_score",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks, length(text) AS n_chars,
+             len(list_filter(string_split(text, ''), c -> regexp_matches(c, '[^\w\s]'))) AS n_punct
+      FROM documents
+    ), s AS (
+      SELECT doc_id, len(toks) AS n_tokens, n_chars, n_punct,
+             len(list_filter(toks, t -> list_contains({list(STOPWORDS)!r}, lower(t)))) AS n_stop
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           round(CASE WHEN n_tokens > 0 THEN (n_chars - (n_tokens - 1)) / n_tokens END, 6) AS mean_token_len,
+           round(CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0 END, 6) AS stopword_ratio,
+           round(CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0 END, 6) AS punct_ratio,
+           round(least(n_tokens / 100.0, 1.0) * 0.4
+                 + (CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0 END) * 0.3
+                 + (1 - CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0 END) * 0.3, 6) AS quality_score
+    FROM s
+    """,
+)
+def q27_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "n_tokens",
+        "mean_token_len",
+        "stopword_ratio",
+        "punct_ratio",
+        "quality_score",
+    )
+
+
+def _langid_sql() -> str:
+    langs = list(LANG_MARKERS)
+    score_cols = ", ".join(
+        f"len(list_filter(toks, t -> list_contains({list(ms)!r}, t))) AS score_{lang}"
+        for lang, ms in LANG_MARKERS.items()
+    )
+    clauses = []
+    for k, lang in enumerate(langs):
+        conds = [f"score_{lang} > 0"] + [
+            f"score_{lang} >= score_{other}" for other in langs[k + 1 :]
+        ]
+        clauses.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case = "CASE " + " ".join(clauses) + " ELSE 'und' END"
+    scores = ", ".join(f"score_{lang}" for lang in langs)
+    return f"""
+    WITH tok AS (SELECT doc_id, lang, {_TOKS_LOWER} AS toks FROM documents),
+    s AS (SELECT doc_id, lang, {score_cols} FROM tok)
+    SELECT doc_id, lang, {scores}, {case} AS pred_lang FROM s
+    """
+
+
+@query("q28_langid", oracle=_langid_sql())
+def q28_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-lexicon language ID with deterministic cascade-argmax."""
+    return predict_language(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "lang",
+        *[f"score_{lang}" for lang in LANG_MARKERS],
+        "pred_lang",
+    )
+
+
+@query(
+    "q29_fingerprint",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           list_min(list_transform(
+             CASE WHEN len(toks) >= 3 THEN range(1, len(toks) - 1) ELSE [] END,
+             i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS fingerprint
+    FROM tok
+    """,
+)
+def q29_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: lexicographic min of md5 over word
+    3-shingles (a 1-permutation MinHash on a cryptographic hash)."""
+    from strat_backtest_spark.functions.text import whitespace_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = whitespace_tokens("text")
+    idx = F.when(F.size(toks) >= 3, F.sequence(F.lit(1), F.size(toks) - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    shingle = lambda i: F.concat_ws(
+        " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+    )
+    fp = F.array_min(F.transform(idx, lambda i: F.md5(shingle(i).cast("binary"))))
+    return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+# ===========================================================================
+# Similarity search
+# ===========================================================================
+
+_DOT = "list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))"
+_NORM_A = "sqrt(list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))"
+_NORM_B = "sqrt(list_sum(list_transform(range(1, 65), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))"
+
+
+@query(
+    "q30_cosine_topk",
+    oracle=f"""
+    WITH scored AS (
+      SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+             round({_DOT} / ({_NORM_B} * {_NORM_A}), 6) AS cos_sim
+      FROM embeddings a, embeddings b
+      WHERE b.vec_id < 10 AND a.vec_id <> b.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q30_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for the first 10 vectors as
+    queries — the ANN correctness baseline."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def _bucket_sql(alias: str, n_planes: int = 6, dim: int = 64) -> str:
+    plane_terms = []
+    for p in range(n_planes):
+        terms = " + ".join(
+            f"{alias}.embedding[{d + 1}]::DOUBLE * {float(_plane_weight(p, d))}"
+            for d in range(dim)
+            if _plane_weight(p, d) != 0
+        )
+        plane_terms.append(
+            f"CASE WHEN ({terms}) > 0 THEN {2 ** p}::BIGINT ELSE 0::BIGINT END"
+        )
+    return " + ".join(plane_terms)
+
+
+@query(
+    "q31_ann_lsh_topk",
+    oracle=f"""
+    WITH cb AS (SELECT a.vec_id, a.embedding, {_bucket_sql('a')} AS bucket FROM embeddings a),
+    scored AS (
+      SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+             round({_DOT} / ({_NORM_B} * {_NORM_A}), 6) AS cos_sim
+      FROM cb a JOIN cb b USING (bucket)
+      WHERE b.vec_id < 10 AND a.vec_id <> b.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q31_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN: random-hyperplane LSH bucket restriction + exact rerank —
+    the scale path (bucket becomes the partition key at 100 TB)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)

@@ -1,0 +1,75 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is forced with a cheap count-style action so timing covers
+the full plan execution, not result serialization to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+HEADLINE = [
+    "q01_pricing_summary",      # scan-heavy multi-agg
+    "q02_regional_revenue",     # join pyramid + agg
+    "q03_top_customers",        # join + top-k
+    "q06_rolling_mean",         # window battery
+    "q09_cumprod",              # window exp-sum-log
+    "q21_dedup_exact",          # hash dedup
+    "q22_minhash_signatures",   # minhash map-only
+    "q23_minhash_lsh_pairs",    # LSH banding + bucket self-join
+    "q30_cosine_topk",          # brute-force similarity
+    "q32_asof_join",            # as-of join
+    "q35_sessionization",       # lag + running sum + agg
+    "q36_token_topk",           # explode + count + top-k
+    "q40_backtest_networth",    # full backtest kernel path
+    "q41_grid_search",          # 6-point param grid, one job
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from strat_backtest_spark.session import get_spark
+    from strat_backtest_spark.plans.catalog import CATALOG
+
+    spark = get_spark("bench", cpus=cpus)
+    # warmup: JVM + python worker pool + parquet footer caches
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        qd = CATALOG[name]
+        t0 = time.time()
+        df = qd.fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr, flush=True)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

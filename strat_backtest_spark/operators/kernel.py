@@ -214,7 +214,11 @@ class TradingEngine:
         self.sell_orders[end_time] = closed_shares
 
     def buy(self, date, price, num_shares=-1, stop_loss=None):
-        """Reference strats.py:343-395."""
+        """Reference strats.py:343-395. Divergence from reference: a
+        non-positive/NaN price is rejected instead of raising
+        ZeroDivisionError (strats.py:383 would crash)."""
+        if not price > 0:
+            return
         self._flush_stops(date)
         current_amount = self._curr_amnt()
         if num_shares == -1 and current_amount > 0:

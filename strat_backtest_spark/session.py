@@ -36,6 +36,7 @@ def get_spark(app_name: str = "strat_backtest_spark", cpus: str | int | None = N
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         # Large parquet scans: bigger row-group-aligned splits amortize
         # task overhead at 100 TB; local testdata is tiny either way.
         .config("spark.sql.files.maxPartitionBytes", "256m")

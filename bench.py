@@ -5,8 +5,12 @@ Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <sf>}
 
-Each query is forced with a cheap count-style action so timing covers
-the full plan execution, not result serialization to the driver.
+Each query is forced with a noop-format write: every column of the
+result is computed and consumed by the sink, so Catalyst cannot prune
+the projection the way it can under count() — the timing covers the
+real query work. One untimed warm-up run per query precedes the timed
+run (JVM/codegen warm-up costs 5-8 s per novel plan shape and is not a
+property of the query).
 """
 
 from __future__ import annotations
@@ -47,14 +51,20 @@ def main() -> None:
     # warmup: JVM + python worker pool + parquet footer caches
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    def force(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         qd = CATALOG[name]
+        force(qd.fn(spark, sf_dir))  # warm-up: codegen + shuffle setup
+        # the backtest/grid paths persist() intermediates — drop them so
+        # the timed run does its own work instead of reading the cache
+        spark.catalog.clearCache()
         t0 = time.time()
-        df = qd.fn(spark, sf_dir)
-        n = df.count()
+        force(qd.fn(spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr, flush=True)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -40,6 +40,25 @@ def char_hash_sql(expr: str) -> str:
     )
 
 
+def md5_hash(col: str | Column) -> Column:
+    """Native md5 → 60-bit prefix → mod P, LongType in [0, P).
+
+    The hot-path alternative to ``char_hash``: md5 is JVM-native on
+    Spark (no per-character lambda interpretation — ~100× faster on
+    long token streams) and byte-identical in every engine with an
+    md5() builtin, so the oracle mirror is exact. 15 hex chars = 60
+    bits < 2^63, so the hex parse never overflows a signed long."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.conv(F.substring(F.md5(c.cast("binary")), 1, 15), 16, 10).cast("long") % P
+    )
+
+
+def md5_hash_sql(expr: str) -> str:
+    """The same md5-prefix hash as DuckDB SQL over a string expression."""
+    return f"(('0x' || substring(md5({expr}), 1, 15))::BIGINT % {P})"
+
+
 def perm_hash(x: Column, a: int, b: int) -> Column:
     """h(x) = (a·x + b) mod P on a long column."""
     return (x * F.lit(a) + F.lit(b)) % P

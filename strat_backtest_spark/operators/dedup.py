@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from strat_backtest_spark.functions.hashing import P, char_hash, perm_params
+from strat_backtest_spark.functions.hashing import P, md5_hash, perm_params
 from strat_backtest_spark.functions.text import whitespace_tokens
 
 
@@ -58,35 +58,80 @@ def shingle_hashes(text_col: str | Column = "text", n: int = 3) -> Column:
     shingle = lambda i: F.concat_ws(
         " ", *[F.element_at(toks, i + j) for j in range(n)]
     )
-    return F.array_distinct(F.transform(idx, lambda i: char_hash(shingle(i))))
+    return F.array_distinct(F.transform(idx, lambda i: md5_hash(shingle(i))))
+
+
+def minhash_sig_array(
+    df: DataFrame, k: int = 8, shingle_n: int = 3,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, sig: array<long>[k]) — ALL k minima folded in ONE
+    ``aggregate`` pass over the shingle array, so the shingle pipeline
+    (the expensive per-character hash) is evaluated exactly once per
+    document no matter how Catalyst collapses projections. Empty
+    shingle sets yield null slots (parity with array_min of [])."""
+    sh = shingle_hashes(text_col, shingle_n)
+    coeffs = F.array(
+        *[
+            F.struct(
+                F.lit(a).cast("long").alias("a"), F.lit(b).cast("long").alias("b")
+            )
+            for a, b in perm_params(k)
+        ]
+    )
+    init = F.array_repeat(F.lit(P).cast("long"), k)
+    folded = F.aggregate(
+        sh,
+        init,
+        lambda acc, x: F.zip_with(
+            acc, coeffs, lambda m, c: F.least(m, (x * c["a"] + c["b"]) % P)
+        ),
+    )
+    # (a·x+b) mod P < P always, so P survives only for empty shingle sets
+    sig = F.transform(folded, lambda m: F.nullif(m, F.lit(P).cast("long")))
+    return df.select(F.col(id_col), sig.alias("sig"))
 
 
 def minhash_signatures(
     df: DataFrame, k: int = 8, shingle_n: int = 3,
     text_col: str = "text", id_col: str = "doc_id",
 ) -> DataFrame:
-    """Per-document MinHash signature: k universal-hash permutations
-    over the shingle set; sig_i = min((aᵢ·x + bᵢ) mod P). Map-only."""
-    sh = shingle_hashes(text_col, shingle_n)
-    out = df.select(F.col(id_col), sh.alias("__sh"))
-    for i, (a, b) in enumerate(perm_params(k)):
-        out = out.withColumn(
-            f"sig_{i}",
-            F.array_min(F.transform(F.col("__sh"), lambda x: (x * a + b) % P)),
-        )
-    return out.drop("__sh")
+    """Per-document MinHash signature columns sig_0..sig_{k-1}:
+    sig_i = min((aᵢ·x + bᵢ) mod P) over the shingle set.
+
+    Plan shape: one projection computes the whole signature array
+    (single shingle pass), then a tiny exchange on id (payload:
+    id + k longs) materializes it BEFORE the per-column fan-out —
+    without the barrier, CollapseProject would inline the full
+    shingle+hash tree into each of the k output columns (and, for
+    LSH, into both sides of the self-join), recomputing the most
+    expensive expression ~k× per row. The exchange is the scale
+    answer too: no driver-side caching required, works on any
+    session, and the payload is fixed-width regardless of doc size."""
+    arr = minhash_sig_array(df, k, shingle_n, text_col, id_col).repartition(id_col)
+    return arr.select(
+        id_col, *[F.element_at("sig", i + 1).alias(f"sig_{i}") for i in range(k)]
+    )
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, k: int = 8, bands: int = 4, id_col: str = "doc_id"
+    sigs: DataFrame,
+    k: int = 8,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    max_bucket_size: int = 2000,
 ) -> DataFrame:
     """LSH banding: docs sharing any band of r = k/bands consecutive
     signature slots become a candidate pair. Returns (id_a, id_b,
     est_jaccard) with id_a < id_b, deduplicated across bands.
 
-    Plan shape: explode bands → shuffle on (band, band_key) → pairs
-    inside buckets via self-join per bucket (groups are tiny by
-    construction) → distinct.
+    Plan shape: explode bands → ONE exchange on (band, band_key)
+    that BOTH self-join sides reuse (ReusedExchange — the banding
+    expression is evaluated once, and the join needs no further
+    shuffle) → drop degenerate buckets larger than
+    ``max_bucket_size`` (at 100 TB one hot band_key — boilerplate
+    text, empty docs — is a quadratic bomb; real near-dup groups are
+    orders of magnitude smaller) → pairs within buckets → distinct.
     """
     r = k // bands
     band_structs = F.array(
@@ -101,9 +146,17 @@ def lsh_candidate_pairs(
         ]
     )
     sig_arr = F.array(*[F.col(f"sig_{i}") for i in range(k)])
-    exploded = sigs.select(
-        F.col(id_col), sig_arr.alias("sig"), F.explode(band_structs).alias("bk")
-    ).select(id_col, "sig", "bk.band", "bk.band_key")
+    exploded = (
+        sigs.select(
+            F.col(id_col), sig_arr.alias("sig"), F.explode(band_structs).alias("bk")
+        )
+        .select(id_col, "sig", "bk.band", "bk.band_key")
+        .repartition("band", "band_key")
+    )
+    bucket = Window.partitionBy("band", "band_key")
+    exploded = exploded.withColumn(
+        "__bucket_n", F.count(F.lit(1)).over(bucket)
+    ).filter(F.col("__bucket_n") <= max_bucket_size)
 
     a = exploded.select(
         F.col("band"), F.col("band_key"),
@@ -147,7 +200,7 @@ def simhash(
     set when strictly more tokens have bit j set than clear. Map-only;
     near-dup detection is then Hamming distance on one long."""
     toks = whitespace_tokens(text_col)
-    hashes = F.transform(toks, lambda t: char_hash(t))
+    hashes = F.transform(toks, lambda t: md5_hash(t))
     out = df.select(F.col(id_col), hashes.alias("__h"), F.size(toks).alias("__n"))
     sim = F.lit(0).cast("long")
     for j in range(bits):
@@ -174,9 +227,16 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact word n-gram Jaccard similarity for all pairs WITHIN the
     given blocking groups (at scale the blocks come from LSH buckets,
-    so the quadratic term stays bounded)."""
+    so the quadratic term stays bounded).
+
+    The shingle table is exchanged on the blocking keys before the
+    self-join: the join reuses that one exchange for both sides
+    (ReusedExchange), so the shingle pipeline runs once per document —
+    not once per side — and the join itself needs no further shuffle."""
     sh = shingle_hashes(text_col, n)
-    base = df.select(*group_cols, F.col(id_col), sh.alias("sh"))
+    base = df.select(*group_cols, F.col(id_col), sh.alias("sh")).repartition(
+        *group_cols
+    )
     a = base.select(
         *group_cols, F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")
     )

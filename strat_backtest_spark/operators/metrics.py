@@ -17,6 +17,15 @@ The reference's estimator idiosyncrasies are replicated on purpose
 - Q12 Profit factor coerces a zero/absent loss to −1 (strats.py:714-716).
 
 The risk-free rate is injected (fixing Q7's import-time network I/O).
+
+Division semantics: every ratio uses ``try_divide`` so a degenerate
+input (zero variance, zero-year span, zero risked capital) yields NULL
+under ANSI mode instead of failing the job. The reference CRASHES on
+several of these (e.g. ZeroDivisionError for backtests shorter than a
+year, strats.py:696) — NULL is the deliberate, strictly-more-usable
+replacement. A portfolio without an attached benchmark column gets
+NULL for the benchmark-dependent stats (beta/alpha/r_squared) rather
+than an AnalysisException.
 """
 
 from __future__ import annotations
@@ -37,8 +46,11 @@ def compute_metrics(
     w = Window.partitionBy(*keys).orderBy("date")
     cum = w.rowsBetween(Window.unboundedPreceding, 0)
 
-    r_s = F.col("net_worth") / F.lag("net_worth").over(w) - 1
-    r_m = F.col("sp500") / F.lag("sp500").over(w) - 1
+    if "sp500" not in portfolio.columns:
+        portfolio = portfolio.withColumn("sp500", F.lit(None).cast("double"))
+
+    r_s = F.try_divide(F.col("net_worth"), F.lag("net_worth").over(w)) - 1
+    r_m = F.try_divide(F.col("sp500"), F.lag("sp500").over(w)) - 1
 
     prepped = portfolio.select(
         *keys,
@@ -46,7 +58,9 @@ def compute_metrics(
         "net_worth",
         r_s.alias("r_s"),
         r_m.alias("r_m"),
-        (F.col("net_worth") / F.max("net_worth").over(cum) - 1).alias("drawdown"),
+        (F.try_divide(F.col("net_worth"), F.max("net_worth").over(cum)) - 1).alias(
+            "drawdown"
+        ),
         F.col("sp500"),
     )
 
@@ -57,11 +71,6 @@ def compute_metrics(
     mean_rs = F.avg("r_s")
     mean_rm = F.avg("r_m")
     # Q11: pandas .sum() skips NaN pairs but divides by FULL row count.
-    cov_num = F.sum(
-        (F.col("r_s") - F.avg("r_s").over(Window.partitionBy(*keys)))
-        * (F.col("r_m") - F.avg("r_m").over(Window.partitionBy(*keys)))
-    )
-
     prepped = prepped.withColumn(
         "__cov_term",
         (F.col("r_s") - F.avg("r_s").over(Window.partitionBy(*keys)))
@@ -103,29 +112,39 @@ def compute_metrics(
     m = port_agg.join(ord_agg, keys, "left")
 
     rf = F.lit(float(risk_free_rate))
-    cagr = (F.pow(F.col("end_amount") / start_amt, 1 / F.col("years")) - 1) * 100
+    cagr = (
+        F.pow(
+            F.try_divide(F.col("end_amount"), start_amt),
+            F.try_divide(F.lit(1.0), F.col("years")),
+        )
+        - 1
+    ) * 100
     # Q12: loss coerced to -1 when zero or null.
     loss = F.when(
         F.col("loss_sum").isNull() | (F.col("loss_sum") == 0), F.lit(-1.0)
     ).otherwise(F.col("loss_sum"))
-    profit_factor = F.coalesce(F.col("profit_sum"), F.lit(0.0)) / -loss
+    profit_factor = F.try_divide(F.coalesce(F.col("profit_sum"), F.lit(0.0)), -loss)
     risk_reward = F.when(
-        F.col("n_orders") > 0, F.col("filled_profit_sum") / F.col("total_risked")
+        F.col("n_orders") > 0,
+        F.try_divide(F.col("filled_profit_sum"), F.col("total_risked")),
     )
     annual_er = F.pow(F.col("mean_r_s") + 1, 255) - 1  # Q9
-    sharpe = (annual_er - rf) / (F.col("std_r_s") * math.sqrt(252))
+    sharpe = F.try_divide(annual_er - rf, F.col("std_r_s") * math.sqrt(252))
     volatility = F.col("std_r_s") * math.sqrt(252)
-    covariance = F.col("cov_num") / F.col("n_rows")  # Q11
-    beta = covariance / F.col("var_r_s")
-    stock_return = (F.col("end_amount") - F.col("first_net_worth")) / F.col(
-        "first_net_worth"
+    covariance = F.try_divide(F.col("cov_num"), F.col("n_rows"))  # Q11
+    beta = F.try_divide(covariance, F.col("var_r_s"))
+    stock_return = F.try_divide(
+        F.col("end_amount") - F.col("first_net_worth"), F.col("first_net_worth")
     )
     alpha = (
         stock_return
         - rf
-        - beta * ((F.col("sp500_last") / F.col("sp500_first") - 1) - rf)
+        - beta
+        * ((F.try_divide(F.col("sp500_last"), F.col("sp500_first")) - 1) - rf)
     )
-    r_squared = covariance / (F.sqrt(F.col("var_r_s")) * F.col("std_r_m"))
+    r_squared = F.try_divide(
+        covariance, F.sqrt(F.col("var_r_s")) * F.col("std_r_m")
+    )
 
     return m.select(
         *keys,

@@ -48,16 +48,22 @@ def evaluate_params(
     bars: DataFrame, params: DataFrame, initial_amount: float
 ) -> DataFrame:
     """Final net worth for every (ticker, run_id): the shared engine of
-    grid search and SA neighborhoods. One bars scan, one kernel pass."""
+    grid search and SA neighborhoods. One bars scan, one kernel pass.
+
+    ``feed`` (the |bars|×|runs| kernel input) is persisted: it feeds
+    BOTH the order kernel and the portfolio join, and without the cache
+    the whole signal DAG would be recomputed per consumer — the round-1
+    plan paid that twice per grid. Signal edges are sparse, so they
+    broadcast onto the expanded feed without shuffling it."""
     signals = ma_cross_signals_grid(bars, params)
     base = bars.select("ticker", "date", "close").crossJoin(
         F.broadcast(params.select("run_id"))
     )
     feed = base.join(
-        signals.select("ticker", "run_id", "date", "action"),
+        F.broadcast(signals.select("ticker", "run_id", "date", "action")),
         ["ticker", "run_id", "date"],
         "left",
-    )
+    ).persist()
     kernel_out = run_kernel(feed, initial_amount)
     _, events = split_kernel_output(kernel_out)
     portfolio = build_portfolio(feed, events, initial_amount)

@@ -21,7 +21,7 @@ pandas parity notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from strat_backtest_spark.functions.windows import rolling_mean, ticker_window
 
@@ -63,78 +63,77 @@ def ma_cross_signals(
     )
 
 
-def ma_cross_signals_grid(bars: DataFrame, params: DataFrame) -> DataFrame:
+def ma_cross_signals_grid(bars: DataFrame, params) -> DataFrame:
     """MA-crossover signals for a whole parameter grid at once — the
     scalable replacement for the reference's per-state re-run
     (optimize.py:218-225).
 
-    Strategy: compute each ticker's close prefix-sum ONCE, broadcast
-    the (small) params table, and derive sma(n) for any n from
-    prefix-sum differences via two self-joins on row offsets:
+    Strategy: the parameter table is driver-built and tiny by
+    construction (a grid or an SA neighborhood), so bake it into the
+    PLAN instead of joining it as data:
 
-        sma_n(i) = (S(i) - S(i-n)) / n        valid when i >= n
+    1. one window pass per DISTINCT moving-average length n — all over
+       the same (ticker, date) sort, so Catalyst chains the WindowExecs
+       behind a SINGLE exchange on ticker;
+    2. per run_id, cross = sma_fast > sma_lagging and its lag — more
+       expressions over the same sort, still no extra shuffle;
+    3. explode one struct per run_id and keep only edge rows.
 
-    This avoids a per-parameter window pass: the bars table is scanned
-    once, and the joins are co-partitioned on (ticker, rn). With P
-    parameter points the output is P× the signal rows but the heavy
-    bars scan does not multiply.
+    The |bars|×|params| blow-up therefore never materializes: rows
+    multiply only AFTER the edge filter, and signal edges are sparse.
+    Compare the previous design (prefix-sum self-joins) which shuffled
+    the expanded table twice and recomputed the base window per join.
 
-    params: (run_id LONG, fast INT, lagging INT).
+    params: DataFrame or list of (run_id, fast, lagging) rows.
     """
+    if isinstance(params, DataFrame):
+        rows = [(r["run_id"], r["fast"], r["lagging"]) for r in params.collect()]
+    else:
+        rows = [(int(i), int(f), int(l)) for i, f, l in params]
     w = ticker_window()
-    base = bars.select(
-        "ticker",
-        "date",
-        "close",
-        F.row_number().over(w).alias("rn"),
-        F.sum("close").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("csum"),
+    lengths = sorted({f for _, f, _ in rows} | {l for _, _, l in rows})
+
+    df = bars.select(
+        "ticker", "date", "close",
+        *[rolling_mean("close", n, w).alias(f"__sma_{n}") for n in lengths],
     )
-    # prefix sums table used for the offset lookups (S(i-n)); S(0) = 0
-    psum = base.select("ticker", "rn", F.col("csum").alias("psum"))
-
-    g = base.crossJoin(F.broadcast(params))
-
-    def attach_sma(df: DataFrame, n_col: str, out: str) -> DataFrame:
-        # fully-renamed join keys: the prefix-sum table shares lineage
-        # with `df`, so positional Column references would be ambiguous
-        p = psum.select(
-            F.col("ticker").alias("__p_ticker"),
-            F.col("rn").alias("__p_rn"),
-            F.col("psum").alias(f"__p_{out}"),
+    crosses = [
+        F.coalesce(
+            F.col(f"__sma_{f}") > F.col(f"__sma_{l}"), F.lit(False)
+        ).alias(f"__cross_{rid}")
+        for rid, f, l in rows
+    ]
+    df = df.select("ticker", "date", "close", *crosses)
+    df = df.select(
+        "ticker", "date", "close",
+        *[F.col(f"__cross_{rid}") for rid, _, _ in rows],
+        *[F.lag(f"__cross_{rid}").over(w).alias(f"__prev_{rid}") for rid, _, _ in rows],
+    )
+    runs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(rid).cast("long").alias("run_id"),
+                    F.col(f"__cross_{rid}").alias("cross"),
+                    (
+                        F.col(f"__prev_{rid}").isNull()
+                        | (F.col(f"__cross_{rid}") != F.col(f"__prev_{rid}"))
+                    ).alias("changed"),
+                )
+                for rid, _, _ in rows
+            ]
         )
-        joined = df.join(
-            p,
-            (F.col("ticker") == F.col("__p_ticker"))
-            & (F.col("__p_rn") == F.col("rn") - F.col(n_col)),
-            "left",
-        ).drop("__p_ticker", "__p_rn")
-        lagged = F.when(F.col("rn") == F.col(n_col), F.lit(0.0)).otherwise(
-            F.col(f"__p_{out}")
-        )
-        return joined.withColumn(
-            out,
-            F.when(
-                F.col("rn") >= F.col(n_col),
-                (F.col("csum") - lagged) / F.col(n_col),
-            ),
-        ).drop(f"__p_{out}")
-
-    g = attach_sma(g, "fast", "sma_fast")
-    g = attach_sma(g, "lagging", "sma_lagging")
-
-    cross = F.coalesce(F.col("sma_fast") > F.col("sma_lagging"), F.lit(False))
-    g = g.select("ticker", "run_id", "date", "close", cross.alias("cross"))
-    wg = Window.partitionBy("ticker", "run_id").orderBy("date")
-    prev = F.lag("cross").over(wg)
-    edges = g.withColumn("changed", prev.isNull() | (F.col("cross") != prev)).filter(
-        "changed"
+    )
+    edges = (
+        df.select("ticker", "date", "close", runs.alias("r"))
+        .filter(F.col("r.changed"))
     )
     return edges.select(
         "ticker",
-        "run_id",
+        F.col("r.run_id").alias("run_id"),
         "date",
         "close",
-        F.when(F.col("cross"), F.lit("buy")).otherwise(F.lit("sell")).alias("action"),
+        F.when(F.col("r.cross"), F.lit("buy")).otherwise(F.lit("sell")).alias("action"),
     )
 
 

@@ -41,14 +41,28 @@ def query(name: str, oracle: Optional[str] = None):
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) parquet, surfaced as raw long
-        # nanos (see session.py nanosAsLong); the data is µs-aligned,
-        # so micros conversion is lossless.
-        df = df.withColumn(
+        # events.ts is TIMESTAMP(NANOS) parquet, which vanilla Spark
+        # refuses to read. nanosAsLong is runtime-settable, so set it
+        # here — the caller's session (driver harness included) need
+        # not be pre-configured. ts then arrives as raw long nanos;
+        # the data is µs-aligned, so micros conversion is lossless.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn(
             "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
         )
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in ("documents", "embeddings"):
+        # These tables carry heavy per-row compute (shingle/minhash/
+        # cosine). The test files are a single parquet row group, so
+        # the scan yields ONE split and the whole map stage runs on
+        # one core. Spread them across the cluster when under-split;
+        # at production scale the scan has >= parallelism splits and
+        # this is a no-op (no shuffle inserted).
+        n = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < n:
+            df = df.repartition(n)
     return df
 
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from strat_backtest_spark.functions.hashing import P, char_hash_sql, perm_params
+from strat_backtest_spark.functions.hashing import P, md5_hash_sql, perm_params
 from strat_backtest_spark.operators.dedup import (
     exact_dedup,
     lsh_candidate_pairs,
@@ -43,7 +43,7 @@ def _shingle_hashes_sql(n: int = 3) -> str:
     return (
         f"list_distinct(list_transform("
         f"CASE WHEN len(toks) >= {n} THEN range(1, len(toks) - {n - 2}) "
-        f"ELSE [] END, i -> {char_hash_sql(parts)}))"
+        f"ELSE [] END, i -> {md5_hash_sql(parts)}))"
     )
 
 
@@ -100,6 +100,7 @@ def q22_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
                ELSE        sig_6::VARCHAR || '_' || sig_7::VARCHAR
              END AS band_key
       FROM sigs, (SELECT unnest(range(4)) AS band) b
+      QUALIFY count(*) OVER (PARTITION BY band, band_key) <= 2000
     )
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
            round(len(list_filter(range(1, 9), i -> a.sig[i] = b.sig[i])) / 8.0, 6) AS est_jaccard
@@ -109,13 +110,14 @@ def q22_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q23_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding (4 bands × 2 rows) → near-dup candidate pairs with
-    signature-estimated Jaccard."""
+    signature-estimated Jaccard. Degenerate buckets beyond 2000 docs
+    are dropped on both engines (QUALIFY mirror in the oracle)."""
     sigs = minhash_signatures(_t(spark, sf_dir, "documents"), k=_MINHASH_K)
-    return lsh_candidate_pairs(sigs, k=_MINHASH_K, bands=4)
+    return lsh_candidate_pairs(sigs, k=_MINHASH_K, bands=4, max_bucket_size=2000)
 
 
 def _simhash_sql(bits: int = 32) -> str:
-    tok_hash = char_hash_sql("t")
+    tok_hash = md5_hash_sql("t")
     terms = " + ".join(
         f"CASE WHEN 2 * len(list_filter(h, x -> (x >> {j}) & 1 = 1)) > n "
         f"THEN {2 ** j}::BIGINT ELSE 0::BIGINT END"

@@ -51,6 +51,14 @@ def load_bars_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def write_bars_csv(bars: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S5 — CSV sink (reference README.md:85,152 saves per-ticker CSVs).
+    Spark-native analog: a header'd CSV directory partitioned by
+    ticker — each ticker's bars land in their own subdirectory, the
+    distributed equivalent of the reference's one-file-per-ticker dict."""
+    bars.write.mode(mode).option("header", True).partitionBy("ticker").csv(path)
+
+
 def write_bars_parquet(bars: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Engine-native sink: ticker-partitioned parquet.
 

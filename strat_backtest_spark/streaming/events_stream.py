@@ -22,6 +22,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Runtime-set so a vanilla session (e.g. the driver harness) can
+    # read the TIMESTAMP(NANOS) parquet; see plans/catalog.py:_t.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
     stream = (
         spark.readStream.schema(static.schema)

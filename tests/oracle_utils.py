@@ -77,7 +77,9 @@ def run_catalog(spark, sf_dir: str, names=None, verbose=True) -> list[dict]:
             continue
         try:
             if qd.oracle is None:
-                n = qd.fn(spark, sf_dir).count()
+                # collect, not count: the driver materializes VALUES, so a
+                # count() here would miss runtime errors Catalyst prunes away
+                n = len(qd.fn(spark, sf_dir).collect())
                 r = {"name": name, "rows": (n, None), "ok": n >= 0, "detail": "rows-only"}
             else:
                 r = compare(qd.fn(spark, sf_dir), con, qd.oracle, name)

@@ -49,10 +49,31 @@ def compute_metrics(
     if "sp500" not in portfolio.columns:
         portfolio = portfolio.withColumn("sp500", F.lit(None).cast("double"))
 
-    r_s = F.try_divide(F.col("net_worth"), F.lag("net_worth").over(w)) - 1
-    r_m = F.try_divide(F.col("sp500"), F.lag("sp500").over(w)) - 1
+    # pandas pct_change() forward-fills before differencing
+    # (fill_method='pad'), so a calendar-mismatch null row yields a 0.0
+    # return and the next real row differences against the filled value
+    # — replicated with last-ignorenulls running fills (own layer:
+    # window functions cannot nest).
+    # positional [0]/[-1] anchors (reference indexes the concat'd frame
+    # by position, so a null first/last value is kept, not skipped —
+    # min_by/max_by would silently pick the first NON-null).
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    filled = portfolio.select(
+        *keys,
+        "date",
+        "net_worth",
+        "sp500",
+        F.last("net_worth", ignorenulls=True).over(cum).alias("__nw_ff"),
+        F.last("sp500", ignorenulls=True).over(cum).alias("__sp_ff"),
+        F.first("net_worth").over(full).alias("__nw_first"),
+        F.last("net_worth").over(full).alias("__nw_last"),
+        F.first("sp500").over(full).alias("__sp_first"),
+        F.last("sp500").over(full).alias("__sp_last"),
+    )
+    r_s = F.try_divide(F.col("__nw_ff"), F.lag("__nw_ff").over(w)) - 1
+    r_m = F.try_divide(F.col("__sp_ff"), F.lag("__sp_ff").over(w)) - 1
 
-    prepped = portfolio.select(
+    prepped = filled.select(
         *keys,
         "date",
         "net_worth",
@@ -62,10 +83,13 @@ def compute_metrics(
             "drawdown"
         ),
         F.col("sp500"),
+        "__nw_first",
+        "__nw_last",
+        "__sp_first",
+        "__sp_last",
     )
 
     start_amt = F.lit(float(initial_amount))
-    end_amt = F.max_by("net_worth", "date")
     days = F.datediff(F.max("date"), F.min("date"))
     years = F.floor(days / 365)  # Q10: integer years
     mean_rs = F.avg("r_s")
@@ -80,8 +104,8 @@ def compute_metrics(
     port_agg = prepped.groupBy(*keys).agg(
         F.min("date").alias("start_time"),
         F.max("date").alias("end_time"),
-        end_amt.alias("end_amount"),
-        F.min_by("net_worth", "date").alias("first_net_worth"),
+        F.first("__nw_last").alias("end_amount"),
+        F.first("__nw_first").alias("first_net_worth"),
         (F.min("drawdown") * 100).alias("max_drawdown_pct"),
         (F.avg("drawdown") * 100).alias("avg_drawdown_pct"),
         mean_rs.alias("mean_r_s"),
@@ -91,8 +115,8 @@ def compute_metrics(
         F.stddev_samp("r_m").alias("std_r_m"),
         F.sum("__cov_term").alias("cov_num"),
         F.count(F.lit(1)).alias("n_rows"),
-        F.max_by("sp500", "date").alias("sp500_last"),
-        F.min_by("sp500", "date").alias("sp500_first"),
+        F.first("__sp_last").alias("sp500_last"),
+        F.first("__sp_first").alias("sp500_first"),
         years.alias("years"),
     )
 

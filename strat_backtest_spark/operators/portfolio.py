@@ -62,11 +62,15 @@ def attach_benchmark(
 ) -> DataFrame:
     """Attach the market-index column (reference: strats.py:592-600).
 
-    mode='positional' replicates quirk Q6 exactly: the benchmark series
-    is truncated to dates ≤ the portfolio's last date, then its last
-    len(portfolio) rows are zipped onto the portfolio BY POSITION —
-    both sides ranked from their series end and equi-joined on that
-    rank.
+    mode='positional' replicates quirk Q6: the benchmark series is
+    truncated to dates ≤ the portfolio's last date and its last
+    len(portfolio) ROWS are kept (a positional count), but the kept
+    rows then align onto the portfolio BY DATE with OUTER semantics —
+    the reference's ``pd.concat(..., axis=1)`` joins on the
+    DatetimeIndex, so benchmark trading days absent from the
+    portfolio calendar become extra rows with null portfolio columns
+    (and they DO feed the reference's row counts downstream, e.g.
+    beta's ÷-full-row-count covariance).
 
     mode='date' is the fix: a plain date equi-join (benchmark
     broadcast — it is one row per trading day).
@@ -74,18 +78,14 @@ def attach_benchmark(
     if mode == "date":
         return portfolio.join(F.broadcast(benchmark), "date", "left")
 
-    wp = Window.partitionBy("ticker", "run_id").orderBy(F.col("date").desc())
-    p = portfolio.withColumn("__rfe", F.row_number().over(wp))
-
-    last_dates = portfolio.groupBy("ticker", "run_id").agg(
-        F.max("date").alias("__last_date")
+    stats = portfolio.groupBy("ticker", "run_id").agg(
+        F.max("date").alias("__last_date"), F.count(F.lit(1)).alias("__n")
     )
-    b = benchmark.join(F.broadcast(last_dates), F.col("date") <= F.col("__last_date"))
+    b = benchmark.join(F.broadcast(stats), F.col("date") <= F.col("__last_date"))
     wb = Window.partitionBy("ticker", "run_id").orderBy(F.col("date").desc())
-    b = b.withColumn("__rfe", F.row_number().over(wb)).select(
-        F.col("ticker"),
-        F.col("run_id"),
-        F.col("__rfe"),
-        F.col("sp500"),
+    b = (
+        b.withColumn("__rfe", F.row_number().over(wb))
+        .filter(F.col("__rfe") <= F.col("__n"))
+        .select("ticker", "run_id", "date", "sp500")
     )
-    return p.join(b, ["ticker", "run_id", "__rfe"], "left").drop("__rfe", "__last_date")
+    return portfolio.join(b, ["ticker", "run_id", "date"], "full_outer")

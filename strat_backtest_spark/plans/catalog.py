@@ -547,3 +547,4 @@ def q20_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the decorator and helpers above are defined)
 from strat_backtest_spark.plans import catalog_pipeline  # noqa: E402,F401
 from strat_backtest_spark.plans import catalog_backtest  # noqa: E402,F401
+from strat_backtest_spark.plans import common_stock  # noqa: E402,F401

@@ -32,22 +32,50 @@ from strat_backtest_spark.plans.catalog import _t, query
 )
 def q32_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of: each event matched to the user's most recent order at or
-    before the event time. Implemented as equi-join on the entity key +
-    time filter + row_number — the shuffle is on user_id only; at
-    scale, range-bucketing the time axis bounds the join fan-out."""
+    before the event time.
+
+    LINEAR plan — union both streams, one shuffle+sort per user,
+    forward-fill the order key with last(ignorenulls):
+
+        orders(user, t, key) ∪ events(user, t, event) → sort by
+        (t, kind) per user → last(key) over unbounded-preceding frame
+
+    The round-1 plan (equi-join on user + time predicate + row_number)
+    fanned every event out to ALL prior orders of its user before
+    ranking — per-user cost grew as events × orders; this one is
+    O(n log n) in the per-user row count with exactly one wide stage.
+    kind orders orders before events at equal timestamps (inclusive
+    as-of), and equal-date orders sort by key so the fill takes the
+    max key, matching the oracle's DESC/DESC ranking."""
     ev = _t(spark, sf_dir, "events")
     o = _t(spark, sf_dir, "orders")
-    joined = ev.join(
-        o, (ev.user_id == o.o_custkey) & (o.o_orderdate <= ev.ts)
+    okey_t = o.schema["o_orderkey"].dataType
+    eid_t = ev.schema["event_id"].dataType
+    o_rows = o.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp").alias("t"),
+        F.lit(0).alias("kind"),
+        F.col("o_orderkey").alias("okey"),
+        F.lit(None).cast(eid_t).alias("event_id"),
     )
-    w = Window.partitionBy("event_id").orderBy(
-        F.desc("o_orderdate"), F.desc("o_orderkey")
+    e_rows = ev.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast(okey_t).alias("okey"),
+        "event_id",
     )
-    return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("event_id", F.col("o_orderkey").alias("last_orderkey"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "kind", "okey", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
+    filled = o_rows.unionByName(e_rows).withColumn(
+        "last_orderkey", F.last("okey", ignorenulls=True).over(w)
+    )
+    return filled.filter(
+        (F.col("kind") == 1) & F.col("last_orderkey").isNotNull()
+    ).select("event_id", "last_orderkey")
 
 
 # ===========================================================================
@@ -136,9 +164,12 @@ def q35_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(w)
+    # microsecond-exact gap (cast('long') would truncate to whole
+    # seconds and could split sessions differently from the oracle's
+    # INTERVAL comparison on sub-second timestamps)
     new_sess = F.when(
         prev_ts.isNull()
-        | (F.col("ts").cast("long") - prev_ts.cast("long") > 30 * 60),
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts) > 30 * 60 * 1_000_000),
         1,
     ).otherwise(0)
     cum = w.rowsBetween(Window.unboundedPreceding, 0)

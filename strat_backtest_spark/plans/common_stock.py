@@ -1,0 +1,209 @@
+"""The reference's Reddit→tickers→optimize pipeline (SURVEY §2.1 S7,
+§2.10 O5; reference ``common_stock.py:106-195`` ``Reddit_Stocks`` and
+``optimize.py:67-99`` ``_find_common_stocks``), composed Spark-first.
+
+The reference flow: fetch posts → regex-extract ticker-ish tokens →
+keep only tokens in the cleaned NASDAQ symbol dictionary (minus a
+blacklist) → Counter.most_common(n) → serially grid-search each
+top stock. Here every stage is a DataFrame transform over a
+``documents`` table (the fetch is an adapter concern, like yahoo.py),
+and the final sweep evaluates ALL top tickers × ALL grid points as ONE
+job via ``grid_search``'s multi-ticker parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from strat_backtest_spark.functions.text import extract_ticker_tokens
+from strat_backtest_spark.sources.symbols import clean_symbols
+
+# Reference blacklist (common_stock.py:176-187): finance jargon that
+# collides with real ticker symbols.
+TICKER_BLACKLIST = [
+    "dcf", "dtc", "usd", "dd", "cpi", "fomo", "sec", "ipo", "esg", "tv",
+]
+
+
+def ticker_mentions(
+    documents: DataFrame,
+    symbols: DataFrame,
+    stopwords: DataFrame,
+    n: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-n dictionary-validated ticker mentions across a document
+    corpus: clean text → regex token extraction → broadcast semi-join
+    against the cleaned symbol dictionary → blacklist anti-filter →
+    count → deterministic top-n. Replaces the reference's driver-side
+    Counter with one shuffle on (symbol)."""
+    toks = documents.select(
+        F.explode(extract_ticker_tokens(F.col(text_col))).alias("raw")
+    ).select(F.lower("raw").alias("symbol"))
+    toks = toks.filter((F.col("symbol") != "") & (F.length("symbol") > 1))
+    valid = clean_symbols(symbols, stopwords).filter(
+        ~F.col("symbol").isin(*TICKER_BLACKLIST)
+    )
+    return (
+        toks.join(F.broadcast(valid.select("symbol")), "symbol", "left_semi")
+        .groupBy("symbol")
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+        .orderBy(F.desc("n_mentions"), F.asc("symbol"))
+        .limit(n)
+    )
+
+
+def common_stock_sweep(
+    bars: DataFrame,
+    mentions: DataFrame,
+    initial_amount: float,
+    fast_range=(10, 40, 10),
+    lagging_range=(50, 150, 50),
+) -> DataFrame:
+    """O5 — optimize the strategy on the most-talked-about stocks:
+    restrict bars to the mentioned tickers (broadcast semi-join), then
+    ONE grid-search job over every (ticker, grid point). The reference
+    loops stocks serially, one full re-optimization each
+    (optimize.py:84-98); here tickers × points fill the cluster."""
+    from strat_backtest_spark.operators.optimize import grid_search
+
+    sel = bars.join(
+        F.broadcast(mentions.select(F.col("symbol").alias("ticker"))),
+        "ticker",
+        "left_semi",
+    )
+    return grid_search(sel, initial_amount, fast_range, lagging_range)
+
+
+# ===========================================================================
+# catalog entries
+# ===========================================================================
+
+from strat_backtest_spark.plans.catalog import _t, query  # noqa: E402
+
+# Inline symbol-directory fixture: the harness ships no symbols table,
+# so the dictionary is a literal — mirrored as VALUES in the oracle.
+# Includes dot/short/stopword/blacklist entries so the cleaning chain
+# (P6/P7/P8) is exercised, not just the happy path.
+_SYMBOLS_FIXTURE = [
+    ("join", "join industries"), ("hash", "hash corp"), ("scan", "scan inc"),
+    ("data", "data systems"), ("key", "key bancorp"), ("fast", "fastenal"),
+    ("sort", "sort holdings"), ("agg", "agg partners"), ("row", "row labs"),
+    ("big", "big lots"), ("the", "the co"),            # stopword → dropped
+    ("tv", "tv corp"),                                  # blacklist → dropped
+    ("a", "short symbol"),                              # len 1 → dropped
+    ("brk.a", "berkshire a"),                           # dot → dropped
+]
+_STOPWORDS_FIXTURE = ["the", "a", "an", "and", "or"]
+
+
+def _fixture_symbol_tables(spark: SparkSession):
+    symbols = spark.createDataFrame(
+        _SYMBOLS_FIXTURE, "symbol string, security_name string"
+    )
+    stopwords = spark.createDataFrame(
+        [(w,) for w in _STOPWORDS_FIXTURE], "word string"
+    )
+    return symbols, stopwords
+
+
+def _symbols_values_sql() -> str:
+    rows = ", ".join(f"('{s}')" for s, _ in _SYMBOLS_FIXTURE)
+    stop = ", ".join(f"'{w}'" for w in _STOPWORDS_FIXTURE)
+    black = ", ".join(f"'{b}'" for b in TICKER_BLACKLIST)
+    return f"""
+    valid AS (
+      SELECT symbol FROM (VALUES {rows}) AS t(symbol)
+      WHERE symbol NOT SIMILAR TO '.*[.$].*' AND len(symbol) > 1
+        AND symbol NOT IN ({stop}) AND symbol NOT IN ({black})
+    )
+    """
+
+
+@query(
+    "q44_common_stock_mentions",
+    oracle=r"""
+    WITH toks AS (
+      SELECT lower(unnest(list_transform(
+               regexp_extract_all(
+                 regexp_replace(upper(text),
+                   '[\U0001F600-\U0001F64F\U0001F300-\U0001F5FF\U0001F680-\U0001F6FF\U0001F1E0-\U0001F1FF]+|(https?:\/\/)?([\da-z\.-]+)\.([a-z\.]{2,7})([\/\w#?=%+&;.-]*)',
+                   '', 'g'),
+                 '([A-Z]{2,5})|\$([A-z]+)', 1),
+               t -> coalesce(nullif(t, ''), NULL)))) AS symbol
+      FROM documents
+    ),
+    """
+    + _symbols_values_sql()
+    + """
+    SELECT symbol, count(*) AS n_mentions
+    FROM toks WHERE symbol IS NOT NULL AND len(symbol) > 1
+      AND symbol IN (SELECT symbol FROM valid)
+    GROUP BY symbol
+    ORDER BY n_mentions DESC, symbol ASC
+    LIMIT 5
+    """,
+)
+def q44_common_stock_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7+P6/P7/P8+T1 composed: document corpus → ticker-token regex →
+    cleaned-dictionary semi-join → blacklist → top-5 mentions, full
+    SQL oracle (dictionary inlined as VALUES on both engines).
+
+    Text is uppercased first (as in q37): the synthetic corpus is
+    lowercase, while the reference's capital-token regex assumes
+    natural capitalized text."""
+    symbols, stopwords = _fixture_symbol_tables(spark)
+    docs = _t(spark, sf_dir, "documents").withColumn("text", F.upper("text"))
+    return ticker_mentions(docs, symbols, stopwords, n=5)
+
+
+@query("q45_common_stock_sweep")  # kernel: rows-only check
+def q45_common_stock_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 end-to-end on synthetic data: top-3 mentioned symbols are
+    rank-mapped onto the synthetic bar tickers (the corpus and the
+    bars are unrelated test tables — the bridge is deterministic),
+    then one grid job finds the best (fast, lagging) per ticker."""
+    from pyspark.sql import Window
+    from strat_backtest_spark.plans.catalog_backtest import _bars
+
+    symbols, stopwords = _fixture_symbol_tables(spark)
+    docs = _t(spark, sf_dir, "documents").withColumn("text", F.upper("text"))
+    top = ticker_mentions(docs, symbols, stopwords, n=3)
+    rank = (
+        F.row_number().over(
+            Window.orderBy(F.desc("n_mentions"), F.asc("symbol"))
+        )
+        - 1
+    )
+    bridge = top.select((rank).cast("string").alias("ticker"),
+                        F.col("symbol").alias("mentioned_symbol"))
+    bars = _bars(spark, sf_dir)
+    sel = bars.join(F.broadcast(bridge.select("ticker")), "ticker", "left_semi")
+    from strat_backtest_spark.operators.optimize import grid_search
+
+    best = grid_search(sel, 10_000.0, fast_range=(3, 7, 2), lagging_range=(8, 14, 5))
+    return best.join(F.broadcast(bridge), "ticker").select(
+        "ticker", "mentioned_symbol", "fast", "lagging", "net_worth"
+    )
+
+
+@query("q46_simulated_annealing")  # kernel + stochastic: rows-only check
+def q46_simulated_annealing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simulated annealing (reference optimize.py:138-207) exercised
+    through the gate: a short seeded chain on one synthetic ticker,
+    returning the accepted-state history as rows."""
+    from strat_backtest_spark.operators.optimize import simulated_annealing
+    from strat_backtest_spark.plans.catalog_backtest import _bars
+
+    bars = _bars(spark, sf_dir).filter(F.col("ticker") == "0")
+    out = simulated_annealing(
+        bars, 10_000.0, init_state=(3, 8), bounds=((2, 10), (5, 20)),
+        iterations=3, neighbors_per_step=4, seed=42,
+    )
+    rows = [
+        (i, int(s[0]), int(s[1]), float(c))
+        for i, (s, c) in enumerate(out["history"])
+    ]
+    return spark.createDataFrame(
+        rows, "step int, fast int, lagging int, net_worth double"
+    )

@@ -71,6 +71,10 @@ def write_bars_parquet(bars: DataFrame, path: str, mode: str = "overwrite") -> N
 def load_testdata(spark: SparkSession, sf_dir: str, *tables: str) -> dict[str, DataFrame]:
     """Load the harness's synthetic tables (TESTDATA.md)."""
     names = tables or TESTDATA_TABLES
+    if "events" in names:
+        # events.ts is TIMESTAMP(NANOS) parquet; runtime-set so any
+        # caller session (incl. an unconfigured one) can read it.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in names}
 
 

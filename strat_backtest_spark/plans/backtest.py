@@ -98,7 +98,9 @@ class Backtest:
         if self.ticker is not None:
             bars = bars.filter(F.col("ticker") == self.ticker.lower())
 
-        feed = self.strategy.signal_feed(bars)
+        # feed is consumed twice (kernel input + portfolio join): persist
+        # so the bars scan + signal windows run once, same as the grid path
+        feed = self.strategy.signal_feed(bars).persist()
         kernel_out = run_kernel(
             feed,
             self.initial_amount,

@@ -34,7 +34,13 @@ def get_spark(app_name: str = "strat_backtest_spark", cpus: str | int | None = N
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # 16g, NOT bigger: the interpreted higher-order-function paths
+        # (minhash/shingles) allocate heavily, and a ≥32g heap shifts
+        # G1 into a regime that ran them 25-40× slower on this JVM
+        # (measured: q22 sf0.1 = 1.7s @16g vs 50.7s @48g). 16g is
+        # ample for local bench scales; real clusters size executors,
+        # not the driver, anyway.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         # Large parquet scans: bigger row-group-aligned splits amortize

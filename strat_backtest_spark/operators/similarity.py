@@ -134,3 +134,56 @@ def ann_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 6,
+    dim: int = 64,
+    max_bucket: int = 2_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cos_sim).
+
+    The scale shape mirrors MinHash-LSH dedup (operators/dedup.py):
+    candidate generation is a self-join on the LSH bucket key — never
+    all-pairs — and the exact cosine check runs only inside buckets.
+    Recall is bounded by the bucketing (vectors in different buckets
+    are never compared); tune ``n_planes`` down for recall, up for
+    speed, exactly the LSH band trade-off.
+
+    ``max_bucket`` drops degenerate buckets (e.g. the all-zeros bucket
+    a constant embedding column would create) before pairing — at
+    100 TB one hot bucket is a quadratic bomb; the cap turns it into a
+    documented recall loss instead of a job-killer, same policy as
+    ``lsh_candidate_pairs``.
+    """
+    b = hyperplane_lsh_buckets(df, n_planes, dim, id_col, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), "bucket"
+    )
+    sizes = b.groupBy("bucket").agg(F.count("*").alias("__bsz"))
+    b = b.join(F.broadcast(sizes.filter(F.col("__bsz") <= max_bucket)), "bucket").drop(
+        "__bsz"
+    )
+    left = b.select(
+        F.col("bucket"), F.col("id").alias("id_a"), F.col("vec").alias("vec_a")
+    )
+    right = b.select(
+        F.col("bucket"), F.col("id").alias("id_b"), F.col("vec").alias("vec_b")
+    )
+    pairs = (
+        left.join(right, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    # buckets overlap only when n_planes hashes collide per-plane — a
+    # pair appears once per shared bucket key, which is exactly once
+    # here (single bucket id, not banded); no dedup needed.
+    return pairs

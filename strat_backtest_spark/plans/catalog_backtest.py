@@ -412,3 +412,30 @@ def q43_stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from strat_backtest_spark.streaming.events_stream import windowed_event_counts
 
     return windowed_event_counts(spark, sf_dir)
+
+
+# The streaming variants answer the SAME questions as their batch
+# counterparts on the finite replay, so they share oracles: the gate
+# then checks streaming-state/micro-batch plumbing end-to-end against
+# exact SQL, not just row counts.
+from strat_backtest_spark.plans.catalog import CATALOG as _CATALOG  # noqa: E402
+
+
+@query("q48_stream_sessionize", oracle=_CATALOG["q35_sessionization"].oracle)
+def q48_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator: applyInPandasWithState
+    gap-sessionizer (30-min, per-user state = 3 longs), update mode.
+    Equals batch q35 on the finite replay — checked by q35's oracle."""
+    from strat_backtest_spark.streaming.events_stream import sessionize_stream
+
+    return sessionize_stream(spark, sf_dir)
+
+
+@query("q49_stream_signal_edges", oracle=_CATALOG["q39_ma_cross_signals"].oracle)
+def q49_stream_signal_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch bridge: the batch signal operators replayed over
+    the events stream; exact vs q39's oracle when a micro-batch holds
+    full per-key history (availableNow replay)."""
+    from strat_backtest_spark.streaming.events_stream import streaming_signal_edges
+
+    return streaming_signal_edges(spark, sf_dir, fast=3, lagging=8)

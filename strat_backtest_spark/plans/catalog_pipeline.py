@@ -345,3 +345,26 @@ def q31_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scale path (bucket becomes the partition key at 100 TB)."""
     emb = _t(spark, sf_dir, "embeddings")
     return ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@query(
+    "q47_embedding_neardup",
+    oracle=f"""
+    WITH cb AS (SELECT a.vec_id, a.embedding, {_bucket_sql('a')} AS bucket FROM embeddings a)
+    SELECT id_a, id_b, cos_sim FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round({_DOT} / ({_NORM_A} * {_NORM_B}), 6) AS cos_sim
+      FROM cb a JOIN cb b USING (bucket)
+      WHERE a.vec_id < b.vec_id
+    ) WHERE cos_sim >= 0.18
+    """,
+)
+def q47_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via hyperplane-LSH bucketed
+    self-join — the fifth dedup family (exact / MinHash-LSH / SimHash /
+    n-gram Jaccard / embedding-cosine). Candidates come only from
+    shared LSH buckets; exact cosine filters inside buckets."""
+    from strat_backtest_spark.operators.similarity import embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, threshold=0.18)

@@ -80,3 +80,81 @@ def test_yfinance_missing_raises_helpfully(spark):
 
     with pytest.raises(ImportError, match="fetcher"):
         download_bars(spark, "AAPL")  # no fetcher injected, yfinance absent
+
+
+def test_nasdaq_symbols_parse(spark, tmp_path):
+    from strat_backtest_spark.sources.symbols import load_symbols, load_stopwords, clean_symbols
+
+    # nasdaqlisted.txt format: pipe-delimited with a header row
+    f = tmp_path / "nasdaqlisted.txt"
+    f.write_text(
+        "Symbol|Security Name|Market Category|Test Issue\n"
+        "AAPL|Apple Inc. - Common Stock|Q|N\n"
+        "GOOG|Alphabet Inc. - Class C|Q|N\n"
+        "AAC.U|Ares Acquisition - Unit|Q|N\n"
+        "Z|Zillow Group - Class C|Q|N\n"
+        "FOR|Forestar Group Inc.|Q|N\n"
+    )
+    sw = tmp_path / "words.txt"
+    sw.write_text("for\nthe\nextremely\n")
+
+    syms = load_symbols(spark, str(f))
+    assert syms.columns == ["symbol", "security_name"]
+    assert syms.count() == 5
+
+    cleaned = clean_symbols(syms, load_stopwords(spark, str(sw)))
+    got = sorted(r["symbol"] for r in cleaned.collect())
+    # AAC.U dropped (dot), Z dropped (len 1), FOR dropped (stopword)
+    assert got == ["aapl", "goog"]
+
+
+def test_reddit_config_precedence(spark, tmp_path):
+    from strat_backtest_spark.sources.config import load_reddit_config
+
+    # 1. parameters only
+    c = load_reddit_config(path=str(tmp_path / "missing.ini"), app_id="p1", secret="p2", user_agent="p3")
+    assert (c.app_id, c.secret, c.user_agent) == ("p1", "p2", "p3")
+    assert c.complete
+
+    # 2. spark.conf overrides parameters
+    spark.conf.set("spark.strat_backtest.reddit.app_id", "s1")
+    try:
+        c = load_reddit_config(path=str(tmp_path / "missing.ini"), spark=spark, app_id="p1")
+        assert c.app_id == "s1"
+    finally:
+        spark.conf.unset("spark.strat_backtest.reddit.app_id")
+
+    # 3. ini file beats everything (reference: CONFIG FAVORED OVER PARAMETERS)
+    ini = tmp_path / "config.ini"
+    ini.write_text("[REDDIT]\nAPI_KEY = i1\nSECRET = i2\nUSER_AGENT = i3\n")
+    c = load_reddit_config(path=str(ini), app_id="p1", secret="p2", user_agent="p3")
+    assert (c.app_id, c.secret, c.user_agent) == ("i1", "i2", "i3")
+
+    # 4. nothing -> incomplete, no crash
+    c = load_reddit_config(path=str(tmp_path / "missing.ini"))
+    assert not c.complete
+
+
+def test_plot_sink_collects_then_gates_on_matplotlib(spark):
+    from strat_backtest_spark.sinks.plot import plot_series, PlotUnavailableError, _collect_series
+
+    pdf_src = pd.DataFrame(
+        {"date": pd.date_range("2021-01-01", periods=50), "net_worth": np.linspace(1e4, 2e4, 50)}
+    )
+    df = spark.createDataFrame(pdf_src)
+
+    # the reduce + hand-off path is real
+    pdf = _collect_series(df, "date", ["net_worth"], max_rows=100)
+    assert list(pdf.columns) == ["net_worth"] and len(pdf) == 50
+    assert pdf.index.is_monotonic_increasing
+
+    # the render step is honestly gated (no matplotlib in container)
+    try:
+        import matplotlib  # noqa: F401
+
+        has_mpl = True
+    except ImportError:
+        has_mpl = False
+    if not has_mpl:
+        with pytest.raises(PlotUnavailableError, match="matplotlib"):
+            plot_series(df, x="date", ys=["net_worth"])

@@ -367,6 +367,95 @@ def _simulate_group(
     return out[[f.name for f in KERNEL_OUT_SCHEMA.fields]]
 
 
+class _KernelOutAcc:
+    """Column-list accumulator for kernel output rows.
+
+    A grid sweep makes (tickers × params) groups — tens of thousands of
+    SMALL groups. Building two pandas frames + a concat per group (the
+    naive applyInPandas shape) costs ~1 ms/group of pure pandas
+    overhead, which dominates the sweep. Appending Python scalars to
+    lists and constructing ONE frame per Arrow flush amortizes that
+    overhead across every group in the batch."""
+
+    _NAMES = [f.name for f in KERNEL_OUT_SCHEMA.fields]
+
+    def __init__(self) -> None:
+        self.cols: dict[str, list] = {n: [] for n in self._NAMES}
+        self.n = 0
+
+    def add_order(self, ticker, run_id, o: "_KOrder") -> None:
+        c = self.cols
+        c["ticker"].append(ticker)
+        c["run_id"].append(run_id)
+        c["row_type"].append("order")
+        c["order_id"].append(o.oid)
+        c["num_shares"].append(o.num_shares)
+        c["start_time"].append(o.start_time)
+        c["start_amount"].append(o.start_amount)
+        c["filled"].append(o.filled)
+        c["end_time"].append(o.end_time)
+        c["end_amount"].append(o.end_amount)
+        c["profit"].append(o.profit)
+        c["stop_loss"].append(o.stop_loss)
+        c["date"].append(None)
+        c["buy_shares"].append(None)
+        c["sell_shares"].append(None)
+        c["shares_owned"].append(None)
+        self.n += 1
+
+    def add_event(self, ticker, run_id, date, buy_shares, sell_shares, shares_owned) -> None:
+        c = self.cols
+        c["ticker"].append(ticker)
+        c["run_id"].append(run_id)
+        c["row_type"].append("event")
+        for name in (
+            "order_id", "num_shares", "start_time", "start_amount",
+            "filled", "end_time", "end_amount", "profit", "stop_loss",
+        ):
+            c[name].append(None)
+        c["date"].append(date)
+        c["buy_shares"].append(buy_shares)
+        c["sell_shares"].append(sell_shares)
+        c["shares_owned"].append(shares_owned)
+        self.n += 1
+
+    def flush(self) -> pd.DataFrame:
+        # object columns of python scalars/None: Arrow casts directly
+        # against KERNEL_OUT_SCHEMA; no NaN-in-date normalization needed
+        out = pd.DataFrame(
+            {n: pd.Series(self.cols[n], dtype=object) for n in self._NAMES}
+        )
+        self.__init__()
+        return out
+
+
+def _run_one_group(
+    acc: _KernelOutAcc, ticker, run_id, pdf: pd.DataFrame,
+    driver, initial_amount: float, params: dict, parity: bool,
+) -> None:
+    """Simulate one (ticker, run_id) group into the accumulator.
+    ``pdf`` must already be date-sorted (the feed sort guarantees it)."""
+    eng = TradingEngine(
+        pdf["date"].to_numpy(), pdf["close"].to_numpy(), initial_amount, parity=parity
+    )
+    driver(eng, pdf, params)
+    for o in eng.book.completed:
+        acc.add_order(ticker, run_id, o)
+    for o in eng.book.open_orders:
+        acc.add_order(ticker, run_id, o)
+    buy_orders, sell_orders, owned = eng.buy_orders, eng.sell_orders, eng.book.shares_owned
+    for d in sorted(set(buy_orders) | set(sell_orders) | set(owned)):
+        # buy_orders holds order objects: read num_shares NOW so the
+        # reference's post-hoc mutation (Q4) is reflected, matching
+        # `buy * close` evaluated after the sim (strats.py:570).
+        b = buy_orders.get(d)
+        acc.add_event(
+            ticker, run_id, d,
+            b.num_shares if b is not None else None,
+            sell_orders.get(d), owned.get(d),
+        )
+
+
 def run_kernel(
     feed: DataFrame,
     initial_amount: float,
@@ -381,16 +470,69 @@ def run_kernel(
     and path-dependent drivers need the full series; Catalyst prunes
     the unused columns from the scan).
 
+    Plan shape: repartition on (ticker, run_id) + sortWithinPartitions
+    + ``mapInPandas`` with a batch-spanning group walker — NOT
+    ``groupBy().applyInPandas``. Both shuffle once on the same key;
+    the difference is Python-side: mapInPandas lets one Python call
+    process every group in an Arrow batch (list-append output,
+    one frame per flush), where applyInPandas pays per-group pandas
+    frame construction — ~1 ms × (tickers × grid points), the
+    dominant cost of a parameter sweep.
+
     Returns the tagged kernel output (KERNEL_OUT_SCHEMA); split with
     :func:`split_kernel_output`.
     """
     driver = DRIVERS[strategy]
     params = params or {}
 
-    def fn(key, pdf):
-        return _simulate_group(key, pdf, driver, initial_amount, params, parity)
+    srt = (
+        feed.select("ticker", "run_id", "date", "close", "action")
+        .repartition("ticker", "run_id")
+        .sortWithinPartitions("ticker", "run_id", "date")
+    )
 
-    return feed.groupBy("ticker", "run_id").applyInPandas(fn, KERNEL_OUT_SCHEMA)
+    def walk(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        acc = _KernelOutAcc()
+        carry: list[pd.DataFrame] = []  # open group's segments (may span batches)
+        carry_key = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            t = pdf["ticker"].to_numpy()
+            r = pdf["run_id"].to_numpy()
+            change = np.flatnonzero((t[1:] != t[:-1]) | (r[1:] != r[:-1])) + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [len(pdf)]))
+            for s, e in zip(starts, ends):
+                key = (t[s], r[s])
+                seg = pdf.iloc[s:e]
+                if carry_key is not None and carry_key != key:
+                    g = carry[0] if len(carry) == 1 else pd.concat(carry)
+                    _run_one_group(acc, carry_key[0], carry_key[1], g,
+                                   driver, initial_amount, params, parity)
+                    carry, carry_key = [], None
+                if e < len(pdf):  # complete group inside this batch
+                    if carry:
+                        carry.append(seg)
+                        g = pd.concat(carry)
+                        carry, carry_key = [], None
+                    else:
+                        g = seg
+                    _run_one_group(acc, key[0], key[1], g,
+                                   driver, initial_amount, params, parity)
+                else:  # batch-final segment: may continue in next batch
+                    carry.append(seg)
+                    carry_key = key
+            if acc.n >= 20_000:
+                yield acc.flush()
+        if carry_key is not None:
+            g = carry[0] if len(carry) == 1 else pd.concat(carry)
+            _run_one_group(acc, carry_key[0], carry_key[1], g,
+                           driver, initial_amount, params, parity)
+        if acc.n:
+            yield acc.flush()
+
+    return srt.mapInPandas(walk, KERNEL_OUT_SCHEMA)
 
 
 def split_kernel_output(kernel_out: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -31,6 +31,7 @@ HEADLINE = [
     "q22_minhash_signatures",   # minhash map-only
     "q23_minhash_lsh_pairs",    # LSH banding + bucket self-join
     "q30_cosine_topk",          # brute-force similarity
+    "q47_embedding_neardup",    # LSH-bucketed cosine near-dup
     "q32_asof_join",            # as-of join
     "q35_sessionization",       # lag + running sum + agg
     "q36_token_topk",           # explode + count + top-k

@@ -439,3 +439,38 @@ def q49_stream_signal_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from strat_backtest_spark.streaming.events_stream import streaming_signal_edges
 
     return streaming_signal_edges(spark, sf_dir, fast=3, lagging=8)
+
+
+@query(
+    "q50_multimodal_frames",
+    oracle="""
+    SELECT doc_id, frame_index, 224 AS width, 224 AS height
+    FROM (
+      SELECT doc_id,
+             unnest(range(0, octet_length(encode(text)) % 32 + 1, 4)) AS frame_index
+      FROM documents
+    )
+    """,
+)
+def q50_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal module end-to-end: binary payload + typed
+    metadata (attach_media), resize as a metadata rewrite (payload
+    untouched), then frame sampling as an index explode — every 4th
+    frame. Payload bytes never fan out; only index rows do."""
+    from strat_backtest_spark.operators.multimodal import (
+        attach_media,
+        resize_meta,
+        sample_frames,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    media = resize_meta(attach_media(docs, "payload", "video"), 224, 224)
+    frames = sample_frames(media, every_n=4)
+    return frames.select(
+        "doc_id",
+        "frame_index",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )

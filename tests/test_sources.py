@@ -158,3 +158,63 @@ def test_plot_sink_collects_then_gates_on_matplotlib(spark):
     if not has_mpl:
         with pytest.raises(PlotUnavailableError, match="matplotlib"):
             plot_series(df, x="date", ys=["net_worth"])
+
+
+def test_reddit_json_adapter_end_to_end(spark, tmp_path):
+    """Raw praw/REST JSON -> distributed parse -> documents frame ->
+    the common-stock ticker pipeline (S7 end-to-end, offline)."""
+    import json
+
+    from strat_backtest_spark.sources.reddit import (
+        posts_from_json,
+        comments_from_envelope,
+        reddit_documents,
+    )
+    from strat_backtest_spark.plans.common_stock import ticker_mentions
+
+    posts_file = tmp_path / "posts.jsonl"
+    posts_file.write_text(
+        "\n".join(
+            json.dumps(p)
+            for p in [
+                {"subreddit": "wallstreetbets", "post_id": "p1",
+                 "title": "AAPL to the moon \U0001F680", "selftext": "buying $AAPL and GOOG"},
+                {"subreddit": "stocks", "post_id": "p2",
+                 "title": "thoughts on GOOG?", "selftext": ""},
+            ]
+        )
+    )
+    envelope = {
+        "data": {"children": [
+            {"data": {"body": "AAPL yes"}},
+            {"data": {"no_body_key": 1}},
+            {"data": {"body": "also GOOG and AAPL"}},
+        ]}
+    }
+    comments_raw = spark.createDataFrame(
+        [("p1", json.dumps(envelope)), ("p2", None)],
+        "post_id string, comments_json string",
+    )
+
+    posts = posts_from_json(spark, str(posts_file))
+    assert posts.count() == 2
+
+    comments = comments_from_envelope(comments_raw)
+    got = {(r["post_id"], r["comment_idx"]): r["body"] for r in comments.collect()}
+    # missing 'body' key -> '' (reference parity); null envelope -> one null-idx row
+    assert got[("p1", 1)] == ""
+    assert got[("p1", 2)] == "also GOOG and AAPL"
+    assert ("p2", None) in got
+
+    docs = reddit_documents(posts, comments)
+    assert docs.columns == ["subreddit", "post_id", "source", "text"]
+    assert docs.filter("source = 'comment'").count() == 3
+
+    symbols = spark.createDataFrame(
+        [("aapl", "apple inc."), ("goog", "alphabet inc."), ("the", "fake co")],
+        "symbol string, security_name string",
+    )
+    stopwords = spark.createDataFrame([("the",)], "word string")
+    top = ticker_mentions(docs, symbols, stopwords, n=5)
+    counts = {r["symbol"]: r["n_mentions"] for r in top.collect()}
+    assert counts == {"aapl": 4, "goog": 3}

@@ -187,3 +187,126 @@ def embedding_neardup_pairs(
     # pair appears once per shared bucket key, which is exactly once
     # here (single bucket id, not banded); no dedup needed.
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the partition-pruning scale path
+# ---------------------------------------------------------------------------
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "centroid_id",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (L2², deterministic
+    tiebreak on centroid id) — the IVF coarse quantizer as a map-only
+    projection. ``centroids`` is a small driver-side list (the IVF
+    codebook is KB-scale even for thousands of lists), baked into the
+    plan as literals: no join, no shuffle, broadcast-free.
+
+    At 100 TB the corpus is written ``partitionBy(centroid_id)``; a
+    query then scans only its ``nprobe`` partitions — partition
+    pruning does the index lookup."""
+    v = F.col(vec_col)
+    cands = []
+    for cid, cvec in centroids:
+        c = F.array(*[F.lit(float(x)) for x in cvec])
+        d = F.aggregate(
+            F.zip_with(v, c, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        # round before compare: both engines agree at 9 dp, and ties
+        # break on cid via struct ordering
+        cands.append(
+            F.struct(F.round(d, 9).alias("d"), F.lit(int(cid)).cast("long").alias("cid"))
+        )
+    return df.withColumn(out_col, F.array_min(F.array(*cands))["cid"])
+
+
+def ivf_probes(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One row per (vector, probed centroid): the query's ``nprobe``
+    nearest codebook entries, nearest first."""
+    v = F.col(vec_col)
+    cands = []
+    for cid, cvec in centroids:
+        c = F.array(*[F.lit(float(x)) for x in cvec])
+        d = F.aggregate(
+            F.zip_with(v, c, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cands.append(
+            F.struct(F.round(d, 9).alias("d"), F.lit(int(cid)).cast("long").alias("cid"))
+        )
+    probes = F.slice(F.array_sort(F.array(*cands)), 1, nprobe)
+    return df.withColumn("probe", F.explode(F.transform(probes, lambda s: s["cid"])))
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat ANN: coarse-quantize the corpus into inverted lists,
+    probe the query's ``nprobe`` nearest lists, exact cosine rerank
+    inside them. Same output contract as ``ann_topk``; recall is
+    governed by (n_centroids, nprobe) instead of hyperplane count.
+
+    The codebook here is caller-supplied; ``train_centroids_kmeans``
+    learns one (better recall), while any deterministic seed set (e.g.
+    the first K corpus vectors) keeps the whole structure reproducible
+    across engines — the plan shape is identical either way."""
+    cb = ivf_assign(corpus, centroids, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        F.col("centroid_id").alias("probe"),
+    )
+    qb = ivf_probes(queries, centroids, nprobe, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "probe"
+    )
+    scored = (
+        cb.join(F.broadcast(qb), "probe")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos_sim"),
+        )
+        # a (query, neighbor) pair can appear once per shared probe list
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def train_centroids_kmeans(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    seed: int = 7,
+    sample_fraction: float | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Learn an IVF codebook with MLlib KMeans (fixed seed), optionally
+    on a sample — at 100 TB you train on ~1M sampled vectors, never the
+    full corpus. Returns the same (cid, vector) list ``ivf_topk``
+    consumes; swap in for seed centroids when recall matters more than
+    cross-engine reproducibility."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    df = corpus if sample_fraction is None else corpus.sample(sample_fraction, seed=seed)
+    feats = df.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=n_centroids, seed=seed, maxIter=20).fit(feats)
+    return [(i, list(map(float, c))) for i, c in enumerate(model.clusterCenters())]

@@ -368,3 +368,55 @@ def q47_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return embedding_neardup_pairs(emb, threshold=0.18)
+
+
+_IVF_K = 16      # seed centroids: embeddings with vec_id < 16
+_IVF_NPROBE = 2
+
+_L2_AC = "round(list_sum(list_transform(range(1, 65), i -> (a.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE) * (a.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE))), 9)"
+
+
+@query(
+    "q51_ivf_topk",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {_IVF_K}
+    ), dist AS (
+      SELECT a.vec_id, c.cid, {_L2_AC} AS d
+      FROM embeddings a, cents c
+    ), ranked AS (
+      SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rnk
+      FROM dist
+    ), corpus AS (
+      SELECT vec_id, cid FROM ranked WHERE rnk = 1
+    ), probes AS (
+      SELECT vec_id, cid FROM ranked WHERE rnk <= {_IVF_NPROBE} AND vec_id < 10
+    ), scored AS (
+      SELECT DISTINCT q.vec_id AS query_id, co.vec_id AS neighbor_id,
+             round({_DOT} / ({_NORM_A} * {_NORM_B}), 6) AS cos_sim
+      FROM probes q
+      JOIN corpus co ON co.cid = q.cid AND co.vec_id <> q.vec_id
+      JOIN embeddings a ON a.vec_id = co.vec_id
+      JOIN embeddings b ON b.vec_id = q.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q51_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: deterministic seed codebook (first 16 vectors),
+    corpus coarse-quantized into inverted lists (at scale: the
+    partition key), queries probe their 2 nearest lists, exact cosine
+    rerank. Alternative scale path to hyperplane LSH (q31); swap in
+    train_centroids_kmeans for a learned codebook."""
+    from strat_backtest_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < _IVF_K).orderBy("vec_id").collect()
+    ]
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), cents, k=5, nprobe=_IVF_NPROBE)

@@ -1,0 +1,53 @@
+"""Physical-plan regression tests — the scale properties that make
+queries survive a 100x data blow-up, asserted on explain() output so
+a refactor cannot silently lose them:
+
+- filters and column pruning reach the parquet scan,
+- dimension joins broadcast (no sort-merge for small dims),
+- dedup shuffles digests, not document text.
+"""
+
+import io
+import contextlib
+
+from conftest import SF_MED
+
+
+def _formatted(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q01_scan_pushdown_and_pruning(spark):
+    from strat_backtest_spark.plans.catalog import CATALOG
+
+    p = _formatted(CATALOG["q01_pricing_summary"].fn(spark, SF_MED))
+    assert "LessThanOrEqual(l_shipdate" in p, "date filter not pushed to scan"
+    # projection pruning: untouched wide columns must not be read
+    assert "l_comment" not in p and "l_shipmode" not in p
+
+
+def test_q02_dimension_joins_broadcast(spark):
+    from strat_backtest_spark.plans.catalog import CATALOG
+
+    p = _formatted(CATALOG["q02_regional_revenue"].fn(spark, SF_MED))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p, "dim join degraded to sort-merge"
+
+
+def test_q21_dedup_shuffles_digest_not_text(spark):
+    from strat_backtest_spark.plans.catalog import CATALOG
+
+    p = _formatted(CATALOG["q21_dedup_exact"].fn(spark, SF_MED))
+    assert "hashpartitioning(text_hash" in p, "dedup should shuffle on the md5 digest"
+
+
+def test_kernel_feed_single_shuffle(spark):
+    """The kernel plan shuffles once on (ticker, run_id); the mapInPandas
+    stage must sit directly on that exchange (no extra repartitioning)."""
+    from strat_backtest_spark.plans.catalog import CATALOG
+
+    p = _formatted(CATALOG["q40_backtest_networth"].fn(spark, SF_MED))
+    assert "hashpartitioning(ticker" in p

@@ -39,6 +39,17 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _cosine_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine with per-vector norms precomputed on the join inputs.
+
+    Norms are a property of one vector; computing them inside the pair
+    expression re-evaluates an O(dim) aggregate once per PAIR instead
+    of once per VECTOR — at n² candidate pairs that is 2/3 of the
+    per-pair arithmetic. Value-identical to :func:`cosine` (same
+    expression, same vector), so oracles need no change."""
+    return _dot(a, b) / (na * nb)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -49,10 +60,14 @@ def cosine_topk(
     """Exact top-k by cosine: (query_id, neighbor_id, cos_sim, rank).
     Self-matches excluded. Deterministic rank tiebreak on neighbor id."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("qnrm"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        _norm(F.col(vec_col)).alias("cnrm"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -60,7 +75,10 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos_sim"),
+            F.round(
+                _cosine_pre(F.col("qvec"), F.col("cvec"), F.col("qnrm"), F.col("cnrm")),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -118,10 +136,14 @@ def ann_topk(
     cb = hyperplane_lsh_buckets(corpus, n_planes, dim, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
+        _norm(F.col(vec_col)).alias("cnrm"),
         "bucket",
     )
     qb = hyperplane_lsh_buckets(queries, n_planes, dim, id_col, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "bucket"
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("qnrm"),
+        "bucket",
     )
     scored = (
         cb.join(F.broadcast(qb), "bucket")
@@ -129,7 +151,10 @@ def ann_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos_sim"),
+            F.round(
+                _cosine_pre(F.col("qvec"), F.col("cvec"), F.col("qnrm"), F.col("cnrm")),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -161,17 +186,26 @@ def embedding_neardup_pairs(
     ``lsh_candidate_pairs``.
     """
     b = hyperplane_lsh_buckets(df, n_planes, dim, id_col, vec_col).select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), "bucket"
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("nrm"),
+        "bucket",
     )
     sizes = b.groupBy("bucket").agg(F.count("*").alias("__bsz"))
     b = b.join(F.broadcast(sizes.filter(F.col("__bsz") <= max_bucket)), "bucket").drop(
         "__bsz"
     )
     left = b.select(
-        F.col("bucket"), F.col("id").alias("id_a"), F.col("vec").alias("vec_a")
+        F.col("bucket"),
+        F.col("id").alias("id_a"),
+        F.col("vec").alias("vec_a"),
+        F.col("nrm").alias("nrm_a"),
     )
     right = b.select(
-        F.col("bucket"), F.col("id").alias("id_b"), F.col("vec").alias("vec_b")
+        F.col("bucket"),
+        F.col("id").alias("id_b"),
+        F.col("vec").alias("vec_b"),
+        F.col("nrm").alias("nrm_b"),
     )
     pairs = (
         left.join(right, "bucket")
@@ -179,7 +213,10 @@ def embedding_neardup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cos_sim"),
+            F.round(
+                _cosine_pre(F.col("vec_a"), F.col("vec_b"), F.col("nrm_a"), F.col("nrm_b")),
+                6,
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -270,10 +307,14 @@ def ivf_topk(
     cb = ivf_assign(corpus, centroids, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
+        _norm(F.col(vec_col)).alias("cnrm"),
         F.col("centroid_id").alias("probe"),
     )
     qb = ivf_probes(queries, centroids, nprobe, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "probe"
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("qnrm"),
+        "probe",
     )
     scored = (
         cb.join(F.broadcast(qb), "probe")
@@ -281,7 +322,10 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos_sim"),
+            F.round(
+                _cosine_pre(F.col("qvec"), F.col("cvec"), F.col("qnrm"), F.col("cnrm")),
+                6,
+            ).alias("cos_sim"),
         )
         # a (query, neighbor) pair can appear once per shared probe list
         .dropDuplicates(["query_id", "neighbor_id"])

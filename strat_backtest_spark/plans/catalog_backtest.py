@@ -474,3 +474,43 @@ def q50_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.width").alias("width"),
         F.col("meta.height").alias("height"),
     )
+
+
+@query(
+    "q52_range_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           count(e.event_id) AS n_prior,
+           round(coalesce(sum(e.value), 0), 4) AS prior_value
+    FROM events p
+    LEFT JOIN events e
+      ON e.user_id = p.user_id AND e.event_type IN ('view', 'click')
+     AND e.ts > p.ts - INTERVAL 1 HOUR AND e.ts < p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id
+    """,
+)
+def q52_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join, bucketed: prior-hour view/click activity per
+    purchase. The inequality predicate never reaches the join — time
+    quantized to lookback-width buckets turns it into one equi-join
+    shuffle on (user, bucket) (a BroadcastNestedLoopJoin otherwise;
+    see operators/rangejoin.py)."""
+    from strat_backtest_spark.operators.rangejoin import lookback_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    activity = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "event_id", "user_id", "ts", "value"
+    )
+    pairs = lookback_join(
+        purchases, activity,
+        key_col="user_id", time_col="ts", probe_id_col="event_id",
+        lookback="1 hour",
+    )
+    return pairs.groupBy(F.col("p_event_id").alias("purchase_id")).agg(
+        F.count("b_event_id").alias("n_prior"),
+        F.round(F.coalesce(F.sum("b_value"), F.lit(0.0)), 4).alias("prior_value"),
+    )

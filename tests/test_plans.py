@@ -51,3 +51,14 @@ def test_kernel_feed_single_shuffle(spark):
 
     p = _formatted(CATALOG["q40_backtest_networth"].fn(spark, SF_MED))
     assert "hashpartitioning(ticker" in p
+
+
+def test_q52_range_join_is_equi_join(spark):
+    """The bucketed interval join must never degrade to a
+    BroadcastNestedLoopJoin / cartesian (the naive inequality-join
+    plan, quadratic per key)."""
+    from strat_backtest_spark.plans.catalog import CATALOG
+
+    p = _formatted(CATALOG["q52_range_join"].fn(spark, SF_MED))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p

@@ -514,3 +514,42 @@ def q52_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("b_event_id").alias("n_prior"),
         F.round(F.coalesce(F.sum("b_value"), F.lit(0.0)), 4).alias("prior_value"),
     )
+
+
+@query(
+    "q53_resample_ohlc",
+    oracle="""
+    WITH bars AS (
+      -- floor, not ::BIGINT: DuckDB's cast rounds, Spark's truncates
+      SELECT ticker, date, close, floor(abs(vol_raw))::BIGINT AS volume FROM (
+        SELECT user_id::VARCHAR AS ticker, CAST(ts AS DATE) AS date,
+               arg_min(value, ts) AS close, sum(value) AS vol_raw
+        FROM events GROUP BY 1, 2
+      )
+    )
+    SELECT ticker, strftime(date_trunc('week', date), '%Y-%m-%d') AS week,
+           round(arg_min(close, date), 6) AS open,
+           round(max(close), 6)           AS high,
+           round(min(close), 6)           AS low,
+           round(arg_max(close, date), 6) AS close,
+           sum(volume)                    AS volume
+    FROM bars GROUP BY ticker, date_trunc('week', date)
+    """,
+)
+def q53_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling (hypertable-rollup style): daily synthetic
+    bars -> weekly bars in one hash aggregation; min_by/max_by anchors
+    stand in for sort-within-group, so the rollup stays a single
+    map-side-combining shuffle at any scale."""
+    from strat_backtest_spark.sources.bars import resample_bars
+
+    weekly = resample_bars(_bars(spark, sf_dir), freq="week")
+    return weekly.select(
+        "ticker",
+        F.date_format("date", "yyyy-MM-dd").alias("week"),
+        F.round("open", 6).alias("open"),
+        F.round("high", 6).alias("high"),
+        F.round("low", 6).alias("low"),
+        F.round("close", 6).alias("close"),
+        "volume",
+    )

@@ -101,3 +101,26 @@ def bars_from_events(events: DataFrame) -> DataFrame:
         "close",
         F.abs(F.col("volume_raw")).cast("long").alias("volume"),
     )
+
+
+def resample_bars(bars: DataFrame, freq: str = "week") -> DataFrame:
+    """Downsample bars to a coarser calendar frequency (hypertable-
+    rollup style): first open / max high / min low / last close /
+    summed volume per (ticker, bucket). One hash aggregation — the
+    min_by/max_by anchors replace a sort-within-group, so the rollup
+    is a single shuffle with map-side partial aggregation, the same
+    plan at any scale. ``freq`` is any date_trunc unit (week, month,
+    quarter, year)."""
+    bucket = F.date_trunc(freq, F.col("date")).cast("date").alias("__bucket")
+    return (
+        bars.groupBy("ticker", bucket)
+        .agg(
+            F.min_by("open", "date").alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", "date").alias("close"),
+            F.sum("volume").alias("volume"),
+        )
+        .withColumnRenamed("__bucket", "date")
+        .select("ticker", "date", "open", "high", "low", "close", "volume")
+    )

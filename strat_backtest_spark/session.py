@@ -41,6 +41,9 @@ def get_spark(app_name: str = "strat_backtest_spark", cpus: str | int | None = N
         # ample for local bench scales; real clusters size executors,
         # not the driver, anyway.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # bucketed tables (sources/bucketed.py) go through saveAsTable;
+        # keep the warehouse out of the repo tree
+        .config("spark.sql.warehouse.dir", "/tmp/spark_graft_warehouse")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         # Large parquet scans: bigger row-group-aligned splits amortize

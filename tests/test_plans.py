@@ -62,3 +62,26 @@ def test_q52_range_join_is_equi_join(spark):
     p = _formatted(CATALOG["q52_range_join"].fn(spark, SF_MED))
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_bucketed_table_aggregates_without_shuffle(spark, tmp_path):
+    """bucketBy stores the hash partitioning: a groupBy on the bucket
+    key must plan with NO Exchange (the scale rationale for bucketing
+    the bars/signature tables — one write-time shuffle amortized over
+    every later job)."""
+    from pyspark.sql import functions as F
+
+    from strat_backtest_spark.plans.catalog import _t
+    from strat_backtest_spark.sources.bars import bars_from_events
+    from strat_backtest_spark.sources.bucketed import read_bucketed, write_bucketed
+
+    bars = bars_from_events(_t(spark, SF_MED, "events"))
+    write_bucketed(bars, "bars_bucketed_test", "ticker", n_buckets=8, sort_col="date")
+    try:
+        back = read_bucketed(spark, "bars_bucketed_test")
+        agg = back.groupBy("ticker").agg(F.sum("close").alias("s"))
+        p = _formatted(agg)
+        assert "Exchange" not in p, "bucketed groupBy should not shuffle"
+        assert agg.count() == bars.select("ticker").distinct().count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bars_bucketed_test")

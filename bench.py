@@ -35,6 +35,7 @@ HEADLINE = [
     "q32_asof_join",            # as-of join
     "q35_sessionization",       # lag + running sum + agg
     "q36_token_topk",           # explode + count + top-k
+    "q55_curation_pipeline",    # quality gate + dedup + sample composed
     "q40_backtest_networth",    # full backtest kernel path
     "q41_grid_search",          # 6-point param grid, one job
 ]

@@ -420,3 +420,74 @@ def q51_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in emb.filter(F.col("vec_id") < _IVF_K).orderBy("vec_id").collect()
     ]
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), cents, k=5, nprobe=_IVF_NPROBE)
+
+
+@query(
+    "q54_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {md5_hash_sql("doc_id::VARCHAR")} % 1000000 <
+          CASE lang WHEN 'en' THEN 300000 WHEN 'de' THEN 800000 ELSE 1000000 END
+    """,
+)
+def q54_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible corpus rebalancing: hash-gate sampling with a
+    per-language rate (downsample dominant 'en' to 30%, 'de' to 80%,
+    keep the tail). Decisions are a pure function of doc identity —
+    stable under repartitioning/retries, recomputable by any engine;
+    map-only, no shuffle."""
+    from strat_backtest_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, rates={"en": 0.3, "de": 0.8}, strata_col="lang", default_rate=1.0
+    ).select("doc_id", "lang")
+
+
+@query(
+    "q55_curation_pipeline",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks, length(text) AS n_chars,
+             len(list_filter(string_split(text, ''), c -> regexp_matches(c, '[^\w\s]'))) AS n_punct
+      FROM documents
+    ), s AS (
+      SELECT doc_id, len(toks) AS n_tokens, n_chars, n_punct,
+             len(list_filter(toks, t -> list_contains({list(STOPWORDS)!r}, lower(t)))) AS n_stop
+      FROM t
+    ), scored AS (
+      SELECT doc_id,
+             round(least(n_tokens / 100.0, 1.0) * 0.4
+                   + (CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0 END) * 0.3
+                   + (1 - CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0 END) * 0.3, 6) AS quality_score
+      FROM s
+    ), kept AS (
+      SELECT d.doc_id, d.lang, d.text, sc.quality_score
+      FROM documents d JOIN scored sc USING (doc_id)
+      WHERE sc.quality_score >= 0.5
+    ), dd AS (
+      SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS canon FROM kept
+    )
+    SELECT doc_id, lang, quality_score FROM dd
+    WHERE doc_id = canon
+      AND {md5_hash_sql("doc_id::VARCHAR")} % 1000000 <
+          CASE lang WHEN 'en' THEN 500000 ELSE 1000000 END
+    """,
+)
+def q55_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation operators COMPOSED, the way a real corpus run
+    chains them: quality gate (>= 0.5) -> exact dedup to the canonical
+    (min-id) copy -> reproducible per-language rebalance (en halved).
+    Each stage is map-only or one digest shuffle; the composition adds
+    no driver round-trips."""
+    from strat_backtest_spark.operators.sampling import stratified_sample
+    from strat_backtest_spark.operators.text_analysis import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = quality_score(docs).filter(F.col("quality_score") >= 0.5)
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary")))
+    canon = kept.withColumn("__canon", F.min("doc_id").over(w)).filter(
+        F.col("doc_id") == F.col("__canon")
+    )
+    out = stratified_sample(canon, rates={"en": 0.5}, strata_col="lang", default_rate=1.0)
+    return out.select("doc_id", "lang", "quality_score")

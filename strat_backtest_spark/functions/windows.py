@@ -47,9 +47,14 @@ def lag(col: str | Column, w: WindowSpec, offset: int = 1) -> Column:
 
 
 def pct_change(col: str | Column, w: WindowSpec) -> Column:
-    """W3 — ``pct_change()`` (finance_data.py:38-39; strats.py:730)."""
+    """W3 — ``pct_change()`` (finance_data.py:38-39; strats.py:730).
+
+    A zero base yields NULL (try_divide), not pandas' ±inf: under
+    ANSI (Spark 4 default) a raw division would abort the whole job on
+    one zero row, and NULL propagates through downstream aggregates
+    exactly like the NaN the reference's pandas stats silently skip."""
     c = F.col(col) if isinstance(col, str) else col
-    return c / F.lag(c, 1).over(w) - 1
+    return F.try_divide(c, F.lag(c, 1).over(w)) - 1
 
 
 def cum_sum(col: str | Column, w: WindowSpec) -> Column:

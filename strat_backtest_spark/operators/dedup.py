@@ -99,18 +99,26 @@ def minhash_signatures(
     """Per-document MinHash signature columns sig_0..sig_{k-1}:
     sig_i = min((aᵢ·x + bᵢ) mod P) over the shingle set.
 
-    Plan shape: one projection computes the whole signature array
-    (single shingle pass), then a tiny exchange on id (payload:
-    id + k longs) materializes it BEFORE the per-column fan-out —
-    without the barrier, CollapseProject would inline the full
-    shingle+hash tree into each of the k output columns (and, for
-    LSH, into both sides of the self-join), recomputing the most
-    expensive expression ~k× per row. The exchange is the scale
-    answer too: no driver-side caching required, works on any
-    session, and the payload is fixed-width regardless of doc size."""
-    arr = minhash_sig_array(df, k, shingle_n, text_col, id_col).repartition(id_col)
-    return arr.select(
-        id_col, *[F.element_at("sig", i + 1).alias(f"sig_{i}") for i in range(k)]
+    Plan shape: explode the (single-pass) shingle-hash array to
+    (id, shingle_hash) rows, then ONE codegen'd hash aggregation
+    computes all k permuted minima map-side — the exchange carries
+    one partially-aggregated row of k longs per (partition, doc), so
+    the shuffle is the same fixed-width payload the old
+    array-fold + repartition barrier paid, but the k minima run in
+    whole-stage codegen instead of an interpreted zip_with fold
+    (measured modestly faster at sf0.1), and the exchange doubles as the
+    materialization barrier that keeps CollapseProject from inlining
+    the shingle pipeline into every downstream consumer (the round-1
+    q23 disease: ~64x recompute). Empty shingle sets yield null sigs
+    (min over the explode_outer null row), matching the oracle's
+    list_min([]) semantics."""
+    sh = shingle_hashes(text_col, shingle_n)
+    ex = df.select(F.col(id_col), F.explode_outer(sh).alias("__h"))
+    return ex.groupBy(id_col).agg(
+        *[
+            F.min((F.col("__h") * F.lit(a) + F.lit(b)) % P).alias(f"sig_{i}")
+            for i, (a, b) in enumerate(perm_params(k))
+        ]
     )
 
 

@@ -256,7 +256,12 @@ def q07_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "user_id",
-        F.round(F.col("value") / F.lag("value").over(w) - 1, 6).alias("pct_change"),
+        # try_divide: a zero prior value must yield NULL (DuckDB's x/0),
+        # not an ANSI DIVIDE_BY_ZERO error — surfaces only at sf0.1+
+        # where zero-valued events exist
+        F.round(F.try_divide(F.col("value"), F.lag("value").over(w)) - 1, 6).alias(
+            "pct_change"
+        ),
     )
 
 

@@ -244,30 +244,42 @@ class TradingEngine:
 # subclass; signal GENERATION stays vectorized in operators/signals.py.
 # ---------------------------------------------------------------------------
 
-def ma_cross_driver(eng: TradingEngine, pdf: pd.DataFrame, params: dict) -> None:
+def ma_cross_driver(
+    eng: TradingEngine, dates: np.ndarray, closes: np.ndarray,
+    actions: np.ndarray, params: dict,
+) -> None:
     """Reference custom_strats.py:41-62: buy at every up-cross; sell at
-    down-crosses strictly after the first buy."""
-    events = pdf[pdf["action"].isin(["buy", "sell"])]
-    buys = events[events["action"] == "buy"]
-    if buys.empty:
+    down-crosses strictly after the first buy. Drivers take plain
+    numpy views (not per-group pandas frames): a grid sweep runs tens
+    of thousands of groups and per-group pandas masking was a
+    measurable slice of the sweep."""
+    mask = (actions == "buy") | (actions == "sell")
+    idxs = np.flatnonzero(mask)
+    if idxs.size == 0:
         return
-    first_buy = buys["date"].iloc[0]
+    acts = actions[idxs]
+    buy_pos = np.flatnonzero(acts == "buy")
+    if buy_pos.size == 0:
+        return
+    first_buy = dates[idxs[buy_pos[0]]]
     slpct = params.get("stop_loss_pct")
-    for date, close, action in zip(events["date"], events["close"], events["action"]):
-        if action == "buy":
-            eng.buy(date, close, stop_loss=(close * slpct) if slpct else None)
-        elif date > first_buy:
-            eng.sell(date, close)
+    for i in idxs:
+        if actions[i] == "buy":
+            close = closes[i]
+            eng.buy(dates[i], close, stop_loss=(close * slpct) if slpct else None)
+        elif dates[i] > first_buy:
+            eng.sell(dates[i], closes[i])
 
 
-def band_driver(eng: TradingEngine, pdf: pd.DataFrame, params: dict) -> None:
+def band_driver(
+    eng: TradingEngine, dates: np.ndarray, closes: np.ndarray,
+    actions: np.ndarray, params: dict,
+) -> None:
     """Reference Ten_Percent_Strat (custom_strats.py:83-101): thresholds
     anchored to the bar of the LAST transaction — fully path-dependent,
     the canonical proof the kernel API generalizes."""
     sell_mult = params.get("sell", 1.05)
     buy_mult = params.get("buy", 0.99)
-    dates = pdf["date"].to_numpy()
-    closes = pdf["close"].to_numpy()
     if len(closes) == 0:
         return
     anchor = 0
@@ -285,7 +297,7 @@ def band_driver(eng: TradingEngine, pdf: pd.DataFrame, params: dict) -> None:
             last_move_sell = False
 
 
-DRIVERS: dict[str, Callable[[TradingEngine, pd.DataFrame, dict], None]] = {
+DRIVERS: dict[str, Callable[..., None]] = {
     "ma_cross": ma_cross_driver,
     "band": band_driver,
 }
@@ -294,78 +306,6 @@ DRIVERS: dict[str, Callable[[TradingEngine, pd.DataFrame, dict], None]] = {
 # ---------------------------------------------------------------------------
 # the Spark-facing operator
 # ---------------------------------------------------------------------------
-
-def _simulate_group(
-    key, pdf: pd.DataFrame, driver, initial_amount: float, params: dict, parity: bool
-) -> pd.DataFrame:
-    ticker, run_id = key
-    pdf = pdf.sort_values("date").reset_index(drop=True)
-    dates = pdf["date"].to_numpy()
-    closes = pdf["close"].to_numpy()
-    eng = TradingEngine(dates, closes, initial_amount, parity=parity)
-    driver(eng, pdf, params)
-
-    orders = eng.book.completed + list(eng.book.open_orders)
-    order_rows = pd.DataFrame(
-        {
-            "order_id": [o.oid for o in orders],
-            "num_shares": [o.num_shares for o in orders],
-            "start_time": [o.start_time for o in orders],
-            "start_amount": [o.start_amount for o in orders],
-            "filled": [o.filled for o in orders],
-            "end_time": [o.end_time for o in orders],
-            "end_amount": [o.end_amount for o in orders],
-            "profit": [o.profit for o in orders],
-            "stop_loss": [o.stop_loss for o in orders],
-        }
-    )
-    order_rows["row_type"] = "order"
-
-    ev_dates = sorted(
-        set(eng.buy_orders) | set(eng.sell_orders) | set(eng.book.shares_owned)
-    )
-    event_rows = pd.DataFrame(
-        {
-            "date": ev_dates,
-            # buy_orders holds order objects: read num_shares NOW so the
-            # reference's post-hoc mutation (Q4) is reflected, matching
-            # `buy * close` evaluated after the sim (strats.py:570).
-            "buy_shares": [
-                eng.buy_orders[d].num_shares if d in eng.buy_orders else None
-                for d in ev_dates
-            ],
-            "sell_shares": [eng.sell_orders.get(d) for d in ev_dates],
-            "shares_owned": [eng.book.shares_owned.get(d) for d in ev_dates],
-        }
-    )
-    event_rows["row_type"] = "event"
-
-    out = pd.concat([order_rows, event_rows], ignore_index=True)
-    out["ticker"] = ticker
-    out["run_id"] = run_id
-    for c in (
-        "order_id",
-        "num_shares",
-        "start_time",
-        "start_amount",
-        "filled",
-        "end_time",
-        "end_amount",
-        "profit",
-        "stop_loss",
-        "date",
-        "buy_shares",
-        "sell_shares",
-        "shares_owned",
-    ):
-        if c not in out.columns:
-            out[c] = None
-    # Empty/all-null groups leave date/bool columns as float64 NaN,
-    # which Arrow cannot cast to date32/bool — normalize to object+None.
-    for c in ("start_time", "end_time", "date", "filled"):
-        out[c] = out[c].astype(object).where(pd.notna(out[c]), None)
-    return out[[f.name for f in KERNEL_OUT_SCHEMA.fields]]
-
 
 class _KernelOutAcc:
     """Column-list accumulator for kernel output rows.
@@ -430,15 +370,15 @@ class _KernelOutAcc:
 
 
 def _run_one_group(
-    acc: _KernelOutAcc, ticker, run_id, pdf: pd.DataFrame,
+    acc: _KernelOutAcc, ticker, run_id,
+    dates: np.ndarray, closes: np.ndarray, actions: np.ndarray,
     driver, initial_amount: float, params: dict, parity: bool,
 ) -> None:
     """Simulate one (ticker, run_id) group into the accumulator.
-    ``pdf`` must already be date-sorted (the feed sort guarantees it)."""
-    eng = TradingEngine(
-        pdf["date"].to_numpy(), pdf["close"].to_numpy(), initial_amount, parity=parity
-    )
-    driver(eng, pdf, params)
+    Inputs are numpy views over the batch arrays, already date-sorted
+    (the feed sort guarantees it) — no per-group pandas objects."""
+    eng = TradingEngine(dates, closes, initial_amount, parity=parity)
+    driver(eng, dates, closes, actions, params)
     for o in eng.book.completed:
         acc.add_order(ticker, run_id, o)
     for o in eng.book.open_orders:
@@ -493,42 +433,48 @@ def run_kernel(
 
     def walk(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
         acc = _KernelOutAcc()
-        carry: list[pd.DataFrame] = []  # open group's segments (may span batches)
+        # open group's segments as (dates, closes, actions) array views
+        carry: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
         carry_key = None
+
+        def run(key, segs):
+            if len(segs) == 1:
+                d, c, a = segs[0]
+            else:
+                d = np.concatenate([x[0] for x in segs])
+                c = np.concatenate([x[1] for x in segs])
+                a = np.concatenate([x[2] for x in segs])
+            _run_one_group(acc, key[0], key[1], d, c, a,
+                           driver, initial_amount, params, parity)
+
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             t = pdf["ticker"].to_numpy()
             r = pdf["run_id"].to_numpy()
+            dates = pdf["date"].to_numpy()
+            closes = pdf["close"].to_numpy()
+            actions = pdf["action"].to_numpy()
             change = np.flatnonzero((t[1:] != t[:-1]) | (r[1:] != r[:-1])) + 1
             starts = np.concatenate(([0], change))
             ends = np.concatenate((change, [len(pdf)]))
             for s, e in zip(starts, ends):
                 key = (t[s], r[s])
-                seg = pdf.iloc[s:e]
+                seg = (dates[s:e], closes[s:e], actions[s:e])
                 if carry_key is not None and carry_key != key:
-                    g = carry[0] if len(carry) == 1 else pd.concat(carry)
-                    _run_one_group(acc, carry_key[0], carry_key[1], g,
-                                   driver, initial_amount, params, parity)
+                    run(carry_key, carry)
                     carry, carry_key = [], None
                 if e < len(pdf):  # complete group inside this batch
-                    if carry:
-                        carry.append(seg)
-                        g = pd.concat(carry)
-                        carry, carry_key = [], None
-                    else:
-                        g = seg
-                    _run_one_group(acc, key[0], key[1], g,
-                                   driver, initial_amount, params, parity)
+                    carry.append(seg)
+                    run(key, carry)
+                    carry, carry_key = [], None
                 else:  # batch-final segment: may continue in next batch
                     carry.append(seg)
                     carry_key = key
             if acc.n >= 20_000:
                 yield acc.flush()
         if carry_key is not None:
-            g = carry[0] if len(carry) == 1 else pd.concat(carry)
-            _run_one_group(acc, carry_key[0], carry_key[1], g,
-                           driver, initial_amount, params, parity)
+            run(carry_key, carry)
         if acc.n:
             yield acc.flush()
 

@@ -90,11 +90,9 @@ def test_stop_loss_triggers_on_next_action():
 def test_ma_cross_driver_skips_sell_before_first_buy():
     d = _dates(4)
     closes = np.array([10.0, 10.0, 10.0, 10.0])
-    pdf = pd.DataFrame(
-        {"date": d, "close": closes, "action": ["sell", "buy", None, "sell"]}
-    )
+    actions = np.array(["sell", "buy", None, "sell"], dtype=object)
     eng = TradingEngine(d, closes, 100.0)
-    ma_cross_driver(eng, pdf, {})
+    ma_cross_driver(eng, d, closes, actions, {})
     # leading sell ignored; buy at d1; sell at d3
     assert len(eng.book.completed) == 1
     assert eng.book.completed[0].start_time == d[1]
@@ -104,9 +102,9 @@ def test_ma_cross_driver_skips_sell_before_first_buy():
 def test_band_driver_alternates():
     d = _dates(5)
     closes = np.array([100.0, 106.0, 104.0, 98.0, 110.0])
-    pdf = pd.DataFrame({"date": d, "close": closes, "action": ["bar"] * 5})
+    actions = np.array(["bar"] * 5, dtype=object)
     eng = TradingEngine(d, closes, 1000.0)
-    band_driver(eng, pdf, {"sell": 1.05, "buy": 0.99})
+    band_driver(eng, d, closes, actions, {"sell": 1.05, "buy": 0.99})
     # buy@100 (d0) → sell@106 ≥ 100·1.05 (d1) → buy@104 ≤ 106·0.99 (d2)
     # → sell@110 ≥ 104·1.05 (d4); book ends flat
     assert [o.end_amount for o in eng.book.completed] == [106.0, 110.0]

@@ -12,7 +12,7 @@ Architecture (see SURVEY.md §7):
   window expressions — Catalyst optimizes, whole-stage codegen executes.
 - The only sequential component — FIFO order matching with buying-power
   feedback (reference: strats.py:133-245,293-420) — runs as a per-group
-  ``applyInPandas`` kernel (operators/kernel.py).
+  ``mapInPandas`` kernel (operators/kernel.py).
 - Large-scale data-pipeline extensions (dedup, similarity search, text
   analysis, multimodal plumbing) live in ``operators/`` as first-class
   DataFrame transformations.

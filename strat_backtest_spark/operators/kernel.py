@@ -3,8 +3,8 @@
 Everything else in the engine is declarative DataFrame algebra; this
 module is the one genuinely path-dependent component — cash balance,
 FIFO order book, stop-loss heap, and the strategy decision loop — and
-it runs as a per-(ticker, run_id) ``groupBy(...).applyInPandas`` pandas
-UDF. State is O(open orders) per group; groups are independent, so the
+it runs per (ticker, run_id) group inside a ``mapInPandas`` batch
+walker (see ``run_kernel`` for why not ``applyInPandas``). State is O(open orders) per group; groups are independent, so the
 kernel parallelizes across tickers × parameter points on a cluster
 (the two axes the reference cannot exploit: its grid search is
 effectively serial, optimize.py:221-225).

@@ -8,7 +8,7 @@ strats.py:551-554). ``Backtest.run()`` assembles one lazy DataFrame
 graph:
 
     bars → signals (window exprs) → feed
-         → kernel (applyInPandas per ticker×run) → orders + events
+         → kernel (mapInPandas group walker per ticker×run) → orders + events
          → portfolio (window algebra) → benchmark join
 
 and Catalyst optimizes the whole thing; nothing executes until an

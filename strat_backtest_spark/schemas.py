@@ -74,7 +74,7 @@ EVENTS_SCHEMA = T.StructType(
     ]
 )
 
-# Kernel output rows are tagged so one applyInPandas pass can emit both
+# Kernel output rows are tagged so one kernel pass can emit both
 # the order ledger and the trade events (split downstream by row_type).
 KERNEL_OUT_SCHEMA = T.StructType(
     [

@@ -11,6 +11,8 @@ from strat_backtest_spark.functions.windows import (  # noqa: F401
     last_value,
     tail_n,
     trailing_period_filter,
+    percent_return,
+    log_percent_return,
 )
 from strat_backtest_spark.functions.text import (  # noqa: F401
     clean_text,

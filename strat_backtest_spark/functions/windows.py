@@ -140,3 +140,33 @@ def trailing_period_filter(df: DataFrame, col: str, interval: str, partition_col
     return df.withColumn("__maxd", maxd).filter(
         F.col(col) > F.col("__maxd") - F.expr(f"INTERVAL {interval}")
     ).drop("__maxd")
+
+
+def percent_return(
+    bars: DataFrame,
+    time_frame: str | None = None,
+    col: str = "close",
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """``Finance_Data.percent_return`` (finance_data.py:29-40):
+    ``(close.pct_change() + 1).cumprod()`` per ticker, optionally
+    restricted to a trailing period first. Adds ``pct_return``."""
+    parts = partition_cols if partition_cols is not None else ["ticker"]
+    if time_frame:
+        bars = trailing_period_filter(bars, "date", time_frame, parts)
+    w = Window.partitionBy(*parts).orderBy("date")
+    return bars.withColumn("pct_return", cum_prod(pct_change(col, w) + 1, w))
+
+
+def log_percent_return(
+    bars: DataFrame,
+    col: str = "close",
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """``log(close.pct_change() + 1).cumsum()`` (finance_data.py:66-72)
+    — the additive form of percent_return. Adds ``log_pct_return``."""
+    parts = partition_cols if partition_cols is not None else ["ticker"]
+    w = Window.partitionBy(*parts).orderBy("date")
+    return bars.withColumn(
+        "log_pct_return", cum_sum(F.log(pct_change(col, w) + 1), w)
+    )

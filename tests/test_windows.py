@@ -89,3 +89,28 @@ def test_forward_fill_matches_pandas(walk):
     got = _col(df.withColumn("f", forward_fill("sparse", w, default=0.0)), "f")
     exp = pdf["sparse"].ffill().fillna(0.0).tolist()
     assert got == pytest.approx(exp)
+
+
+def test_percent_return_matches_pandas(spark):
+    """finance_data.py:29-40 parity: (pct_change()+1).cumprod()."""
+    import numpy as np
+    import pandas as pd
+    from strat_backtest_spark.functions.windows import percent_return
+
+    rng = np.random.default_rng(3)
+    close = 100 + np.cumsum(rng.normal(0.1, 1.0, 60))
+    pdf = pd.DataFrame(
+        {"ticker": "x", "date": pd.date_range("2021-01-01", periods=60), "close": close}
+    )
+    df = spark.createDataFrame(pdf)
+    got = (
+        percent_return(df)
+        .orderBy("date")
+        .select("pct_return")
+        .toPandas()["pct_return"]
+        .to_numpy()
+    )
+    exp = (pd.Series(close).pct_change() + 1).cumprod().to_numpy()
+    # row 0: pandas NaN, ours null
+    assert np.isnan(got[0]) or got[0] is None
+    assert np.allclose(got[1:], exp[1:], rtol=1e-9)

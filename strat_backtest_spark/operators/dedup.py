@@ -260,3 +260,59 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= min_jaccard)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-duplicate GROUPS from candidate pairs: connected components
+    by iterative min-label propagation — each node ends labeled with
+    the smallest doc id reachable from it (deterministic).
+
+    The iterative shape is the Spark-native one: per round, one join
+    propagates labels across edges and one aggregation keeps the
+    minimum; ``localCheckpoint`` truncates the growing lineage so round
+    N doesn't replay rounds 1..N-1. Rounds needed = graph diameter —
+    near-dup clusters are shallow (pairs share LSH buckets), so this
+    converges in a handful of rounds; for adversarially long chains the
+    large-star/small-star variant halves the diameter per round with
+    the same per-round plan.
+
+    Output: (id, component) for every node appearing in ``pairs``.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    und = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    und = und.localCheckpoint()
+
+    labels = (
+        und.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        prop = und.join(labels, und.src == labels.id).select(
+            F.col("dst").alias("id"), F.col("label")
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("component"))

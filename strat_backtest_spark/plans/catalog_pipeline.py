@@ -491,3 +491,39 @@ def q55_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = stratified_sample(canon, rates={"en": 0.5}, strata_col="lang", default_rate=1.0)
     return out.select("doc_id", "lang", "quality_score")
+
+
+def _q56_oracle() -> str:
+    # reuse q23's pair generation verbatim; min-label closure on top
+    pairs_sql = CATALOG["q23_minhash_lsh_pairs"].oracle
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_sql}),
+    und AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT src, src FROM und
+      UNION
+      SELECT src, dst FROM und
+      UNION
+      SELECT reach.id, und.dst FROM reach JOIN und ON reach.r = und.src
+    )
+    SELECT id, min(r) AS component FROM reach GROUP BY id
+    """
+
+
+from strat_backtest_spark.plans.catalog import CATALOG  # noqa: E402
+
+
+@query("q56_dedup_components", oracle=_q56_oracle())
+def q56_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPS: connected components over the MinHash-LSH
+    candidate pairs by iterative min-label propagation (the genuinely
+    iterative operator class; oracle = recursive-CTE transitive
+    closure). Every node gets the smallest doc id in its component."""
+    from strat_backtest_spark.operators.dedup import connected_components
+
+    pairs = CATALOG["q23_minhash_lsh_pairs"].fn(spark, sf_dir)
+    return connected_components(pairs)

@@ -1,0 +1,76 @@
+"""Edge-case units for the pipeline operators whose catalog oracles
+exercise only the synthetic data's happy path."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+
+def test_lookback_join_bucket_boundary(spark):
+    """Matches that cross the quantization-bucket boundary must still
+    be found (the probe explodes to 2 buckets), and exclusive bounds
+    hold exactly."""
+    from strat_backtest_spark.operators.rangejoin import lookback_join
+
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+
+    def ts(mins):
+        return t0 + datetime.timedelta(minutes=mins)
+
+    probe = spark.createDataFrame(
+        [(1, 100, ts(62))], "event_id long, user_id long, ts timestamp"
+    )
+    build = spark.createDataFrame(
+        [
+            (10, 100, ts(3)),    # 59 min before: in window, PREVIOUS bucket
+            (11, 100, ts(61)),   # 1 min before: in window, same bucket
+            (12, 100, ts(2)),    # exactly 60 min before: excluded (exclusive)
+            (13, 100, ts(62)),   # same instant: excluded (strictly prior)
+            (14, 999, ts(61)),   # other user: excluded
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    out = lookback_join(
+        probe, build, key_col="user_id", time_col="ts",
+        probe_id_col="event_id", lookback="1 hour",
+    )
+    got = sorted(r["b_event_id"] for r in out.collect())
+    assert got == [10, 11]
+
+    # a probe with zero matches keeps exactly one null row
+    lonely = spark.createDataFrame(
+        [(2, 777, ts(62))], "event_id long, user_id long, ts timestamp"
+    )
+    out2 = lookback_join(
+        lonely, build, key_col="user_id", time_col="ts",
+        probe_id_col="event_id", lookback="1 hour",
+    )
+    rows = out2.collect()
+    assert len(rows) == 1 and rows[0]["b_event_id"] is None
+
+
+def test_deterministic_sample_is_partition_invariant(spark):
+    """The whole point vs df.sample(): identical membership no matter
+    how the data is partitioned."""
+    from strat_backtest_spark.operators.sampling import deterministic_sample
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = set(r["doc_id"] for r in deterministic_sample(df.repartition(1), 0.3).collect())
+    b = set(r["doc_id"] for r in deterministic_sample(df.repartition(13), 0.3).collect())
+    assert a == b
+    assert 0.2 < len(a) / 2000 < 0.4
+
+
+def test_connected_components_chain(spark):
+    """A 10-node path graph needs ~9 propagation rounds — well past the
+    1-2 rounds the LSH clusters take — and must still label every node
+    with the chain minimum."""
+    from strat_backtest_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(10, 19)] + [(100, 101)],
+        "id_a long, id_b long",
+    )
+    got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert all(got[i] == 10 for i in range(10, 20))
+    assert got[100] == 100 and got[101] == 100

@@ -527,3 +527,33 @@ def q56_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = CATALOG["q23_minhash_lsh_pairs"].fn(spark, sf_dir)
     return connected_components(pairs)
+
+
+@query(
+    "q57_kmv_distinct_users",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT DISTINCT event_type, {md5_hash_sql("user_id::VARCHAR")} AS h
+      FROM events
+    ), topk AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM hashed
+    )
+    SELECT event_type,
+           CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
+                ELSE round(63.0 * 1000000007.0 / max(h), 4) END AS est_distinct,
+           count(*) < 64 AS is_exact
+    FROM topk WHERE rn <= 64 GROUP BY event_type
+    """,
+)
+def q57_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct sketch (k=64) of users per event_type — an
+    approximation the gate can check EXACTLY because the hash family is
+    engine-portable. Production-at-scale twin: approx_count_distinct
+    (HLL++); this one trades JVM-native speed for cross-engine
+    reproducibility and mergeable sketch states."""
+    from strat_backtest_spark.operators.sketches import kmv_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    return kmv_distinct(ev, key_col="user_id", group_cols=["event_type"], k=64)

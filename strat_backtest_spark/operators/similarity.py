@@ -106,12 +106,15 @@ def hyperplane_lsh_buckets(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    plane_offset: int = 0,
 ) -> DataFrame:
     """Bucket id = sign-bit string of ``n_planes`` fixed integer
-    hyperplanes. Map-only; deterministic across engines."""
+    hyperplanes (family indices ``plane_offset..plane_offset+n_planes``
+    — distinct offsets give independent hash tables). Map-only;
+    deterministic across engines."""
     vec = F.col(vec_col)
     bucket = F.lit(0).cast("long")
-    for p in range(n_planes):
+    for p in range(plane_offset, plane_offset + n_planes):
         dot = None
         for d in range(dim):
             wgt = _plane_weight(p, d)
@@ -119,9 +122,9 @@ def hyperplane_lsh_buckets(
                 continue
             term = F.element_at(vec, d + 1).cast("double") * F.lit(float(wgt))
             dot = term if dot is None else dot + term
-        bucket = bucket + F.when(dot > 0, F.lit(2 ** p).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+        bucket = bucket + F.when(
+            dot > 0, F.lit(2 ** (p - plane_offset)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
     return df.withColumn("bucket", bucket)
 
 
@@ -174,46 +177,64 @@ def embedding_neardup_pairs(
     max_bucket: int = 2_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_tables: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a < id_b, cos_sim).
 
     The scale shape mirrors MinHash-LSH dedup (operators/dedup.py):
     candidate generation is a self-join on the LSH bucket key — never
     all-pairs — and the exact cosine check runs only inside buckets.
-    Recall is bounded by the bucketing (vectors in different buckets
-    are never compared); tune ``n_planes`` down for recall, up for
-    speed, exactly the LSH band trade-off.
 
-    ``max_bucket`` drops degenerate buckets (e.g. the all-zeros bucket
-    a constant embedding column would create) before pairing — at
-    100 TB one hot bucket is a quadratic bomb; the cap turns it into a
-    documented recall loss instead of a job-killer, same policy as
-    ``lsh_candidate_pairs``.
+    ``n_tables`` is OR-amplification, the same trick as MinHash
+    banding: each table hashes with an independent slice of the
+    hyperplane family (plane_offset = t·n_planes), a pair is a
+    candidate if it collides in ANY table, and pairs are deduped
+    across tables. Single-table recall for a pair at angle θ is
+    ``(1 - θ/π)^n_planes`` — e.g. ≈0.39 at cos 0.9 with 6 planes;
+    L tables lift it to ``1-(1-r)^L`` (≈0.78 at L=3) at L× the
+    candidate volume. Tune (n_planes, n_tables) like (rows, bands).
+
+    ``max_bucket`` drops degenerate buckets per table (e.g. the
+    all-zeros bucket a constant embedding column would create) before
+    pairing — at 100 TB one hot bucket is a quadratic bomb; the cap
+    turns it into a documented recall loss instead of a job-killer,
+    same policy as ``lsh_candidate_pairs``.
     """
-    b = hyperplane_lsh_buckets(df, n_planes, dim, id_col, vec_col).select(
+    base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         _norm(F.col(vec_col)).alias("nrm"),
-        "bucket",
     )
-    sizes = b.groupBy("bucket").agg(F.count("*").alias("__bsz"))
-    b = b.join(F.broadcast(sizes.filter(F.col("__bsz") <= max_bucket)), "bucket").drop(
-        "__bsz"
-    )
+    tables = []
+    for t in range(n_tables):
+        bt = hyperplane_lsh_buckets(
+            base, n_planes, dim, "id", "vec", plane_offset=t * n_planes
+        )
+        tables.append(bt.withColumn("table", F.lit(t)))
+    b = tables[0]
+    for bt in tables[1:]:
+        b = b.unionByName(bt)
+    b = b.select("id", "vec", "nrm", "table", "bucket")
+    sizes = b.groupBy("table", "bucket").agg(F.count("*").alias("__bsz"))
+    b = b.join(
+        F.broadcast(sizes.filter(F.col("__bsz") <= max_bucket)), ["table", "bucket"]
+    ).drop("__bsz")
     left = b.select(
-        F.col("bucket"),
+        "table",
+        "bucket",
         F.col("id").alias("id_a"),
         F.col("vec").alias("vec_a"),
         F.col("nrm").alias("nrm_a"),
     )
     right = b.select(
-        F.col("bucket"),
+        "table",
+        "bucket",
         F.col("id").alias("id_b"),
         F.col("vec").alias("vec_b"),
         F.col("nrm").alias("nrm_b"),
     )
     pairs = (
-        left.join(right, "bucket")
+        left.join(right, ["table", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
@@ -225,9 +246,9 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
-    # buckets overlap only when n_planes hashes collide per-plane — a
-    # pair appears once per shared bucket key, which is exactly once
-    # here (single bucket id, not banded); no dedup needed.
+    if n_tables > 1:
+        # a pair can collide in several tables — keep it once
+        pairs = pairs.dropDuplicates(["id_a", "id_b"])
     return pairs
 
 

@@ -29,3 +29,37 @@ def test_ivf_with_kmeans_codebook(spark):
     got = {(r["query_id"], r["neighbor_id"]) for r in rows}
     recall = len(exact & got) / len(exact)
     assert recall >= 0.5, f"recall {recall}"
+
+
+def test_neardup_multi_table_recall(spark):
+    """OR-amplification: L independent hash tables must recover
+    near-dup pairs a single table misses, at identical precision
+    (exact cosine filters candidates either way)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from strat_backtest_spark.operators.similarity import embedding_neardup_pairs
+
+    rng = np.random.default_rng(11)
+    rows = []
+    vid = 0
+    for i in range(60):
+        base = rng.normal(size=64)
+        noisy = base + rng.normal(scale=0.02, size=64)  # true near-dup
+        rows.append((vid, [float(x) for x in base])); vid += 1
+        rows.append((vid, [float(x) for x in noisy])); vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def recall(n_tables):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_neardup_pairs(
+                df, threshold=0.95, n_tables=n_tables
+            ).collect()
+        }
+        truth = {(2 * i, 2 * i + 1) for i in range(60)}
+        return len(got & truth) / len(truth)
+
+    r1, r3 = recall(1), recall(3)
+    assert r3 >= r1
+    assert r3 >= 0.7, f"multi-table recall {r3}"

@@ -316,3 +316,70 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("id"), F.col("label").alias("component"))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    bits: int = 32,
+    max_bucket_size: int = 2000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-dup pairs: (id_a < id_b, hamming ≤ ``max_hamming``).
+
+    Banded exact-match candidate generation with a PIGEONHOLE recall
+    guarantee: split the ``bits``-bit hash into ``bands`` equal slices;
+    a pair within Hamming distance ``bands - 1`` differs in at most
+    ``bands - 1`` slices, so at least one slice matches exactly — with
+    the default (4 bands, max_hamming 3) candidate generation misses
+    NOTHING, unlike the probabilistic MinHash/hyperplane paths. A
+    ``max_hamming`` at or above ``bands`` is allowed — the radius
+    beyond ``bands - 1`` is then probabilistic (a pair must still
+    share one exact band). One shuffle on (band, band_value); the
+    Hamming check (bit_count of xor, one long per side) runs only
+    inside buckets; hot buckets are capped like every other dedup
+    path.
+    """
+    width = bits // bands
+    mask = (1 << width) - 1
+    sh = simhash(df, bits, text_col, id_col)
+    banded = sh.select(
+        F.col(id_col).alias("id"),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.shiftright(F.col("simhash"), j * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for j in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "simhash", "bk.band", "bk.band_val")
+    bucket = Window.partitionBy("band", "band_val")
+    banded = banded.withColumn("__n", F.count(F.lit(1)).over(bucket)).filter(
+        F.col("__n") <= max_bucket_size
+    )
+    a = banded.select(
+        "band", "band_val", F.col("id").alias("id_a"), F.col("simhash").alias("sh_a")
+    )
+    b = banded.select(
+        "band", "band_val", F.col("id").alias("id_b"), F.col("simhash").alias("sh_b")
+    )
+    return (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -557,3 +557,30 @@ def q57_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return kmv_distinct(ev, key_col="user_id", group_cols=["event_type"], k=64)
+
+
+@query(
+    "q58_simhash_neardup",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, simhash FROM ({_simhash_sql(32)})),
+    banded AS (
+      SELECT doc_id, simhash, j.band,
+             (simhash >> (j.band * 8)) & 255 AS band_val
+      FROM sh, (SELECT unnest(range(4)) AS band) j
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM banded a JOIN banded b USING (band, band_val)
+    WHERE a.doc_id < b.doc_id
+      AND bit_count(xor(a.simhash, b.simhash)) <= 6
+    """,
+)
+def q58_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with the pigeonhole guarantee relaxed to
+    a probabilistic radius: 4 bands of 8 bits, Hamming ≤ 6 (exact
+    recall up to 3; banded recall beyond). One shuffle on
+    (band, band_val); Hamming check = bit_count(xor) on longs."""
+    from strat_backtest_spark.operators.dedup import simhash_neardup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_neardup_pairs(docs, max_hamming=6, bands=4, bits=32)

@@ -132,12 +132,23 @@ def trailing_period_filter(df: DataFrame, col: str, interval: str, partition_col
     keep rows with ``col > max(col) - interval`` (pandas ``last`` is an
     exclusive lower bound: strictly after anchor-minus-offset).
 
-    Expressed with an unpartitioned (or per-ticker) window max so no
-    driver round-trip is needed and Catalyst can keep it in one pass.
+    With partition columns the anchor is a per-key window max (stays
+    within each key's partition — no extra exchange beyond the window
+    sort). With NO partition columns a window max would plan as
+    ``Exchange SinglePartition`` — the whole table funneling through
+    one task just to learn ``max(col)``. Instead the anchor is computed
+    as a one-row aggregate (parallel partial agg, map-side combine) and
+    broadcast-cross-joined back: no single point of serialization, and
+    still one job with no driver round-trip.
     """
-    w = Window.partitionBy(*(partition_cols or []))
-    maxd = F.max(F.col(col)).over(w)
-    return df.withColumn("__maxd", maxd).filter(
+    if partition_cols:
+        w = Window.partitionBy(*partition_cols)
+        maxd = F.max(F.col(col)).over(w)
+        return df.withColumn("__maxd", maxd).filter(
+            F.col(col) > F.col("__maxd") - F.expr(f"INTERVAL {interval}")
+        ).drop("__maxd")
+    anchor = df.agg(F.max(F.col(col)).alias("__maxd"))
+    return df.join(F.broadcast(anchor)).filter(
         F.col(col) > F.col("__maxd") - F.expr(f"INTERVAL {interval}")
     ).drop("__maxd")
 

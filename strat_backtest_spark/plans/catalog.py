@@ -381,12 +381,17 @@ def q11_tail_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q12_trailing_period(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W10: trailing-period filter relative to the table's max timestamp."""
+    """W10: trailing-period filter relative to the table's max timestamp.
+
+    The anchor max(ts) is a one-row aggregate broadcast back onto the
+    scan — NOT a ``max() OVER ()`` window, which would plan as
+    ``Exchange SinglePartition`` (the whole table through one task).
+    Plan-regression-tested in tests/test_plans.py."""
+    from strat_backtest_spark.functions.windows import trailing_period_filter
+
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy()
     return (
-        ev.withColumn("max_ts", F.max("ts").over(w))
-        .filter(F.col("ts") > F.col("max_ts") - F.expr("INTERVAL 7 DAY"))
+        trailing_period_filter(ev, "ts", "7 DAY", partition_cols=None)
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total"))
     )

@@ -53,6 +53,17 @@ def test_kernel_feed_single_shuffle(spark):
     assert "hashpartitioning(ticker" in p
 
 
+def test_q12_no_single_partition_exchange(spark):
+    """The trailing-period anchor must be a broadcast one-row aggregate,
+    never a global window max — ``Exchange SinglePartition`` funnels the
+    whole table through one task (invisible at sf0.1, fatal at 100x)."""
+    from strat_backtest_spark.plans.catalog import CATALOG
+
+    p = _formatted(CATALOG["q12_trailing_period"].fn(spark, SF_MED))
+    assert "Exchange SinglePartition" not in p, "global window max leaked back in"
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
+
+
 def test_q52_range_join_is_equi_join(spark):
     """The bucketed interval join must never degrade to a
     BroadcastNestedLoopJoin / cartesian (the naive inequality-join

@@ -295,6 +295,7 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
+    changed = 0
     for _ in range(max_iter):
         prop = und.join(labels, und.src == labels.id).select(
             F.col("dst").alias("id"), F.col("label")
@@ -315,6 +316,14 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # a component with diameter > max_iter would otherwise return
+        # silently-wrong labels; fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter); raise max_iter or use "
+            "the large-star/small-star variant for deep chains"
+        )
     return labels.select(F.col("id"), F.col("label").alias("component"))
 
 

@@ -70,7 +70,16 @@ def evaluate_params(
     final = portfolio.groupBy("ticker", "run_id").agg(
         F.max_by("net_worth", "date").alias("net_worth")
     )
-    return final.join(F.broadcast(params), "run_id")
+    out = final.join(F.broadcast(params), "run_id")
+    # The objective table is tiny (|tickers|x|runs| rows) while feed is
+    # |bars|x|runs|: eagerly materialize the small result, then release
+    # the big cache NOW rather than leaking it for the session — an SA
+    # chain calls this once per step, and un-released feeds would
+    # accumulate until eviction churn. blocking=True so storage is
+    # deterministically flat across repeated sweeps (test-locked).
+    out = out.localCheckpoint(eager=True)
+    feed.unpersist(blocking=True)
+    return out
 
 
 def grid_search(

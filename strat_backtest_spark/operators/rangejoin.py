@@ -58,12 +58,13 @@ def lookback_join(
         *[F.col(c).alias(build_prefix + c) for c in build.columns],
         F.unix_micros(F.col(time_col)).alias("__bt"),
     )
-    # probe window (pt - width, pt) overlaps bucket(pt) and bucket(pt)-1
-    p = p.withColumn(
-        "__bucket", F.explode(F.array((F.col("__pt") / width).cast("long"),
-                                      (F.col("__pt") / width).cast("long") - 1))
-    )
-    b = b.withColumn("__bucket", (F.col("__bt") / width).cast("long"))
+    # probe window (pt - width, pt) overlaps bucket(pt) and bucket(pt)-1.
+    # Integer floor division, not double-divide-then-cast: cast("long")
+    # truncates toward zero, so pre-1970 (negative-micros) timestamps
+    # would land in misaligned buckets and silently drop in-range pairs.
+    pbucket = F.floor(F.col("__pt") / F.lit(width)).cast("long")
+    p = p.withColumn("__bucket", F.explode(F.array(pbucket, pbucket - 1)))
+    b = b.withColumn("__bucket", F.floor(F.col("__bt") / F.lit(width)).cast("long"))
 
     probe_cols = [probe_prefix + c for c in probe.columns]
     build_cols = [build_prefix + c for c in build.columns]

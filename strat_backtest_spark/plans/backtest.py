@@ -92,12 +92,14 @@ class Backtest:
 
     _orders: Optional[DataFrame] = None
     _portfolio: Optional[DataFrame] = None
+    _cached: list = field(default_factory=list)
 
     def run(self) -> DataFrame:
         bars = self.bars
         if self.ticker is not None:
             bars = bars.filter(F.col("ticker") == self.ticker.lower())
 
+        self.release()
         # feed is consumed twice (kernel input + portfolio join): persist
         # so the bars scan + signal windows run once, same as the grid path
         feed = self.strategy.signal_feed(bars).persist()
@@ -108,6 +110,7 @@ class Backtest:
             params=self.strategy.kernel_params(),
             parity=self.parity,
         ).cache()  # consumed twice (orders + events); sim runs once
+        self._cached = [feed, kernel_out]
         orders, events = split_kernel_output(kernel_out)
         portfolio = build_portfolio(feed, events, self.initial_amount)
         if self.benchmark is not None:
@@ -116,6 +119,23 @@ class Backtest:
         self._orders = orders
         self._portfolio = portfolio
         return portfolio
+
+    def release(self) -> None:
+        """Unpersist the feed/kernel caches from the last ``run``.
+
+        A long-lived session running many backtests would otherwise
+        accumulate cached partitions until eviction churn. Lazy results
+        handed out earlier stay valid — they just recompute on next use.
+        Also usable as a context manager (``with Backtest(...) as bt``)."""
+        for df in self._cached:
+            df.unpersist(blocking=True)
+        self._cached = []
+
+    def __enter__(self) -> "Backtest":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.release()
 
     def metrics(self, risk_free_rate: float = 0.03) -> DataFrame:
         if self._portfolio is None:

@@ -61,7 +61,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # at production scale the scan has >= parallelism splits and
         # this is a no-op (no shuffle inserted).
         n = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < n:
+        # inputFiles() is metadata-only; df.rdd.getNumPartitions() would
+        # build the Python RDD conversion just to ask a question the
+        # file listing already answers
+        if len(df.inputFiles()) < n:
             df = df.repartition(n)
     return df
 

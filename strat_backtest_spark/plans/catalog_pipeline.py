@@ -309,16 +309,16 @@ def q30_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
-def _bucket_sql(alias: str, n_planes: int = 6, dim: int = 64) -> str:
+def _bucket_sql(alias: str, n_planes: int = 6, dim: int = 64, plane_offset: int = 0) -> str:
     plane_terms = []
-    for p in range(n_planes):
+    for p in range(plane_offset, plane_offset + n_planes):
         terms = " + ".join(
             f"{alias}.embedding[{d + 1}]::DOUBLE * {float(_plane_weight(p, d))}"
             for d in range(dim)
             if _plane_weight(p, d) != 0
         )
         plane_terms.append(
-            f"CASE WHEN ({terms}) > 0 THEN {2 ** p}::BIGINT ELSE 0::BIGINT END"
+            f"CASE WHEN ({terms}) > 0 THEN {2 ** (p - plane_offset)}::BIGINT ELSE 0::BIGINT END"
         )
     return " + ".join(plane_terms)
 
@@ -350,11 +350,19 @@ def q31_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q47_embedding_neardup",
     oracle=f"""
-    WITH cb AS (SELECT a.vec_id, a.embedding, {_bucket_sql('a')} AS bucket FROM embeddings a)
-    SELECT id_a, id_b, cos_sim FROM (
+    WITH cb AS (
+      SELECT 0 AS tbl, a.vec_id, a.embedding, {_bucket_sql('a', plane_offset=0)} AS bucket FROM embeddings a
+      UNION ALL
+      SELECT 1 AS tbl, a.vec_id, a.embedding, {_bucket_sql('a', plane_offset=6)} AS bucket FROM embeddings a
+      UNION ALL
+      SELECT 2 AS tbl, a.vec_id, a.embedding, {_bucket_sql('a', plane_offset=12)} AS bucket FROM embeddings a
+    ), capped AS (
+      SELECT * FROM cb QUALIFY count(*) OVER (PARTITION BY tbl, bucket) <= 2000
+    )
+    SELECT DISTINCT id_a, id_b, cos_sim FROM (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              round({_DOT} / ({_NORM_A} * {_NORM_B}), 6) AS cos_sim
-      FROM cb a JOIN cb b USING (bucket)
+      FROM capped a JOIN capped b ON a.tbl = b.tbl AND a.bucket = b.bucket
       WHERE a.vec_id < b.vec_id
     ) WHERE cos_sim >= 0.18
     """,
@@ -363,11 +371,18 @@ def q47_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via hyperplane-LSH bucketed
     self-join — the fifth dedup family (exact / MinHash-LSH / SimHash /
     n-gram Jaccard / embedding-cosine). Candidates come only from
-    shared LSH buckets; exact cosine filters inside buckets."""
+    shared LSH buckets; exact cosine filters inside buckets.
+
+    ``n_tables=3`` (OR-amplification) because single-table recall at
+    the 0.18 threshold boundary is only a few percent (docstring math
+    in ``embedding_neardup_pairs``). The oracle mirrors all three hash
+    tables AND the ``max_bucket=2000`` hot-bucket cap (QUALIFY), so
+    the gate cannot silently diverge when a skewed sign-bit bucket
+    exceeds the cap at larger scale factors."""
     from strat_backtest_spark.operators.similarity import embedding_neardup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(emb, threshold=0.18)
+    return embedding_neardup_pairs(emb, threshold=0.18, n_tables=3)
 
 
 _IVF_K = 16      # seed centroids: embeddings with vec_id < 16

@@ -102,6 +102,7 @@ _SESSION_OUTPUT = StructType(
     [
         StructField("user_id", LongType()),
         StructField("n_sessions", LongType()),
+        StructField("n_events", LongType()),
         StructField("avg_events_per_session", DoubleType()),
     ]
 )
@@ -150,6 +151,7 @@ def _sessionize_group(
         {
             "user_id": [key[0]],
             "n_sessions": [n_sessions],
+            "n_events": [n_events],
             "avg_events_per_session": [round(n_events / n_sessions, 6)],
         }
     )
@@ -179,11 +181,16 @@ def sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _drain_to_memory(
         sessions.writeStream.outputMode("update").format("memory"), spark
     )
-    # update mode re-emits a user on every batch that touches them;
-    # keep the latest emission per user (single-batch replay: a no-op)
+    # update mode re-emits a user on every batch that touches them; keep
+    # the LATEST emission per user. avg is not monotone across batches
+    # (a batch that opens new sessions lowers it), so max() would keep a
+    # stale intermediate — n_events strictly grows with every batch that
+    # touches the user, so max_by(_, n_events) selects the final row.
     return out.groupBy("user_id").agg(
         F.max("n_sessions").alias("n_sessions"),
-        F.max("avg_events_per_session").alias("avg_events_per_session"),
+        F.max_by("avg_events_per_session", "n_events").alias(
+            "avg_events_per_session"
+        ),
     )
 
 

@@ -42,16 +42,29 @@ def query(name: str, oracle: Optional[str] = None):
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) parquet, which vanilla Spark
-        # refuses to read. nanosAsLong is runtime-settable, so set it
+        # events.ts has shipped as both TIMESTAMP(NANOS) (earlier
+        # testdata drops) and TIMESTAMP(MICROS) parquet. Vanilla Spark
+        # refuses NANOS; nanosAsLong is runtime-settable, so set it
         # here — the caller's session (driver harness included) need
-        # not be pre-configured. ts then arrives as raw long nanos;
-        # the data is µs-aligned, so micros conversion is lossless.
+        # not be pre-configured. Under that conf a NANOS file arrives
+        # as raw long nanos (µs-aligned, so the micros conversion is
+        # lossless) while a MICROS file still arrives as timestamp —
+        # branch on the landed dtype, not on an assumption about the
+        # file.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        elif ts_type == "timestamp_ntz":
+            # MICROS-without-tz drop: downstream uses unix_micros and
+            # streaming watermarks, which need TIMESTAMP (ltz). The
+            # session runs UTC (session.py), so the cast preserves
+            # both wall-clock and epoch values.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name in ("documents", "embeddings"):
         # These tables carry heavy per-row compute (shingle/minhash/

@@ -48,7 +48,8 @@ SESSION_GAP_MICROS = 30 * 60 * 1_000_000  # 30 min, as batch q35
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Runtime-set so a vanilla session (e.g. the driver harness) can
-    # read the TIMESTAMP(NANOS) parquet; see plans/catalog.py:_t.
+    # read a TIMESTAMP(NANOS) events drop; a MICROS drop is unaffected.
+    # Branch on the landed dtype, matching plans/catalog.py:_t.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
     stream = (
@@ -57,10 +58,17 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    # ts arrives as raw nanos (nanosAsLong) — convert like the batch path
-    return stream.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    ts_type = dict(static.dtypes).get("ts")
+    if ts_type == "bigint":
+        # ts arrives as raw nanos — convert like the batch path
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    elif ts_type == "timestamp_ntz":
+        # watermarks need TIMESTAMP (ltz); session is UTC so the cast
+        # is value-preserving
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def _drain_to_memory(writer, spark: SparkSession) -> DataFrame:

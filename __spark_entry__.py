@@ -49,6 +49,7 @@ _SWEEP_TAIL = [
     "q11_tail_n",                       # hash-match r01-r04
     "q13_first_last",                   # hash-match r01-r04
     "q14_distinct",                     # hash-match r01-r04
+    "q15_union_nations",                # hash-match r01-r04
 ]
 
 

@@ -92,6 +92,11 @@ class _OrderBook:
         self.total_shares = 0.0
         self._next_id = 0
         self.parity = parity
+        # Profit of completed orders dropped from `completed` (the
+        # streaming kernel persists only open orders across micro-
+        # batches; closed-order profit folds into this base so Q2's
+        # re-add-on-every-call semantics survive the state handoff).
+        self.profit_base = 0.0
 
     def _new_id(self) -> int:
         self._next_id += 1
@@ -153,9 +158,9 @@ class _OrderBook:
 
     def order_worth(self) -> float:
         # Reference strats.py:215-224 (with Q3 inside value()).
-        return sum(o.profit_loss() or 0.0 for o in self.completed) - sum(
-            o.value() for o in self.open_orders
-        )
+        return self.profit_base + sum(
+            o.profit_loss() or 0.0 for o in self.completed
+        ) - sum(o.value() for o in self.open_orders)
 
 
 class TradingEngine:

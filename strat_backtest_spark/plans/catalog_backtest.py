@@ -433,12 +433,50 @@ def q48_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q49_stream_signal_edges", oracle=_CATALOG["q39_ma_cross_signals"].oracle)
 def q49_stream_signal_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """foreachBatch bridge: the batch signal operators replayed over
-    the events stream; exact vs q39's oracle when a micro-batch holds
-    full per-key history (availableNow replay)."""
-    from strat_backtest_spark.streaming.events_stream import streaming_signal_edges
+    """Stateful incremental signal edges: bars replayed as THREE
+    micro-batches through applyInPandasWithState, where per-ticker
+    state carries the ``lagging-1`` MA warm-up tail across batch
+    boundaries — exact under incremental arrival, not just full-batch
+    replay (the former foreachBatch bridge's caveat). Still checked
+    against q39's batch-semantics oracle."""
+    from strat_backtest_spark.streaming.backtest_stream import (
+        bars_replay_stream,
+        drain_stream,
+        streaming_signal_edges_stateful,
+    )
 
-    return streaming_signal_edges(spark, sf_dir, fast=3, lagging=8)
+    bars = _bars(spark, sf_dir)
+    edges = streaming_signal_edges_stateful(
+        bars_replay_stream(spark, bars, n_chunks=3), fast=3, lagging=8
+    )
+    return drain_stream(spark, edges).select(
+        "ticker",
+        F.date_format("date", "yyyy-MM-dd").alias("date"),
+        F.round("close", 6).alias("close"),
+        "action",
+    )
+
+
+@query("q59_stream_backtest_kernel")  # path-dependent sim: rows-only check
+def q59_stream_backtest_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FIFO order kernel as a streaming stateful operator
+    (SURVEY §7.2 M9): bars replayed as three micro-batches; per-ticker
+    state carries the open-order book + MA tail; output is the per-bar
+    net-worth curve, bit-exact vs the batch kernel (golden + replay
+    parity in tests/test_streaming_kernel.py — the sim itself is not
+    SQL-expressible, same as batch q40)."""
+    from strat_backtest_spark.streaming.backtest_stream import (
+        bars_replay_stream,
+        drain_stream,
+        streaming_backtest_curve,
+    )
+
+    bars = _bars(spark, sf_dir)
+    curve = streaming_backtest_curve(
+        bars_replay_stream(spark, bars, n_chunks=3), fast=3, lagging=8,
+        initial_amount=10_000.0,
+    )
+    return drain_stream(spark, curve).orderBy("ticker", "date").limit(150)
 
 
 @query(

@@ -219,20 +219,25 @@ def streaming_signal_edges(
     tails would need the last ``lagging-1`` bars carried as state —
     see ``sessionize_stream`` for that pattern.
     """
+    import tempfile
+
     from strat_backtest_spark.operators.signals import ma_cross_signals
     from strat_backtest_spark.sources.bars import bars_from_events
 
-    collected: list[pd.DataFrame] = []
+    # Each batch's result is WRITTEN executor-side (parquet append),
+    # never collected to the driver — the earlier toPandas() drain
+    # made the driver the bottleneck at scale; a durable sink is also
+    # what a production foreachBatch job does.
+    out_dir = tempfile.mkdtemp(prefix="stream_edges_")
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         sig = ma_cross_signals(bars_from_events(batch_df), fast=fast, lagging=lagging)
-        out = sig.select(
+        sig.select(
             "ticker",
             F.date_format("date", "yyyy-MM-dd").alias("date"),
             F.round("close", 6).alias("close"),
             "action",
-        )
-        collected.append(out.toPandas())
+        ).write.mode("append").parquet(out_dir)
 
     q = (
         _events_stream(spark, sf_dir)
@@ -253,5 +258,4 @@ def streaming_signal_edges(
             StructField("action", StringType()),
         ]
     )
-    merged = pd.concat(collected) if collected else pd.DataFrame(columns=schema.names)
-    return spark.createDataFrame(merged, schema=schema)
+    return spark.read.schema(schema).parquet(out_dir)

@@ -1,0 +1,144 @@
+"""Streaming order kernel vs batch kernel: the stateful
+applyInPandasWithState walk (streaming/backtest_stream.py) must equal
+the batch mapInPandas walk (operators/kernel.py) when the same bars
+are replayed as MULTIPLE micro-batches — state carries the book and
+the MA tail across batch boundaries, so the curves match bit-exactly.
+"""
+
+import os
+import time
+import uuid
+
+import pytest
+
+from conftest import SF_SMALL
+
+
+def _split_bars_to_files(spark, bars, tmpdir: str, n_chunks: int) -> str:
+    """Write bars as n_chunks parquet files split by date range, with
+    increasing mtimes so the file-stream replays them oldest-first —
+    every ticker's series straddles every chunk boundary."""
+    import pandas as pd
+
+    pdf = bars.toPandas().sort_values(["date", "ticker"]).reset_index(drop=True)
+    dates = sorted(pdf["date"].unique())
+    chunk = max(1, len(dates) // n_chunks)
+    out_dir = os.path.join(tmpdir, f"bars_{uuid.uuid4().hex[:8]}")
+    os.makedirs(out_dir)
+    for i in range(n_chunks):
+        lo = i * chunk
+        hi = None if i == n_chunks - 1 else (i + 1) * chunk
+        sel = pdf[pdf["date"].isin(dates[lo:hi])]
+        path = os.path.join(out_dir, f"{i:03d}.parquet")
+        sel.to_parquet(path, index=False)
+        time.sleep(0.05)  # distinct mtimes -> deterministic replay order
+    return out_dir
+
+
+def _drain_stream(spark, curve) -> "DataFrame":
+    name = f"bt_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        curve.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"/tmp/ckpt_{name}")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def test_streaming_kernel_matches_batch_curve(spark, tmp_path):
+    """Multi-ticker, 4 micro-batches: full per-bar net-worth curve and
+    shares_owned match the batch build_portfolio output exactly."""
+    from strat_backtest_spark.sources.bars import bars_from_events, load_testdata
+    from strat_backtest_spark.plans.backtest import Backtest, MACrossStrategy
+    from strat_backtest_spark.plans.catalog import _t
+    from strat_backtest_spark.streaming.backtest_stream import streaming_backtest_curve
+
+    ev = _t(spark, SF_SMALL, "events")
+    bars = bars_from_events(ev)
+    fast, lagging, init = 3, 8, 10_000.0
+
+    # batch truth
+    bt = Backtest(bars, init, MACrossStrategy(fast, lagging))
+    batch = {
+        (r["ticker"], str(r["date"])): (r["shares_owned"], r["net_worth"])
+        for r in bt.run().collect()
+    }
+    bt.release()
+
+    # streaming replay in 4 chunks
+    src = _split_bars_to_files(spark, bars, str(tmp_path), 4)
+    stream = (
+        spark.readStream.schema(bars.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    curve = streaming_backtest_curve(stream, fast, lagging, init)
+    got = _drain_stream(spark, curve).collect()
+
+    assert len(got) == len(batch), f"row count {len(got)} != {len(batch)}"
+    for r in got:
+        want = batch[(r["ticker"], str(r["date"]))]
+        assert r["shares_owned"] == want[0], (r["ticker"], r["date"])
+        assert r["net_worth"] == pytest.approx(want[1], rel=1e-12), (
+            r["ticker"],
+            r["date"],
+        )
+
+
+def test_streaming_kernel_golden_aapl(spark, tmp_path):
+    """AAPL last-10Y, MA-cross (36,40), init 5000 — the reference's
+    golden final net worth 1,283,666.449897766 (tests/test_strat.py:13)
+    reproduced through a 3-batch incremental stream."""
+    from strat_backtest_spark.sources.bars import load_bars_csv
+    from strat_backtest_spark.streaming.backtest_stream import streaming_backtest_curve
+
+    bars = load_bars_csv(
+        spark, "/root/reference/strat_backtest/data/aapl.csv"
+    ).filter("date > '2012-12-31'")
+    src = _split_bars_to_files(spark, bars, str(tmp_path), 3)
+    stream = (
+        spark.readStream.schema(bars.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    curve = streaming_backtest_curve(stream, 36, 40, 5000.0)
+    rows = _drain_stream(spark, curve).orderBy("date").collect()
+    assert rows[-1]["net_worth"] == pytest.approx(1283666.449897766, rel=1e-9)
+
+
+def test_streaming_signal_edges_stateful_matches_batch(spark, tmp_path):
+    """Edge stream across 3 micro-batches equals the batch
+    ma_cross_signals edges — the MA tail in state supplies the history
+    an incremental batch lacks."""
+    from strat_backtest_spark.sources.bars import bars_from_events
+    from strat_backtest_spark.operators.signals import ma_cross_signals
+    from strat_backtest_spark.plans.catalog import _t
+    from strat_backtest_spark.streaming.backtest_stream import (
+        streaming_signal_edges_stateful,
+    )
+
+    ev = _t(spark, SF_SMALL, "events")
+    bars = bars_from_events(ev)
+    want = {
+        (r["ticker"], str(r["date"]), r["action"])
+        for r in ma_cross_signals(bars, 3, 8).collect()
+    }
+
+    src = _split_bars_to_files(spark, bars, str(tmp_path), 3)
+    stream = (
+        spark.readStream.schema(bars.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    edges = streaming_signal_edges_stateful(stream, 3, 8)
+    got = {
+        (r["ticker"], str(r["date"]), r["action"])
+        for r in _drain_stream(spark, edges).collect()
+    }
+    assert got == want

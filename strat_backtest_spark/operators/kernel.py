@@ -346,9 +346,12 @@ class _KernelOutAcc:
         c["buy_shares"].append(None)
         c["sell_shares"].append(None)
         c["shares_owned"].append(None)
+        c["event_close"].append(None)
         self.n += 1
 
-    def add_event(self, ticker, run_id, date, buy_shares, sell_shares, shares_owned) -> None:
+    def add_event(
+        self, ticker, run_id, date, buy_shares, sell_shares, shares_owned, close
+    ) -> None:
         c = self.cols
         c["ticker"].append(ticker)
         c["run_id"].append(run_id)
@@ -362,6 +365,7 @@ class _KernelOutAcc:
         c["buy_shares"].append(buy_shares)
         c["sell_shares"].append(sell_shares)
         c["shares_owned"].append(shares_owned)
+        c["event_close"].append(close)
         self.n += 1
 
     def flush(self) -> pd.DataFrame:
@@ -398,6 +402,7 @@ def _run_one_group(
             ticker, run_id, d,
             b.num_shares if b is not None else None,
             sell_orders.get(d), owned.get(d),
+            float(closes[np.searchsorted(dates, d)]),
         )
 
 
@@ -503,6 +508,7 @@ def split_kernel_output(kernel_out: DataFrame) -> tuple[DataFrame, DataFrame]:
         "stop_loss",
     )
     events = kernel_out.filter(F.col("row_type") == "event").select(
-        "ticker", "run_id", "date", "buy_shares", "sell_shares", "shares_owned"
+        "ticker", "run_id", "date", "buy_shares", "sell_shares", "shares_owned",
+        "event_close",
     )
     return orders, events

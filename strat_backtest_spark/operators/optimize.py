@@ -27,7 +27,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from strat_backtest_spark.operators.kernel import run_kernel, split_kernel_output
-from strat_backtest_spark.operators.portfolio import build_portfolio
+from strat_backtest_spark.operators.portfolio import final_net_worth_from_events
 from strat_backtest_spark.operators.signals import ma_cross_signals_grid
 from strat_backtest_spark.schemas import PARAMS_SCHEMA
 
@@ -50,11 +50,18 @@ def evaluate_params(
     """Final net worth for every (ticker, run_id): the shared engine of
     grid search and SA neighborhoods. One bars scan, one kernel pass.
 
-    ``feed`` (the |bars|×|runs| kernel input) is persisted: it feeds
-    BOTH the order kernel and the portfolio join, and without the cache
-    the whole signal DAG would be recomputed per consumer — the round-1
-    plan paid that twice per grid. Signal edges are sparse, so they
-    broadcast onto the expanded feed without shuffling it."""
+    The objective needs only the LAST point of each net-worth curve,
+    and at the last bar the curve telescopes to an aggregation over the
+    kernel's sparse trade events:
+
+        net_worth(T) = shares(T)·close(T) − Σ buy·close + Σ sell·close + init
+
+    so the earlier full build_portfolio pass (two window functions over
+    the |bars|×|runs| feed, plus a second consumption of the cached
+    feed) is replaced by one map-side-combining agg over |events| rows
+    — events are edge-sparse, orders of magnitude smaller than the
+    feed. The kernel remains the only consumer of the expanded feed,
+    which therefore no longer needs persist()."""
     signals = ma_cross_signals_grid(bars, params)
     base = bars.select("ticker", "date", "close").crossJoin(
         F.broadcast(params.select("run_id"))
@@ -63,23 +70,16 @@ def evaluate_params(
         F.broadcast(signals.select("ticker", "run_id", "date", "action")),
         ["ticker", "run_id", "date"],
         "left",
-    ).persist()
+    )
     kernel_out = run_kernel(feed, initial_amount)
     _, events = split_kernel_output(kernel_out)
-    portfolio = build_portfolio(feed, events, initial_amount)
-    final = portfolio.groupBy("ticker", "run_id").agg(
-        F.max_by("net_worth", "date").alias("net_worth")
-    )
-    out = final.join(F.broadcast(params), "run_id")
-    # The objective table is tiny (|tickers|x|runs| rows) while feed is
-    # |bars|x|runs|: eagerly materialize the small result, then release
-    # the big cache NOW rather than leaking it for the session — an SA
-    # chain calls this once per step, and un-released feeds would
-    # accumulate until eviction churn. blocking=True so storage is
-    # deterministically flat across repeated sweeps (test-locked).
-    out = out.localCheckpoint(eager=True)
-    feed.unpersist(blocking=True)
-    return out
+    out = final_net_worth_from_events(
+        bars, events, params.select("run_id"), initial_amount
+    ).join(F.broadcast(params), "run_id")
+    # The objective table is tiny (|tickers|×|runs| rows): eagerly
+    # materialize it so an SA chain's repeated calls don't stack lazy
+    # kernel DAGs, and so no cache is left behind for the session.
+    return out.localCheckpoint(eager=True)
 
 
 def grid_search(

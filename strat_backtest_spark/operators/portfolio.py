@@ -53,7 +53,48 @@ def build_portfolio(feed: DataFrame, trade_events: DataFrame, initial_amount: fl
         + F.lit(float(initial_amount))
     )
     return df.withColumn("net_worth", net_worth).drop(
-        "buy_shares", "sell_shares", "shares_owned_event"
+        "buy_shares", "sell_shares", "shares_owned_event", "event_close"
+    )
+
+
+def final_net_worth_from_events(
+    bars: DataFrame, events: DataFrame, run_ids: DataFrame, initial_amount: float
+) -> DataFrame:
+    """(ticker, run_id, net_worth at last bar) WITHOUT building the
+    per-bar curve: at the final bar the build_portfolio algebra
+    telescopes to
+
+        net_worth(T) = shares(T)·close(T) − Σ buy·close + Σ sell·close + init
+
+    which is one map-side-combining agg over the kernel's edge-sparse
+    trade events instead of two window passes over |bars|×|runs| rows.
+    Shared by the optimizer objective (grid / SA) and
+    ``Backtest.final_net_worth``. ``run_ids`` is the (run_id) universe
+    so zero-trade groups still get their (init-only) row."""
+    last_bar = bars.groupBy("ticker").agg(
+        F.max_by("close", "date").alias("__last_close")
+    )
+    agg = events.groupBy("ticker", "run_id").agg(
+        F.sum(
+            F.coalesce(F.col("buy_shares"), F.lit(0.0)) * F.col("event_close")
+        ).alias("__cb"),
+        F.sum(
+            F.coalesce(F.col("sell_shares"), F.lit(0.0)) * F.col("event_close")
+        ).alias("__cs"),
+        F.max_by("shares_owned", "date").alias("__last_shares"),
+    )
+    universe = bars.select("ticker").distinct().crossJoin(F.broadcast(run_ids))
+    net = (
+        F.coalesce(F.col("__last_shares"), F.lit(0.0)) * F.col("__last_close")
+        - F.coalesce(F.col("__cb"), F.lit(0.0))
+        + F.coalesce(F.col("__cs"), F.lit(0.0))
+        + F.lit(float(initial_amount))
+    )
+    return (
+        universe.join(agg, ["ticker", "run_id"], "left")
+        .join(F.broadcast(last_bar), "ticker")
+        .withColumn("net_worth", net)
+        .select("ticker", "run_id", "net_worth")
     )
 
 

@@ -152,9 +152,33 @@ class Backtest:
 
     def final_net_worth(self) -> DataFrame:
         """(ticker, run_id, net_worth at last date) — the optimizer's
-        objective (reference: .net_worth[-1], optimize.py:135)."""
-        if self._portfolio is None:
-            self.run()
-        return self._portfolio.groupBy("ticker", "run_id").agg(
-            F.max_by("net_worth", "date").alias("net_worth")
+        objective (reference: .net_worth[-1], optimize.py:135).
+
+        If the full portfolio was never materialized, skip it: the
+        last-bar value telescopes to an aggregation over the kernel's
+        sparse trade events (portfolio.final_net_worth_from_events) —
+        no |bars| window passes, no caches to manage."""
+        if self._portfolio is not None:
+            return self._portfolio.groupBy("ticker", "run_id").agg(
+                F.max_by("net_worth", "date").alias("net_worth")
+            )
+        from strat_backtest_spark.operators.portfolio import (
+            final_net_worth_from_events,
+        )
+
+        bars = self.bars
+        if self.ticker is not None:
+            bars = bars.filter(F.col("ticker") == self.ticker.lower())
+        feed = self.strategy.signal_feed(bars)
+        kernel_out = run_kernel(
+            feed,
+            self.initial_amount,
+            strategy=self.strategy.kernel_driver,
+            params=self.strategy.kernel_params(),
+            parity=self.parity,
+        )
+        _, events = split_kernel_output(kernel_out)
+        run_ids = bars.sparkSession.createDataFrame([(0,)], "run_id long")
+        return final_net_worth_from_events(
+            bars, events, run_ids, self.initial_amount
         )

@@ -96,6 +96,10 @@ KERNEL_OUT_SCHEMA = T.StructType(
         T.StructField("buy_shares", T.DoubleType(), True),
         T.StructField("sell_shares", T.DoubleType(), True),
         T.StructField("shares_owned", T.DoubleType(), True),
+        # bar close on the event date — lets consumers that only need
+        # FINAL net worth (grid/SA objectives) aggregate events
+        # directly instead of joining back onto the |bars|x|runs| feed
+        T.StructField("event_close", T.DoubleType(), True),
     ]
 )
 

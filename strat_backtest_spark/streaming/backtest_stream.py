@@ -235,28 +235,135 @@ def _make_kernel_fn(fast: int, lagging: int, initial_amount: float, run_id: int)
     return fn
 
 
+# Band strategy (reference Ten_Percent_Strat, custom_strats.py:83-101)
+# is fully path-dependent: thresholds anchor to the LAST transaction's
+# close. Its streaming state is just (started, anchor_close,
+# last_move_sell) + the order book — no MA tail at all. The signal
+# fields of _KERNEL_STATE are reused: ma_tail[0] holds anchor_close is
+# NOT done — a separate struct keeps both states self-describing.
+_BAND_STATE = StructType(
+    [
+        StructField("started", IntegerType()),
+        StructField("anchor_close", DoubleType()),
+        StructField("last_move_sell", IntegerType()),
+        StructField("unused_pad", LongType()),
+        StructField("current_amount", DoubleType()),
+        StructField("profit_base", DoubleType()),
+        StructField("active_orders", DoubleType()),
+        StructField("total_shares", DoubleType()),
+        StructField("next_id", LongType()),
+        StructField("open_oid", ArrayType(LongType())),
+        StructField("open_shares", ArrayType(DoubleType())),
+        StructField("open_start_day", ArrayType(LongType())),
+        StructField("open_start_amount", ArrayType(DoubleType())),
+        StructField("cum_buy_cost", DoubleType()),
+        StructField("cum_sell_proceeds", DoubleType()),
+    ]
+)
+
+
+def _make_band_fn(
+    sell_mult: float, buy_mult: float, initial_amount: float, run_id: int
+):
+    """applyInPandasWithState function for the band strategy: buy on
+    the key's FIRST bar ever, then sell when close rises to
+    anchor*sell_mult, re-buy when it falls to anchor*buy_mult, the
+    anchor re-pinning to each transaction bar (band_driver parity,
+    operators/kernel.py)."""
+
+    def fn(
+        key: Tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        row = state.get if state.exists else None
+        if row is None:
+            started, anchor, last_sell = 0, 0.0, 0
+            cum_buy, cum_sell = 0.0, 0.0
+        else:
+            started, anchor, last_sell = row[0], row[1], row[2]
+            cum_buy, cum_sell = row[13], row[14]
+        eng = _restore_engine(row, initial_amount)
+
+        pdf = pd.concat(list(pdf_iter)).sort_values("date")
+        closes_new = pdf["close"].to_numpy(dtype=np.float64)
+        dates_new = list(pdf["date"])
+
+        out = {c: [] for c in _CURVE_OUTPUT.names}
+        for d, close in zip(dates_new, closes_new):
+            close = float(close)
+            action = None
+            if not started:
+                started = 1
+                anchor = close
+                action = "buy"
+                eng.buy(d, close)
+            elif close >= anchor * sell_mult and not last_sell:
+                action = "sell"
+                eng.sell(d, close)
+                anchor, last_sell = close, 1
+            elif close <= anchor * buy_mult and last_sell:
+                action = "buy"
+                eng.buy(d, close)
+                anchor, last_sell = close, 0
+            b = eng.buy_orders.get(d)
+            if b is not None:
+                cum_buy += b.num_shares * close
+            s = eng.sell_orders.get(d)
+            if s:
+                cum_sell += s * close
+            shares = eng.book.total_shares
+            out["ticker"].append(key[0])
+            out["run_id"].append(run_id)
+            out["date"].append(d)
+            out["close"].append(close)
+            out["action"].append(action)
+            out["shares_owned"].append(float(shares))
+            out["net_worth"].append(
+                shares * close - cum_buy + cum_sell + float(initial_amount)
+            )
+
+        state.update(
+            (int(started), float(anchor), int(last_sell), 0)
+            + _save_engine(eng)
+            + (float(cum_buy), float(cum_sell))
+        )
+        yield pd.DataFrame(out)
+
+    return fn
+
+
 def streaming_backtest_curve(
     bars_stream: DataFrame,
-    fast: int,
-    lagging: int,
-    initial_amount: float,
+    fast: int = 20,
+    lagging: int = 100,
+    initial_amount: float = 10_000.0,
     run_id: int = 0,
     stop_loss_pct: float | None = None,
+    strategy: str = "ma_cross",
+    sell_mult: float = 1.05,
+    buy_mult: float = 0.99,
 ) -> DataFrame:
-    """MA-cross backtest as a streaming stateful operator: bars in,
-    per-bar net-worth curve out (append mode). ``bars_stream`` needs
-    (ticker, date, close)."""
+    """Backtest as a streaming stateful operator: bars in, per-bar
+    net-worth curve out (append mode). ``bars_stream`` needs
+    (ticker, date, close). ``strategy`` is 'ma_cross' (fast/lagging)
+    or 'band' (sell_mult/buy_mult) — both reference strategies run
+    incrementally."""
     if stop_loss_pct is not None:
         raise NotImplementedError(
             "stop-loss needs the close-series range scan; batch kernel only"
         )
+    if strategy == "ma_cross":
+        fn, st = _make_kernel_fn(fast, lagging, initial_amount, run_id), _KERNEL_STATE
+    elif strategy == "band":
+        fn, st = _make_band_fn(sell_mult, buy_mult, initial_amount, run_id), _BAND_STATE
+    else:
+        raise ValueError(f"unknown streaming strategy {strategy!r}")
     return (
         bars_stream.select("ticker", "date", "close")
         .groupBy("ticker")
         .applyInPandasWithState(
-            _make_kernel_fn(fast, lagging, initial_amount, run_id),
+            fn,
             outputStructType=_CURVE_OUTPUT,
-            stateStructType=_KERNEL_STATE,
+            stateStructType=st,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

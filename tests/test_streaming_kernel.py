@@ -112,6 +112,45 @@ def test_streaming_kernel_golden_aapl(spark, tmp_path):
     assert rows[-1]["net_worth"] == pytest.approx(1283666.449897766, rel=1e-9)
 
 
+def test_streaming_band_strategy_matches_batch(spark, tmp_path):
+    """The path-dependent band strategy (anchor re-pins to each
+    transaction bar) through 4 micro-batches equals the batch kernel's
+    curve — the anchor/book state survives batch boundaries."""
+    from strat_backtest_spark.sources.bars import bars_from_events
+    from strat_backtest_spark.plans.backtest import Backtest, BandStrategy
+    from strat_backtest_spark.plans.catalog import _t
+    from strat_backtest_spark.streaming.backtest_stream import streaming_backtest_curve
+
+    ev = _t(spark, SF_SMALL, "events")
+    bars = bars_from_events(ev)
+    init = 10_000.0
+
+    bt = Backtest(bars, init, BandStrategy())
+    batch = {
+        (r["ticker"], str(r["date"])): (r["shares_owned"], r["net_worth"])
+        for r in bt.run().collect()
+    }
+    bt.release()
+
+    src = _split_bars_to_files(spark, bars, str(tmp_path), 4)
+    stream = (
+        spark.readStream.schema(bars.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    curve = streaming_backtest_curve(stream, initial_amount=init, strategy="band")
+    got = _drain_stream(spark, curve).collect()
+
+    assert len(got) == len(batch)
+    for r in got:
+        want = batch[(r["ticker"], str(r["date"]))]
+        assert r["shares_owned"] == want[0], (r["ticker"], r["date"])
+        assert r["net_worth"] == pytest.approx(want[1], rel=1e-12), (
+            r["ticker"],
+            r["date"],
+        )
+
+
 def test_streaming_signal_edges_stateful_matches_batch(spark, tmp_path):
     """Edge stream across 3 micro-batches equals the batch
     ma_cross_signals edges — the MA tail in state supplies the history

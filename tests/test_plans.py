@@ -96,3 +96,20 @@ def test_bucketed_table_aggregates_without_shuffle(spark, tmp_path):
         assert agg.count() == bars.select("ticker").distinct().count()
     finally:
         spark.sql("DROP TABLE IF EXISTS bars_bucketed_test")
+
+
+def test_q47_single_scan_single_candidate_shuffle(spark):
+    """Embedding near-dup: all LSH tables' buckets come from ONE
+    corpus scan (one Arrow UDF + posexplode), candidates form in ONE
+    exchange on (table, bucket), and no nested-loop join appears —
+    the properties that keep the operator linear-ish at 100 TB."""
+    from strat_backtest_spark.plans.catalog import CATALOG
+
+    df = CATALOG["q47_embedding_neardup"].fn(spark, SF_MED)
+    # executedPlan string: one line per node (formatted mode repeats
+    # each node in its detail section, which would double-count)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Scan parquet") == 1, "each extra scan re-reads the corpus"
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("FlatMapGroupsInPandas") == 1

@@ -24,11 +24,16 @@ Design notes (100 TB framing):
   per-batch sort handles intra-batch disorder, and the replay drains
   used here present files in date order). Cross-batch late data would
   need a reorder buffer in state — documented, not implemented.
-- Stop-loss orders are NOT supported on the streaming path: the
-  reference's stop scan (strats.py:302-326) walks the close series
-  between order start and the current bar, which would mean carrying
-  unbounded close history in state. The batch kernel keeps that
-  capability; the streaming kernel rejects the parameter loudly.
+- Stop-loss orders ARE supported (ma_cross path): the reference's
+  stop scan (strats.py:302-326) walks the close series between order
+  start and the current bar, so the state additionally carries that
+  close-history window — pruned every batch to the earliest LIVE stop
+  entry's start day, i.e. O(bars an open stop can look back over),
+  not O(stream length). A stop hit books its sell at the PAST hit
+  bar exactly like the batch engine; rows already emitted are not
+  revised (append mode), so intermediate curve rows are as-of
+  processing time while FINAL net worth/shares match the batch kernel
+  exactly.
 
 Per-bar buy/sell shares are read at emission time. That is safe for
 the shipped drivers because both always close with ``num_shares=-1``
@@ -94,24 +99,41 @@ _KERNEL_STATE = StructType(
         StructField("open_start_amount", ArrayType(DoubleType())),
         StructField("cum_buy_cost", DoubleType()),
         StructField("cum_sell_proceeds", DoubleType()),
+        # stop-loss extension (empty arrays when unused): pending stop
+        # heap entries, the close-history window the reference's range
+        # scan needs (strats.py:302-326), and sell bookings that a
+        # future stop hit could still OVERWRITE (the reference keys
+        # sells by date and replaces, so a later stop booking the same
+        # date supersedes). All three prune to the earliest live stop
+        # entry's start day — state is O(bars an open stop can look
+        # back over), the honest cost of the look-back semantics, not
+        # O(stream length).
+        StructField("heap_sl", ArrayType(DoubleType())),
+        StructField("heap_oid", ArrayType(LongType())),
+        StructField("heap_start_day", ArrayType(LongType())),
+        StructField("hist_day", ArrayType(LongType())),
+        StructField("hist_close", ArrayType(DoubleType())),
+        StructField("acc_day", ArrayType(LongType())),
+        StructField("acc_shares", ArrayType(DoubleType())),
+        StructField("acc_close", ArrayType(DoubleType())),
     ]
 )
 
 
 def _restore_engine(state_row, initial_amount: float) -> TradingEngine:
-    """Rebuild a TradingEngine mid-simulation from the state struct.
-    dates/closes are empty: they exist only for the stop-loss range
-    scan, which the streaming path forbids."""
+    """Rebuild a TradingEngine mid-simulation from the state struct
+    (positions 4..12 — shared by the MA-cross and band layouts).
+    Dates are raw day ORDINALS throughout: the engine only compares,
+    searchsorts, and dict-keys them, so ints work everywhere a
+    datetime would, serialize smaller, and make the stop-scan history
+    a plain int array."""
     eng = TradingEngine(
-        np.array([], dtype="datetime64[D]"), np.array([]), initial_amount
+        np.array([], dtype=np.int64), np.array([], dtype=np.float64), initial_amount
     )
     if state_row is None:
         return eng
-    (
-        _n_seen, _tail, _prev, _fb, current_amount, profit_base,
-        active_orders, total_shares, next_id,
-        oids, shares, start_days, start_amts, _cb, _cs,
-    ) = state_row
+    current_amount, profit_base, active_orders, total_shares, next_id = state_row[4:9]
+    oids, shares, start_days, start_amts = state_row[9:13]
     eng.current_amount = current_amount
     eng.active_orders = active_orders
     book = eng.book
@@ -120,7 +142,7 @@ def _restore_engine(state_row, initial_amount: float) -> TradingEngine:
     book._next_id = next_id
     book.open_orders = deque()
     for oid, ns, sd, sa in zip(oids, shares, start_days, start_amts):
-        o = _KOrder(oid, ns, datetime.date.fromordinal(sd), sa)
+        o = _KOrder(oid, ns, int(sd), sa)
         book.open_orders.append(o)
         book.by_id[oid] = o
     return eng
@@ -144,43 +166,92 @@ def _save_engine(eng: TradingEngine) -> tuple:
         int(book._next_id),
         [int(o.oid) for o in opens],
         [float(o.num_shares) for o in opens],
-        [o.start_time.toordinal() for o in opens],
+        [int(o.start_time) for o in opens],
         [float(o.start_amount) for o in opens],
     )
 
 
-def _make_kernel_fn(fast: int, lagging: int, initial_amount: float, run_id: int):
+def _make_kernel_fn(
+    fast: int,
+    lagging: int,
+    initial_amount: float,
+    run_id: int,
+    stop_loss_pct: float | None = None,
+):
     """Build the applyInPandasWithState function for MA-cross. The MA
     tail length is max(fast, lagging)-1, enough that pandas rolling
     over (tail + batch) equals rolling over the full history for every
     batch row — including pandas' null-until-n warm-up, because while
-    the key has seen < tail_len bars the tail IS the full history."""
+    the key has seen < tail_len bars the tail IS the full history.
+
+    With ``stop_loss_pct`` the state additionally carries the stop
+    heap, the close history its range scan reads, and sell bookings a
+    future hit could overwrite (all pruned to the earliest live stop's
+    start day). A stop hit books the sell at the PAST hit bar, exactly
+    like the batch engine; already-emitted curve rows are not revised
+    (append mode), so intermediate rows are as-of processing time —
+    FINAL net worth and shares match the batch kernel exactly, which
+    is what the parity tests pin."""
     tail_len = max(fast, lagging) - 1
 
     def fn(
         key: Tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        import heapq
+
         row = state.get if state.exists else None
         if row is None:
             n_seen, tail, prev_cross, first_buy_day = 0, [], -1, -1
             cum_buy, cum_sell = 0.0, 0.0
+            heap_entries, hist_day, hist_close = [], [], []
+            accounted: dict[int, tuple[float, float]] = {}
         else:
             n_seen, tail, prev_cross, first_buy_day = row[0], list(row[1]), row[2], row[3]
             cum_buy, cum_sell = row[13], row[14]
+            heap_entries = [
+                (sl, oid, sd) for sl, oid, sd in zip(row[15], row[16], row[17])
+            ]
+            hist_day, hist_close = list(row[18]), list(row[19])
+            accounted = {
+                int(d): (sh, cl) for d, sh, cl in zip(row[20], row[21], row[22])
+            }
         eng = _restore_engine(row, initial_amount)
+        # re-arm the stop heap; heap entries may cite completed orders
+        # (the reference keeps them addressable for the scan's
+        # start_time read) — give those a minimal stand-in
+        for sl, oid, sd in heap_entries:
+            if oid not in eng.book.by_id:
+                eng.book.by_id[oid] = _KOrder(oid, 0.0, int(sd), 0.0)
+            heapq.heappush(eng.stop_heap, (sl, oid))
 
         pdf = pd.concat(list(pdf_iter))
         pdf = pdf.sort_values("date")
         closes_new = pdf["close"].to_numpy(dtype=np.float64)
         dates_new = list(pdf["date"])
+        days_new = [d.toordinal() for d in dates_new]
 
         concat = pd.Series(np.concatenate([np.asarray(tail, dtype=np.float64), closes_new]))
         ma_f = concat.rolling(fast).mean().to_numpy()
         ma_l = concat.rolling(lagging).mean().to_numpy()
         off = len(tail)
 
+        # the scan series: retained history + this batch, as int/float
+        # arrays; per-bar prefixes are views (no copies)
+        all_days = np.concatenate(
+            [np.asarray(hist_day, dtype=np.int64), np.asarray(days_new, dtype=np.int64)]
+        )
+        all_closes = np.concatenate(
+            [np.asarray(hist_close, dtype=np.float64), closes_new]
+        )
+        h = len(hist_day)
+
         out = {c: [] for c in _CURVE_OUTPUT.names}
-        for i, (d, close) in enumerate(zip(dates_new, closes_new)):
+        for i, (d, day, close) in enumerate(zip(dates_new, days_new, closes_new)):
+            close = float(close)
+            # bars strictly BEFORE this one (the reference's window is
+            # [order start, trading date) — current bar excluded)
+            eng.dates = all_days[: h + i]
+            eng.closes = all_closes[: h + i]
             f, l = ma_f[off + i], ma_l[off + i]
             cross = 1 if (not np.isnan(f) and not np.isnan(l) and f > l) else 0
             changed = prev_cross == -1 or cross != prev_cross
@@ -193,28 +264,45 @@ def _make_kernel_fn(fast: int, lagging: int, initial_amount: float, run_id: int)
             if changed:
                 if cross:
                     action = "buy"
-                    eng.buy(d, float(close))
+                    eng.buy(
+                        day,
+                        close,
+                        stop_loss=(close * stop_loss_pct) if stop_loss_pct else None,
+                    )
                     if first_buy_day < 0:
-                        first_buy_day = d.toordinal()
+                        first_buy_day = day
                 else:
                     action = "sell"
-                    if first_buy_day >= 0 and d.toordinal() > first_buy_day:
-                        eng.sell(d, float(close))
-            b = eng.buy_orders.get(d)
+                    if first_buy_day >= 0 and day > first_buy_day:
+                        eng.sell(day, close)
+            b = eng.buy_orders.get(day)
             if b is not None:
-                cum_buy += b.num_shares * float(close)
-            s = eng.sell_orders.get(d)
-            if s:
-                cum_sell += s * float(close)
+                cum_buy += b.num_shares * close
+            # sells may book at PAST bars (stop hits) or be overwritten
+            # at a date by a later hit — reconcile the whole dict
+            # against what has been accounted (both stay edge-sparse)
+            for dt, sh in eng.sell_orders.items():
+                dt = int(dt)
+                old = accounted.get(dt)
+                if old is None:
+                    if dt == day:
+                        c_at = close
+                    else:
+                        c_at = float(all_closes[np.searchsorted(all_days[: h + i], dt)])
+                    accounted[dt] = (float(sh), c_at)
+                    cum_sell += sh * c_at
+                elif old[0] != sh:
+                    cum_sell += (sh - old[0]) * old[1]
+                    accounted[dt] = (float(sh), old[1])
             shares = eng.book.total_shares
             out["ticker"].append(key[0])
             out["run_id"].append(run_id)
             out["date"].append(d)
-            out["close"].append(float(close))
+            out["close"].append(close)
             out["action"].append(action)
             out["shares_owned"].append(float(shares))
             out["net_worth"].append(
-                shares * float(close) - cum_buy + cum_sell + float(initial_amount)
+                shares * close - cum_buy + cum_sell + float(initial_amount)
             )
 
         n_seen += len(closes_new)
@@ -223,12 +311,34 @@ def _make_kernel_fn(fast: int, lagging: int, initial_amount: float, run_id: int)
         new_tail = (
             [float(x) for x in concat.to_numpy()[-tail_len:]] if tail_len > 0 else []
         )
+        # persist + prune the stop machinery to the earliest live stop
+        heap_out = [
+            (float(sl), int(oid), int(eng.book.by_id[oid].start_time))
+            for sl, oid in eng.stop_heap
+        ]
+        if heap_out:
+            keep_from = min(sd for _, _, sd in heap_out)
+            keep = all_days >= keep_from
+            hd = [int(x) for x in all_days[keep]]
+            hc = [float(x) for x in all_closes[keep]]
+            acc = {dt: v for dt, v in accounted.items() if dt >= keep_from}
+        else:
+            hd, hc, acc = [], [], {}
         state.update(
             (
                 int(n_seen), new_tail, int(prev_cross), int(first_buy_day),
             )
             + _save_engine(eng)
-            + (float(cum_buy), float(cum_sell))
+            + (
+                float(cum_buy), float(cum_sell),
+                [sl for sl, _, _ in heap_out],
+                [oid for _, oid, _ in heap_out],
+                [sd for _, _, sd in heap_out],
+                hd, hc,
+                [int(dt) for dt in acc],
+                [float(v[0]) for v in acc.values()],
+                [float(v[1]) for v in acc.values()],
+            )
         )
         yield pd.DataFrame(out)
 
@@ -290,24 +400,25 @@ def _make_band_fn(
         out = {c: [] for c in _CURVE_OUTPUT.names}
         for d, close in zip(dates_new, closes_new):
             close = float(close)
+            day = d.toordinal()
             action = None
             if not started:
                 started = 1
                 anchor = close
                 action = "buy"
-                eng.buy(d, close)
+                eng.buy(day, close)
             elif close >= anchor * sell_mult and not last_sell:
                 action = "sell"
-                eng.sell(d, close)
+                eng.sell(day, close)
                 anchor, last_sell = close, 1
             elif close <= anchor * buy_mult and last_sell:
                 action = "buy"
-                eng.buy(d, close)
+                eng.buy(day, close)
                 anchor, last_sell = close, 0
-            b = eng.buy_orders.get(d)
+            b = eng.buy_orders.get(day)
             if b is not None:
                 cum_buy += b.num_shares * close
-            s = eng.sell_orders.get(d)
+            s = eng.sell_orders.get(day)
             if s:
                 cum_sell += s * close
             shares = eng.book.total_shares
@@ -347,13 +458,12 @@ def streaming_backtest_curve(
     (ticker, date, close). ``strategy`` is 'ma_cross' (fast/lagging)
     or 'band' (sell_mult/buy_mult) — both reference strategies run
     incrementally."""
-    if stop_loss_pct is not None:
-        raise NotImplementedError(
-            "stop-loss needs the close-series range scan; batch kernel only"
-        )
     if strategy == "ma_cross":
-        fn, st = _make_kernel_fn(fast, lagging, initial_amount, run_id), _KERNEL_STATE
+        fn = _make_kernel_fn(fast, lagging, initial_amount, run_id, stop_loss_pct)
+        st = _KERNEL_STATE
     elif strategy == "band":
+        if stop_loss_pct is not None:
+            raise NotImplementedError("band strategy takes no stop-loss")
         fn, st = _make_band_fn(sell_mult, buy_mult, initial_amount, run_id), _BAND_STATE
     else:
         raise ValueError(f"unknown streaming strategy {strategy!r}")

@@ -151,6 +151,42 @@ def test_streaming_band_strategy_matches_batch(spark, tmp_path):
         )
 
 
+def test_streaming_stop_loss_matches_batch_finals(spark, tmp_path):
+    """MA-cross WITH stop-loss through 4 micro-batches: the stop heap,
+    its look-back close window, and retroactive sell bookings all
+    survive batch boundaries — final net worth and shares per ticker
+    equal the batch kernel's (intermediate rows are as-of processing
+    time by design, so only finals are pinned)."""
+    from strat_backtest_spark.sources.bars import bars_from_events
+    from strat_backtest_spark.plans.backtest import Backtest, MACrossStrategy
+    from strat_backtest_spark.plans.catalog import _t
+    from strat_backtest_spark.streaming.backtest_stream import streaming_backtest_curve
+
+    ev = _t(spark, SF_SMALL, "events")
+    bars = bars_from_events(ev)
+    init, slp = 10_000.0, 0.97
+
+    bt = Backtest(bars, init, MACrossStrategy(3, 8, stop_loss_pct=slp))
+    batch = {
+        r["ticker"]: r["net_worth"] for r in bt.final_net_worth().collect()
+    }
+
+    src = _split_bars_to_files(spark, bars, str(tmp_path), 4)
+    stream = (
+        spark.readStream.schema(bars.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    curve = streaming_backtest_curve(stream, 3, 8, init, stop_loss_pct=slp)
+    rows = _drain_stream(spark, curve).orderBy("date").collect()
+    finals = {}
+    for r in rows:
+        finals[r["ticker"]] = r["net_worth"]
+    assert set(finals) == set(batch)
+    for t, nw in finals.items():
+        assert nw == pytest.approx(batch[t], rel=1e-12), t
+
+
 def test_streaming_signal_edges_stateful_matches_batch(spark, tmp_path):
     """Edge stream across 3 micro-batches equals the batch
     ma_cross_signals edges — the MA tail in state supplies the history

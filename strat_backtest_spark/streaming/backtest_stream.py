@@ -172,11 +172,9 @@ def _save_engine(eng: TradingEngine) -> tuple:
 
 
 def _make_kernel_fn(
-    fast: int,
-    lagging: int,
     initial_amount: float,
-    run_id: int,
     stop_loss_pct: float | None = None,
+    resolve=None,
 ):
     """Build the applyInPandasWithState function for MA-cross. The MA
     tail length is max(fast, lagging)-1, enough that pandas rolling
@@ -191,14 +189,21 @@ def _make_kernel_fn(
     like the batch engine; already-emitted curve rows are not revised
     (append mode), so intermediate rows are as-of processing time —
     FINAL net worth and shares match the batch kernel exactly, which
-    is what the parity tests pin."""
-    tail_len = max(fast, lagging) - 1
+    is what the parity tests pin.
+
+    ``resolve(key) -> (fast, lagging, run_id)`` maps the group key to
+    its parameter point — a constant for the single-run operator, a
+    dict lookup on key[1] for the streaming grid (one stateful
+    operator, every (ticker, run_id) its own independent simulation
+    state)."""
 
     def fn(
         key: Tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         import heapq
 
+        fast, lagging, run_id = resolve(key)
+        tail_len = max(fast, lagging) - 1
         row = state.get if state.exists else None
         if row is None:
             n_seen, tail, prev_cross, first_buy_day = 0, [], -1, -1
@@ -459,7 +464,11 @@ def streaming_backtest_curve(
     or 'band' (sell_mult/buy_mult) — both reference strategies run
     incrementally."""
     if strategy == "ma_cross":
-        fn = _make_kernel_fn(fast, lagging, initial_amount, run_id, stop_loss_pct)
+        fn = _make_kernel_fn(
+            initial_amount,
+            stop_loss_pct,
+            resolve=lambda key: (fast, lagging, run_id),
+        )
         st = _KERNEL_STATE
     elif strategy == "band":
         if stop_loss_pct is not None:
@@ -477,6 +486,44 @@ def streaming_backtest_curve(
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+def streaming_grid_curve(
+    bars_stream: DataFrame,
+    params,
+    initial_amount: float = 10_000.0,
+    stop_loss_pct: float | None = None,
+) -> DataFrame:
+    """A whole (fast, lagging) grid evaluated CONCURRENTLY on a live
+    stream: each bar fans out to one row per run_id (map-only literal
+    explode — no stream-static join needed for a driver-side grid),
+    and ONE stateful operator keyed (ticker, run_id) keeps an
+    independent simulation state per parameter point. The streaming
+    counterpart of operators/optimize.evaluate_params: the batch
+    engine re-scores the grid per job, this keeps every point's book
+    warm and current as bars arrive.
+
+    ``params``: iterable of (run_id, fast, lagging)."""
+    rows = [(int(r), int(f), int(l)) for r, f, l in params]
+    by_run = {r: (f, l) for r, f, l in rows}
+    expanded = bars_stream.select(
+        "ticker",
+        "date",
+        "close",
+        F.explode(F.array(*[F.lit(r).cast("long") for r in by_run])).alias("run_id"),
+    )
+    fn = _make_kernel_fn(
+        initial_amount,
+        stop_loss_pct,
+        resolve=lambda key: (*by_run[int(key[1])], int(key[1])),
+    )
+    return expanded.groupBy("ticker", "run_id").applyInPandasWithState(
+        fn,
+        outputStructType=_CURVE_OUTPUT,
+        stateStructType=_KERNEL_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 

@@ -187,6 +187,40 @@ def test_streaming_stop_loss_matches_batch_finals(spark, tmp_path):
         assert nw == pytest.approx(batch[t], rel=1e-12), t
 
 
+def test_streaming_grid_matches_batch_evaluate_params(spark, tmp_path):
+    """A 4-point grid on a 3-batch stream: every (ticker, run) keeps
+    its own kernel state; finals equal the batch optimizer objective
+    (operators/optimize.evaluate_params)."""
+    from strat_backtest_spark.operators.optimize import evaluate_params, expand_grid
+    from strat_backtest_spark.plans.catalog import _t
+    from strat_backtest_spark.sources.bars import bars_from_events
+    from strat_backtest_spark.streaming.backtest_stream import streaming_grid_curve
+
+    ev = _t(spark, SF_SMALL, "events")
+    bars = bars_from_events(ev)
+    init = 10_000.0
+    params = expand_grid(spark, (3, 7, 2), (8, 14, 5))
+    want = {
+        (r["ticker"], r["run_id"]): r["net_worth"]
+        for r in evaluate_params(bars, params, init).collect()
+    }
+
+    rows = [(r["run_id"], r["fast"], r["lagging"]) for r in params.collect()]
+    src = _split_bars_to_files(spark, bars, str(tmp_path), 3)
+    stream = (
+        spark.readStream.schema(bars.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    curve = streaming_grid_curve(stream, rows, init)
+    got = {}
+    for r in _drain_stream(spark, curve).orderBy("date").collect():
+        got[(r["ticker"], r["run_id"])] = r["net_worth"]
+    assert set(got) == set(want)
+    for k, nw in got.items():
+        assert nw == pytest.approx(want[k], rel=1e-12), k
+
+
 def test_streaming_signal_edges_stateful_matches_batch(spark, tmp_path):
     """Edge stream across 3 micro-batches equals the batch
     ma_cross_signals edges — the MA tail in state supplies the history

@@ -50,6 +50,7 @@ _SWEEP_TAIL = [
     "q13_first_last",                   # hash-match r01-r04
     "q14_distinct",                     # hash-match r01-r04
     "q15_union_nations",                # hash-match r01-r04
+    "q16_nations_without_suppliers",    # hash-match r01-r04
 ]
 
 

@@ -392,3 +392,50 @@ def simhash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (train/eval overlap)
+# ---------------------------------------------------------------------------
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    threshold: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flag training documents whose distinct word n-gram shingles
+    overlap an evaluation/benchmark corpus above ``threshold``
+    (train-test contamination screening): (doc_id, contamination)
+    where contamination = |doc shingles ∩ benchmark shingles| /
+    |doc shingles|.
+
+    Scale shape: the benchmark side is an EVAL set — thousands of
+    documents against a 100 TB corpus — so its distinct shingle-hash
+    set is collected small and broadcast; the corpus side is one scan
+    + explode + broadcast-semi count. No shuffle touches document
+    text, and the corpus aggregation is map-side combining on doc_id.
+    Docs with zero shingles (shorter than n tokens) cannot be
+    contaminated and are omitted, matching the SQL mirror."""
+    sh = shingle_hashes(text_col, n)
+    docs = df.select(F.col(id_col), F.explode(sh).alias("h"))
+    bench = (
+        benchmark.select(F.explode(shingle_hashes(text_col, n)).alias("h"))
+        .distinct()
+    )
+    tot = docs.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    hits = (
+        docs.join(F.broadcast(bench), "h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__nh"))
+    )
+    contamination = F.round(
+        F.coalesce(F.col("__nh"), F.lit(0)) / F.col("__n"), 6
+    )
+    return (
+        tot.join(hits, id_col, "left")
+        .select(F.col(id_col), contamination.alias("contamination"))
+        .filter(F.col("contamination") >= threshold)
+    )

@@ -599,3 +599,33 @@ def q58_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return simhash_neardup_pairs(docs, max_hamming=6, bands=4, bits=32)
+
+
+@query(
+    "q60_decontaminate",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    shing AS (SELECT doc_id, {_shingle_hashes_sql(3)} AS sh FROM tok),
+    docs AS (SELECT doc_id, unnest(sh) AS h FROM shing),
+    bench AS (SELECT DISTINCT h FROM docs WHERE doc_id % 20 = 0),
+    tot AS (SELECT doc_id, count(*) AS n FROM docs GROUP BY doc_id),
+    hits AS (
+      SELECT d.doc_id, count(*) AS nh
+      FROM docs d JOIN bench USING (h) GROUP BY d.doc_id
+    )
+    SELECT doc_id, round(coalesce(nh, 0) / n, 6) AS contamination
+    FROM tot LEFT JOIN hits USING (doc_id)
+    WHERE round(coalesce(nh, 0) / n, 6) >= 0.2
+    """,
+)
+def q60_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination screening: every 20th document stands
+    in for the benchmark corpus; flag documents whose distinct
+    3-shingle hashes overlap it ≥ 20%. The benchmark's distinct
+    shingle set broadcasts (eval sets are tiny next to a training
+    corpus); text never shuffles."""
+    from strat_backtest_spark.operators.dedup import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    return decontaminate(docs, bench, n=3, threshold=0.2)

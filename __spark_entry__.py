@@ -51,6 +51,8 @@ _SWEEP_TAIL = [
     "q14_distinct",                     # hash-match r01-r04
     "q15_union_nations",                # hash-match r01-r04
     "q16_nations_without_suppliers",    # hash-match r01-r04
+    "q17_signal_edges",                 # hash-match r01-r04
+    "q18_compound_range_predicate",     # hash-match r01-r04
 ]
 
 

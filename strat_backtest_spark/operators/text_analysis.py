@@ -99,3 +99,24 @@ def predict_language(df: DataFrame, col: str = "text") -> DataFrame:
     for lang in langs:
         out = out.withColumn(f"score_{lang}", scores[lang])
     return out.withColumn("pred_lang", pred)
+
+
+def repetition_score(df: DataFrame, n: int = 2, col: str = "text") -> DataFrame:
+    """Within-document repetition: 1 − |distinct n-grams| / |n-grams|
+    (0 = no repeats). The duplicate-n-gram-fraction quality rule used
+    by web-corpus curation pipelines; heavily repetitive documents are
+    boilerplate/spam candidates. Map-only: both counts come from one
+    tokens pass, no shuffle."""
+    toks = tokens_col(col)
+    grams = F.when(
+        F.size(toks) >= n, F.size(toks) - F.lit(n - 1)
+    ).otherwise(F.lit(0))
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    gram = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
+    distinct = F.size(F.array_distinct(F.transform(idx, gram)))
+    score = F.when(
+        grams > 0, F.round(F.lit(1.0) - distinct / grams, 6)
+    ).otherwise(F.lit(0.0))
+    return df.select("doc_id", score.alias("repetition"))

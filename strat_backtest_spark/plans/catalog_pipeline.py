@@ -629,3 +629,59 @@ def q60_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 20 == 0)
     return decontaminate(docs, bench, n=3, threshold=0.2)
+
+
+@query(
+    "q61_repetition_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 2
+                  THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+                  ELSE [] END AS grams
+      FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN len(grams) > 0
+                THEN round(1.0 - len(list_distinct(grams)) / len(grams), 6)
+                ELSE 0.0 END AS repetition
+    FROM g
+    """,
+)
+def q61_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-2-gram fraction per document — the web-curation
+    boilerplate/spam heuristic. Map-only, one tokens pass."""
+    from strat_backtest_spark.operators.text_analysis import repetition_score
+
+    return repetition_score(_t(spark, sf_dir, "documents"), n=2)
+
+
+@query(
+    "q62_token_quantiles",
+    oracle=f"""
+    WITH t AS (SELECT source, len({_TOKS}) AS n_tokens FROM documents)
+    SELECT source,
+           round(quantile_cont(n_tokens, 0.5), 6)  AS p50,
+           round(quantile_cont(n_tokens, 0.9), 6)  AS p90,
+           round(quantile_cont(n_tokens, 0.99), 6) AS p99,
+           count(*) AS n_docs
+    FROM t GROUP BY source
+    """,
+)
+def q62_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-length distribution (exact interpolated
+    quantiles) — the profile a mixture-weighting / length-filtering
+    stage reads. Spark's exact `percentile` matches DuckDB's
+    quantile_cont interpolation; at 100 TB swap in approx_percentile
+    and a documented error bound."""
+    docs = _t(spark, sf_dir, "documents")
+    from strat_backtest_spark.operators.text_analysis import tokens_col
+
+    t = docs.select("source", F.size(tokens_col("text")).alias("n_tokens"))
+    return t.groupBy("source").agg(
+        F.round(F.expr("percentile(n_tokens, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(n_tokens, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(n_tokens, 0.99)"), 6).alias("p99"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )

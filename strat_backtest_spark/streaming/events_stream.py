@@ -28,7 +28,6 @@ entry points, in increasing order of streaming-native-ness:
 
 from __future__ import annotations
 
-import uuid
 from typing import Iterator, Tuple
 
 import pandas as pd
@@ -71,17 +70,36 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
-def _drain_to_memory(writer, spark: SparkSession) -> DataFrame:
-    """Start, process-all, stop; return the memory table. Local-drain
-    helper — a production job keeps the query running with a durable
-    sink instead."""
-    name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    q = writer.queryName(name).start()
+def _drain_to_parquet(
+    streaming_df: DataFrame, spark: SparkSession, output_mode: str
+) -> DataFrame:
+    """Executor-side drain: every micro-batch WRITES its rows (a
+    foreachBatch parquet sink) instead of collecting them into driver
+    memory — the shape a production job uses for a durable sink, and
+    the one that survives results larger than the driver heap.
+    'complete' mode overwrites with the full aggregate state per
+    batch (last write wins); 'update'/'append' append emissions."""
+    import os
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="stream_drain_")
+    mode = "overwrite" if output_mode == "complete" else "append"
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode(mode).parquet(out_dir)
+
+    q = (
+        streaming_df.writeStream.outputMode(output_mode)
+        .foreachBatch(process)
+        .start()
+    )
     try:
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.table(name)
+    if not any(f.endswith(".parquet") for f in os.listdir(out_dir)):
+        return spark.createDataFrame([], streaming_df.schema)
+    return spark.read.schema(streaming_df.schema).parquet(out_dir)
 
 
 def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -94,9 +112,7 @@ def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total"))
     )
-    out = _drain_to_memory(
-        agg.writeStream.outputMode("complete").format("memory"), spark
-    )
+    out = _drain_to_parquet(agg, spark, "complete")
     return out.select(
         F.col("win.start").alias("window_start"), "event_type", "n", "total"
     )
@@ -186,9 +202,7 @@ def sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    out = _drain_to_memory(
-        sessions.writeStream.outputMode("update").format("memory"), spark
-    )
+    out = _drain_to_parquet(sessions, spark, "update")
     # update mode re-emits a user on every batch that touches them; keep
     # the LATEST emission per user. avg is not monotone across batches
     # (a batch that opens new sessions lowers it), so max() would keep a

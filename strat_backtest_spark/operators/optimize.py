@@ -120,6 +120,12 @@ def simulated_annealing(
     rng = np.random.default_rng(seed)
     pyrng = random.Random(seed)
     spark = bars.sparkSession
+    # The chain re-consumes bars every step (and evaluate_params reads
+    # them in four plan branches): pin them once so the upstream DAG
+    # (scan + bar derivation + filters) doesn't re-run ~4x per
+    # iteration. Single-ticker bars are small by contract; a persist()
+    # would do at larger scale.
+    bars = bars.localCheckpoint(eager=True)
 
     def score(states: list[tuple[int, int]]) -> list[float]:
         rows = [(i, int(f), int(l)) for i, (f, l) in enumerate(states)]

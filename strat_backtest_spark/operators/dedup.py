@@ -19,6 +19,9 @@ to the LLM-data-pipeline surface required by BASELINE.json.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from strat_backtest_spark.functions.hashing import P, md5_hash, perm_params
@@ -209,16 +212,29 @@ def simhash(
     near-dup detection is then Hamming distance on one long."""
     toks = whitespace_tokens(text_col)
     hashes = F.transform(toks, lambda t: md5_hash(t))
-    out = df.select(F.col(id_col), hashes.alias("__h"), F.size(toks).alias("__n"))
-    sim = F.lit(0).cast("long")
-    for j in range(bits):
-        set_cnt = F.size(
-            F.filter(F.col("__h"), lambda h: F.shiftright(h, j) % 2 == 1)
-        )
-        sim = sim + F.when(set_cnt * 2 > F.col("__n"), F.lit(2 ** j).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return out.select(id_col, sim.alias("simhash"))
+
+    # Tokenization + md5 stay JVM-side (engine-portable, oracle-exact);
+    # only the per-bit MAJORITY VOTE moves to an Arrow-batched UDF: the
+    # expression form was `bits` separate HOF filter passes over the
+    # hash array per document, where numpy does one (tokens x bits)
+    # bit-matrix sum per doc. Bit parity: h in [0, P) is non-negative,
+    # so `shiftright(h, j) % 2` == `(h >> j) & 1`.
+    powers = (1 << np.arange(bits)).astype(np.int64)
+    shifts = np.arange(bits)
+
+    @F.pandas_udf("long")
+    def _vote(hs: pd.Series) -> pd.Series:
+        out = np.zeros(len(hs), dtype=np.int64)
+        for k, arr in enumerate(hs):
+            a = np.asarray(arr, dtype=np.int64)
+            n = len(a)
+            if n == 0:
+                continue  # no tokens: no bit wins a majority -> 0
+            cnt = ((a[:, None] >> shifts) & 1).sum(axis=0)
+            out[k] = int(((cnt * 2 > n) * powers).sum())
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), _vote(hashes).alias("simhash"))
 
 
 # ---------------------------------------------------------------------------
@@ -246,9 +262,6 @@ def ngram_jaccard_pairs(
     every pair (~2.5x faster at sf0.1); one shuffle on the blocking
     keys either way, and shingle hashes — never text — are what
     shuffles."""
-    import numpy as np
-    import pandas as pd
-
     sh = shingle_hashes(text_col, n)
     base = df.select(*group_cols, F.col(id_col).alias("id"), sh.alias("sh"))
     id_type = df.schema[id_col].dataType.simpleString()

@@ -53,6 +53,7 @@ _SWEEP_TAIL = [
     "q16_nations_without_suppliers",    # hash-match r01-r04
     "q17_signal_edges",                 # hash-match r01-r04
     "q18_compound_range_predicate",     # hash-match r01-r04
+    "q19_string_predicates",            # hash-match r01-r04
 ]
 
 

@@ -685,3 +685,18 @@ def q62_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(n_tokens, 0.99)"), 6).alias("p99"),
         F.count(F.lit(1)).alias("n_docs"),
     )
+
+
+@query(
+    "q63_stream_dedup",
+    oracle="SELECT DISTINCT md5(text) AS text_hash FROM documents",
+)
+def q63_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the documents STREAM via Structured Streaming's
+    native dropDuplicates state (digests only — text never enters
+    state or shuffle). Equals batch DISTINCT on the finite replay."""
+    from strat_backtest_spark.streaming.documents_stream import (
+        streaming_exact_dedup,
+    )
+
+    return streaming_exact_dedup(spark, sf_dir)

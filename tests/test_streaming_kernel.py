@@ -112,6 +112,54 @@ def test_streaming_kernel_golden_aapl(spark, tmp_path):
     assert rows[-1]["net_worth"] == pytest.approx(1283666.449897766, rel=1e-9)
 
 
+def test_streaming_kernel_edge_series(spark, tmp_path):
+    """Constructed corner cases, 3 micro-batches vs batch: a
+    single-bar ticker (no second bar to sell on), a constant series
+    (no MA cross after warm-up edge), a monotone-down series
+    (sell-signal-only), and a sawtooth that trades repeatedly."""
+    import datetime
+    import pandas as pd
+
+    from strat_backtest_spark.plans.backtest import Backtest, MACrossStrategy
+    from strat_backtest_spark.streaming.backtest_stream import streaming_backtest_curve
+
+    base = datetime.date(2020, 1, 1)
+    rows = []
+    rows.append(("one", base, 10.0))
+    for i in range(12):
+        rows.append(("flat", base + datetime.timedelta(days=i), 5.0))
+        rows.append(("down", base + datetime.timedelta(days=i), 100.0 - i))
+        rows.append(
+            ("saw", base + datetime.timedelta(days=i), 10.0 + (i % 4))
+        )
+    pdf = pd.DataFrame(rows, columns=["ticker", "date", "close"])
+    bars = spark.createDataFrame(pdf)
+    init = 1_000.0
+
+    bt = Backtest(bars, init, MACrossStrategy(2, 4))
+    batch = {
+        (r["ticker"], str(r["date"])): (r["shares_owned"], r["net_worth"])
+        for r in bt.run().collect()
+    }
+    bt.release()
+
+    src = _split_bars_to_files(spark, bars, str(tmp_path), 3)
+    stream = (
+        spark.readStream.schema(bars.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    got = _drain_stream(spark, streaming_backtest_curve(stream, 2, 4, init)).collect()
+    assert len(got) == len(batch)
+    for r in got:
+        want = batch[(r["ticker"], str(r["date"]))]
+        assert r["shares_owned"] == want[0], (r["ticker"], r["date"])
+        assert r["net_worth"] == pytest.approx(want[1], rel=1e-12), (
+            r["ticker"],
+            r["date"],
+        )
+
+
 def test_streaming_band_strategy_matches_batch(spark, tmp_path):
     """The path-dependent band strategy (anchor re-pins to each
     transaction bar) through 4 micro-batches equals the batch kernel's

@@ -2,8 +2,11 @@
 beyond the reference, which is batch-only).
 
 Streams are the natural arrival mode for bars/events at production
-scale; the batch operators compose onto ``readStream`` inputs. Three
-entry points, in increasing order of streaming-native-ness:
+scale; the batch operators compose onto ``readStream`` inputs. This
+module holds the events-table entry points; the streaming ORDER
+KERNEL (MA-cross/band/stop-loss/grid) lives in backtest_stream.py and
+streaming document dedup in documents_stream.py. Entry points here,
+in increasing order of streaming-native-ness:
 
 - ``windowed_event_counts``: watermarked tumbling-window aggregation
   (the built-in stateful operator), drained synchronously from the

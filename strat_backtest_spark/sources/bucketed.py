@@ -42,3 +42,21 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     """Read a bucketed table back with its bucket metadata live (plans
     on the bucket key then skip the Exchange)."""
     return spark.table(table)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_col: str, mode: str = "overwrite"
+) -> None:
+    """Persist ``df`` partitioned by a pruning column — the ANN scale
+    path: an embedding corpus written ``partitionBy(bucket)`` (or IVF
+    ``centroid_id``) lets a probe query scan ONLY its bucket's
+    directory; the filter becomes a PartitionFilter, never touching
+    the other partitions' files (tests/test_plans.py asserts this on
+    the plan)."""
+    df.write.mode(mode).partitionBy(partition_col).parquet(path)
+
+
+def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Read a partition-pruned layout back; filters on the partition
+    column prune directories at planning time."""
+    return spark.read.parquet(path)

@@ -113,3 +113,32 @@ def test_q47_single_scan_single_candidate_shuffle(spark):
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
     assert p.count("FlatMapGroupsInPandas") == 1
+
+
+def test_ann_corpus_partition_pruning(spark, tmp_path):
+    """The ANN scale story made literal: an embedding corpus written
+    partitionBy(bucket) must plan a probe query with a PartitionFilter
+    on bucket (directory pruning) — not a full scan + post-filter."""
+    from strat_backtest_spark.operators.similarity import hyperplane_lsh_buckets
+    from strat_backtest_spark.plans.catalog import _t
+    from strat_backtest_spark.sources.bucketed import (
+        read_partitioned,
+        write_partitioned,
+    )
+
+    emb = _t(spark, SF_MED, "embeddings")
+    corpus = hyperplane_lsh_buckets(emb, 6, 64)
+    path = str(tmp_path / "corpus_by_bucket")
+    write_partitioned(corpus, path, "bucket")
+
+    back = read_partitioned(spark, path)
+    probe = back.filter("bucket = 7").select("vec_id")
+    p = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(bucket" in p, p
+    # the layout really is directory-per-bucket, so the filter above
+    # prunes to one directory out of many
+    import os
+
+    bucket_dirs = [d for d in os.listdir(path) if d.startswith("bucket=")]
+    assert len(bucket_dirs) > 1 and "bucket=7" in bucket_dirs
+    assert probe.count() == back.filter("bucket = 7").count()

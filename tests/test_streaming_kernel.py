@@ -24,7 +24,7 @@ def _split_bars_to_files(spark, bars, tmpdir: str, n_chunks: int) -> str:
     dates = sorted(pdf["date"].unique())
     chunk = max(1, len(dates) // n_chunks)
     out_dir = os.path.join(tmpdir, f"bars_{uuid.uuid4().hex[:8]}")
-    os.makedirs(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
     for i in range(n_chunks):
         lo = i * chunk
         hi = None if i == n_chunks - 1 else (i + 1) * chunk
@@ -158,6 +158,56 @@ def test_streaming_kernel_edge_series(spark, tmp_path):
             r["ticker"],
             r["date"],
         )
+
+
+def test_streaming_kernel_random_series_fuzz(spark, tmp_path):
+    """Randomized differential: three seeded random-walk universes
+    (tickers x ~40 bars, both strategies' parameter ranges) through a
+    3-batch replay must match the batch kernel everywhere — a cheap
+    property sweep beyond the hand-picked edge cases."""
+    import datetime
+    import numpy as np
+    import pandas as pd
+
+    from strat_backtest_spark.plans.backtest import Backtest, MACrossStrategy
+    from strat_backtest_spark.streaming.backtest_stream import streaming_backtest_curve
+
+    base = datetime.date(2021, 3, 1)
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        rows = []
+        for t in range(5):
+            n = int(rng.integers(3, 40))
+            closes = np.abs(rng.normal(0, 1, n)).cumsum() + 1.0
+            for i in range(n):
+                rows.append(
+                    (f"t{t}", base + datetime.timedelta(days=i), float(closes[i]))
+                )
+        bars = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["ticker", "date", "close"])
+        )
+        fast, lagging = int(rng.integers(2, 5)), int(rng.integers(6, 12))
+        bt = Backtest(bars, 2_000.0, MACrossStrategy(fast, lagging))
+        batch = {
+            (r["ticker"], str(r["date"])): r["net_worth"]
+            for r in bt.run().collect()
+        }
+        bt.release()
+
+        src = _split_bars_to_files(spark, bars, str(tmp_path / f"s{seed}"), 3)
+        stream = (
+            spark.readStream.schema(bars.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        got = _drain_stream(
+            spark, streaming_backtest_curve(stream, fast, lagging, 2_000.0)
+        ).collect()
+        assert len(got) == len(batch), f"seed {seed}"
+        for r in got:
+            assert r["net_worth"] == pytest.approx(
+                batch[(r["ticker"], str(r["date"]))], rel=1e-12
+            ), (seed, r["ticker"], r["date"])
 
 
 def test_streaming_band_strategy_matches_batch(spark, tmp_path):

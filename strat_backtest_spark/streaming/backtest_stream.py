@@ -20,10 +20,15 @@ Design notes (100 TB framing):
   two chained ones: Structured Streaming restricts stateful-operator
   chaining, and the MA tail the signal layer needs is tiny next to
   the book state anyway.
-- In-order arrival per key is assumed (bars are daily; a watermark +
-  per-batch sort handles intra-batch disorder, and the replay drains
-  used here present files in date order). Cross-batch late data would
-  need a reorder buffer in state — documented, not implemented.
+- Out-of-order arrival is handled by a bounded REORDER BUFFER in
+  state (ma_cross path): bars wait until the event-time frontier
+  (max day seen − ``allowed_lateness_days``) passes them, so a late
+  bar within the lateness bound still enters the simulation in date
+  order; a null-close row acts as a Flink-style punctuation that
+  advances the frontier (flushing the buffer on a finite replay).
+  With the default lateness 0 every bar is consumed immediately
+  (in-order arrival, the replay drains' case). Late beyond the bound
+  = dropped-on-the-floor semantics, the standard watermark contract.
 - Stop-loss orders ARE supported (ma_cross path): the reference's
   stop scan (strats.py:302-326) walks the close series between order
   start and the current bar, so the state additionally carries that
@@ -116,6 +121,15 @@ _KERNEL_STATE = StructType(
         StructField("acc_day", ArrayType(LongType())),
         StructField("acc_shares", ArrayType(DoubleType())),
         StructField("acc_close", ArrayType(DoubleType())),
+        # out-of-order extension (empty/-1 when lateness_days=0): the
+        # reorder buffer — bars newer than (max event day seen −
+        # allowed lateness) wait here until the watermark frontier
+        # passes them, so cross-batch late arrivals slot back into
+        # date order before the simulation consumes them. State is
+        # O(bars inside the lateness window) per key.
+        StructField("pend_day", ArrayType(LongType())),
+        StructField("pend_close", ArrayType(DoubleType())),
+        StructField("max_day", LongType()),
     ]
 )
 
@@ -175,6 +189,7 @@ def _make_kernel_fn(
     initial_amount: float,
     stop_loss_pct: float | None = None,
     resolve=None,
+    lateness_days: int = 0,
 ):
     """Build the applyInPandasWithState function for MA-cross. The MA
     tail length is max(fast, lagging)-1, enough that pandas rolling
@@ -210,6 +225,7 @@ def _make_kernel_fn(
             cum_buy, cum_sell = 0.0, 0.0
             heap_entries, hist_day, hist_close = [], [], []
             accounted: dict[int, tuple[float, float]] = {}
+            pend_day, pend_close, max_day = [], [], -1
         else:
             n_seen, tail, prev_cross, first_buy_day = row[0], list(row[1]), row[2], row[3]
             cum_buy, cum_sell = row[13], row[14]
@@ -220,6 +236,7 @@ def _make_kernel_fn(
             accounted = {
                 int(d): (sh, cl) for d, sh, cl in zip(row[20], row[21], row[22])
             }
+            pend_day, pend_close, max_day = list(row[23]), list(row[24]), row[25]
         eng = _restore_engine(row, initial_amount)
         # re-arm the stop heap; heap entries may cite completed orders
         # (the reference keeps them addressable for the scan's
@@ -230,10 +247,35 @@ def _make_kernel_fn(
             heapq.heappush(eng.stop_heap, (sl, oid))
 
         pdf = pd.concat(list(pdf_iter))
-        pdf = pdf.sort_values("date")
-        closes_new = pdf["close"].to_numpy(dtype=np.float64)
-        dates_new = list(pdf["date"])
-        days_new = [d.toordinal() for d in dates_new]
+        b_days = [d.toordinal() for d in pdf["date"]]
+        b_closes = pdf["close"].to_numpy(dtype=np.float64)
+        if b_days:
+            max_day = max(max_day, max(b_days))
+        # Reorder buffer: a bar is consumed only once the event-time
+        # frontier (max day seen − allowed lateness) passes it, so a
+        # late arrival ≤ lateness_days old still slots back into date
+        # order. A null-close row is a PUNCTUATION (Flink-style
+        # watermark-as-record): it advances the frontier — flushing
+        # the buffer on a finite replay — but is not a bar.
+        frontier = max_day - lateness_days
+        combined = sorted(
+            [
+                (dy, float(cl))
+                for dy, cl in zip(pend_day, pend_close)
+            ]
+            + [
+                (dy, float(cl))
+                for dy, cl in zip(b_days, b_closes)
+                if not np.isnan(cl)
+            ]
+        )
+        ready = [(dy, cl) for dy, cl in combined if dy <= frontier]
+        held = [(dy, cl) for dy, cl in combined if dy > frontier]
+        pend_day = [dy for dy, _ in held]
+        pend_close = [cl for _, cl in held]
+        days_new = [dy for dy, _ in ready]
+        closes_new = np.array([cl for _, cl in ready], dtype=np.float64)
+        dates_new = [datetime.date.fromordinal(dy) for dy in days_new]
 
         concat = pd.Series(np.concatenate([np.asarray(tail, dtype=np.float64), closes_new]))
         ma_f = concat.rolling(fast).mean().to_numpy()
@@ -343,6 +385,9 @@ def _make_kernel_fn(
                 [int(dt) for dt in acc],
                 [float(v[0]) for v in acc.values()],
                 [float(v[1]) for v in acc.values()],
+                [int(dy) for dy in pend_day],
+                [float(cl) for cl in pend_close],
+                int(max_day),
             )
         )
         yield pd.DataFrame(out)
@@ -457,6 +502,7 @@ def streaming_backtest_curve(
     strategy: str = "ma_cross",
     sell_mult: float = 1.05,
     buy_mult: float = 0.99,
+    allowed_lateness_days: int = 0,
 ) -> DataFrame:
     """Backtest as a streaming stateful operator: bars in, per-bar
     net-worth curve out (append mode). ``bars_stream`` needs
@@ -468,11 +514,14 @@ def streaming_backtest_curve(
             initial_amount,
             stop_loss_pct,
             resolve=lambda key: (fast, lagging, run_id),
+            lateness_days=allowed_lateness_days,
         )
         st = _KERNEL_STATE
     elif strategy == "band":
         if stop_loss_pct is not None:
             raise NotImplementedError("band strategy takes no stop-loss")
+        if allowed_lateness_days:
+            raise NotImplementedError("reorder buffer is on the ma_cross path")
         fn, st = _make_band_fn(sell_mult, buy_mult, initial_amount, run_id), _BAND_STATE
     else:
         raise ValueError(f"unknown streaming strategy {strategy!r}")
@@ -494,6 +543,7 @@ def streaming_grid_curve(
     params,
     initial_amount: float = 10_000.0,
     stop_loss_pct: float | None = None,
+    allowed_lateness_days: int = 0,
 ) -> DataFrame:
     """A whole (fast, lagging) grid evaluated CONCURRENTLY on a live
     stream: each bar fans out to one row per run_id (map-only literal
@@ -517,6 +567,7 @@ def streaming_grid_curve(
         initial_amount,
         stop_loss_pct,
         resolve=lambda key: (*by_run[int(key[1])], int(key[1])),
+        lateness_days=allowed_lateness_days,
     )
     return expanded.groupBy("ticker", "run_id").applyInPandasWithState(
         fn,

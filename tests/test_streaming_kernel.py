@@ -349,3 +349,64 @@ def test_streaming_signal_edges_stateful_matches_batch(spark, tmp_path):
         for r in _drain_stream(spark, edges).collect()
     }
     assert got == want
+
+
+def test_streaming_kernel_out_of_order_arrival(spark, tmp_path):
+    """Late bars within the lateness bound re-enter in date order: the
+    last two days of chunk 1 are delayed into chunk 2, a final
+    punctuation file (null close, far-future date) flushes the reorder
+    buffer — the drained curve equals the batch kernel exactly."""
+    import datetime
+    import pandas as pd
+
+    from strat_backtest_spark.plans.backtest import Backtest, MACrossStrategy
+    from strat_backtest_spark.plans.catalog import _t
+    from strat_backtest_spark.sources.bars import bars_from_events
+    from strat_backtest_spark.streaming.backtest_stream import streaming_backtest_curve
+
+    ev = _t(spark, SF_SMALL, "events")
+    bars = bars_from_events(ev)
+    init = 10_000.0
+
+    bt = Backtest(bars, init, MACrossStrategy(3, 8))
+    batch = {
+        (r["ticker"], str(r["date"])): r["net_worth"] for r in bt.run().collect()
+    }
+    bt.release()
+
+    pdf = bars.toPandas().sort_values(["date", "ticker"]).reset_index(drop=True)
+    dates = sorted(pdf["date"].unique())
+    third = len(dates) // 3
+    c1_dates, c2_dates, c3_dates = dates[:third], dates[third:2 * third], dates[2 * third:]
+    late_dates = c1_dates[-2:]  # delayed into chunk 2
+    src = str(tmp_path / "ooo")
+    os.makedirs(src)
+    chunks = [
+        pdf[pdf["date"].isin([d for d in c1_dates if d not in late_dates])],
+        pd.concat([pdf[pdf["date"].isin(c2_dates)], pdf[pdf["date"].isin(late_dates)]]),
+        pdf[pdf["date"].isin(c3_dates)],
+        pd.DataFrame(
+            {
+                "ticker": pdf["ticker"].unique(),
+                "date": max(dates) + datetime.timedelta(days=60),
+                "open": None, "high": None, "low": None,
+                "close": None, "volume": None,
+            }
+        ).astype({"close": "float64"}),
+    ]
+    for i, c in enumerate(chunks):
+        c.to_parquet(os.path.join(src, f"{i:03d}.parquet"), index=False)
+        time.sleep(0.05)
+
+    stream = (
+        spark.readStream.schema(bars.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    curve = streaming_backtest_curve(stream, 3, 8, init, allowed_lateness_days=30)
+    got = _drain_stream(spark, curve).collect()
+    assert len(got) == len(batch)
+    for r in got:
+        assert r["net_worth"] == pytest.approx(
+            batch[(r["ticker"], str(r["date"]))], rel=1e-12
+        ), (r["ticker"], r["date"])

@@ -54,6 +54,8 @@ _SWEEP_TAIL = [
     "q17_signal_edges",                 # hash-match r01-r04
     "q18_compound_range_predicate",     # hash-match r01-r04
     "q19_string_predicates",            # hash-match r01-r04
+    "q20_json_props",                   # hash-match r01-r04
+    "q12_trailing_period",              # hash-match r01-r04
 ]
 
 

@@ -591,3 +591,51 @@ def q53_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("close", 6).alias("close"),
         "volume",
     )
+
+
+@query("q64_stream_band_kernel")  # path-dependent sim: rows-only check
+def q64_stream_band_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The band strategy (threshold re-anchoring to the last
+    transaction — fully path-dependent) on the streaming kernel:
+    per-ticker state carries (anchor, last-move, book) across three
+    micro-batches. Bit-exact vs the batch kernel in
+    tests/test_streaming_kernel.py."""
+    from strat_backtest_spark.streaming.backtest_stream import (
+        bars_replay_stream,
+        drain_stream,
+        streaming_backtest_curve,
+    )
+
+    bars = _bars(spark, sf_dir)
+    curve = streaming_backtest_curve(
+        bars_replay_stream(spark, bars, n_chunks=3),
+        initial_amount=10_000.0,
+        strategy="band",
+    )
+    return drain_stream(spark, curve).orderBy("ticker", "date").limit(150)
+
+
+@query("q65_stream_grid")  # path-dependent sim: rows-only check
+def q65_stream_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A 4-point (fast, lagging) grid evaluated CONCURRENTLY on the
+    bar stream — one stateful operator keyed (ticker, run_id), every
+    parameter point its own live order book. Matches the batch
+    optimizer objective in tests/test_streaming_kernel.py."""
+    from strat_backtest_spark.streaming.backtest_stream import (
+        bars_replay_stream,
+        drain_stream,
+        streaming_grid_curve,
+    )
+
+    bars = _bars(spark, sf_dir)
+    params = [(0, 3, 8), (1, 3, 13), (2, 5, 8), (3, 5, 13)]
+    curve = streaming_grid_curve(
+        bars_replay_stream(spark, bars, n_chunks=3), params, 10_000.0
+    )
+    return (
+        drain_stream(spark, curve)
+        .groupBy("ticker", "run_id")
+        .agg(F.max_by("net_worth", "date").alias("net_worth"))
+        .orderBy("ticker", "run_id")
+        .limit(150)
+    )

@@ -45,7 +45,8 @@ def expand_grid(spark: SparkSession, fast_range, lagging_range) -> DataFrame:
 
 
 def evaluate_params(
-    bars: DataFrame, params: DataFrame, initial_amount: float
+    bars: DataFrame, params: DataFrame, initial_amount: float,
+    materialize: bool = True,
 ) -> DataFrame:
     """Final net worth for every (ticker, run_id): the shared engine of
     grid search and SA neighborhoods. One bars scan, one kernel pass.
@@ -77,9 +78,10 @@ def evaluate_params(
         bars, events, params.select("run_id"), initial_amount
     ).join(F.broadcast(params), "run_id")
     # The objective table is tiny (|tickers|×|runs| rows): eagerly
-    # materialize it so an SA chain's repeated calls don't stack lazy
-    # kernel DAGs, and so no cache is left behind for the session.
-    return out.localCheckpoint(eager=True)
+    # materialize it so repeated calls don't stack lazy kernel DAGs.
+    # A caller that collects the result immediately (SA's score step)
+    # passes materialize=False and saves one job per chain step.
+    return out.localCheckpoint(eager=True) if materialize else out
 
 
 def grid_search(
@@ -130,7 +132,7 @@ def simulated_annealing(
     def score(states: list[tuple[int, int]]) -> list[float]:
         rows = [(i, int(f), int(l)) for i, (f, l) in enumerate(states)]
         params = spark.createDataFrame(rows, PARAMS_SCHEMA)
-        scored = evaluate_params(bars, params, initial_amount)
+        scored = evaluate_params(bars, params, initial_amount, materialize=False)
         got = {
             r["run_id"]: r["net_worth"]
             for r in scored.groupBy("run_id")

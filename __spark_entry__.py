@@ -56,6 +56,7 @@ _SWEEP_TAIL = [
     "q19_string_predicates",            # hash-match r01-r04
     "q20_json_props",                   # hash-match r01-r04
     "q12_trailing_period",              # hash-match r01-r04
+    "q06_rolling_mean",                 # hash-match r01-r04
 ]
 
 

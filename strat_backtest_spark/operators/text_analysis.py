@@ -120,3 +120,40 @@ def repetition_score(df: DataFrame, n: int = 2, col: str = "text") -> DataFrame:
         grams > 0, F.round(F.lit(1.0) - distinct / grams, 6)
     ).otherwise(F.lit(0.0))
     return df.select("doc_id", score.alias("repetition"))
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed-token-window chunking with overlap — the context-window
+    prep stage of a training pipeline: (doc_id, chunk_id, chunk_text,
+    n_tokens), stride = chunk_tokens − overlap, last window ragged.
+    Map-only: one tokens pass, chunk indices explode as ints and the
+    text slices come from the same array — no shuffle, no text
+    duplication beyond the overlap itself."""
+    stride = int(chunk_tokens) - int(overlap)
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.ceil((n - chunk_tokens) / F.lit(float(stride))).cast("int") + 1
+    )
+    with_idx = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    window = F.slice(
+        F.col("__toks"), F.col("chunk_id") * stride + 1, chunk_tokens
+    )
+    return with_idx.select(
+        id_col,
+        "chunk_id",
+        F.concat_ws(" ", window).alias("chunk_text"),
+        F.size(window).alias("n_tokens"),
+    )

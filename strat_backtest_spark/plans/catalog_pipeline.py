@@ -700,3 +700,32 @@ def q63_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return streaming_exact_dedup(spark, sf_dir)
+
+
+@query(
+    "q66_chunking",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    n AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) <= 64 THEN 1
+                  ELSE ceil((len(toks) - 64) / 48.0)::INT + 1 END AS nc
+      FROM t
+    ), ex AS (
+      SELECT doc_id, toks, unnest(range(nc)) AS chunk_id FROM n
+    )
+    SELECT doc_id, chunk_id::INT AS chunk_id,
+           array_to_string(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ') AS chunk_text,
+           len(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64]) AS n_tokens
+    FROM ex
+    """,
+)
+def q66_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 64-token windows, 16-token overlap
+    (stride 48), ragged last window — map-only explode of chunk
+    indices over one tokens pass."""
+    from strat_backtest_spark.operators.text_analysis import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
+    )

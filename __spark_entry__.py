@@ -61,6 +61,7 @@ _SWEEP_TAIL = [
     "q06_rolling_mean",                 # hash-match r01-r04
     "q09_cumprod",                      # hash-match r01-r04
     "q03_top_customers",                # hash-match r01-r04
+    "q26_token_counts",                 # hash-match r02-r04
 ]
 
 

@@ -777,3 +777,68 @@ def q68_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     return docs.join(F.broadcast(removed), "doc_id", "left_anti")
+
+
+@query(
+    "q69_curation_end_to_end",
+    oracle=f"""
+    WITH cc AS ({_q56_oracle()}),
+    surv AS (
+      SELECT d.doc_id, d.text FROM documents d
+      LEFT JOIN cc ON d.doc_id = cc.id AND cc.id <> cc.component
+      WHERE cc.id IS NULL
+    ),
+    tok_all AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh_all AS (SELECT doc_id, {_shingle_hashes_sql(3)} AS sh FROM tok_all),
+    docs_h AS (SELECT doc_id, unnest(sh) AS h FROM sh_all),
+    bench AS (SELECT DISTINCT h FROM docs_h WHERE doc_id % 20 = 0),
+    tot AS (SELECT doc_id, count(*) AS n FROM docs_h GROUP BY doc_id),
+    hits AS (
+      SELECT d.doc_id, count(*) AS nh FROM docs_h d JOIN bench USING (h)
+      GROUP BY d.doc_id
+    ),
+    contaminated AS (
+      SELECT doc_id FROM tot LEFT JOIN hits USING (doc_id)
+      WHERE round(coalesce(nh, 0) / n, 6) >= 0.5
+    ),
+    kept AS (
+      SELECT s.doc_id, s.text FROM surv s
+      LEFT JOIN contaminated c USING (doc_id) WHERE c.doc_id IS NULL
+    ),
+    kt AS (SELECT doc_id, {_TOKS} AS toks FROM kept),
+    kn AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) <= 64 THEN 1
+                  ELSE ceil((len(toks) - 64) / 48.0)::INT + 1 END AS nc
+      FROM kt
+    ), ex AS (
+      SELECT doc_id, toks, unnest(range(nc)) AS chunk_id FROM kn
+    )
+    SELECT doc_id, chunk_id::INT AS chunk_id,
+           len(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64]) AS n_tokens
+    FROM ex
+    """,
+)
+def q69_curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline as ONE lazy plan: near-dup groups →
+    drop non-canonical members → drop benchmark-contaminated docs
+    (≥50% shingle overlap with the stand-in eval set) → chunk the
+    survivors into 64-token context windows. Every stage is the
+    already-oracled operator; the value here is that the composition
+    stays a single Catalyst plan — no driver round-trips between
+    stages — and the chained DuckDB mirror still hash-matches."""
+    from strat_backtest_spark.operators.dedup import decontaminate
+    from strat_backtest_spark.operators.text_analysis import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    cc = CATALOG["q56_dedup_components"].fn(spark, sf_dir)
+    removed = cc.filter(F.col("component") != F.col("id")).select(
+        F.col("id").alias("doc_id")
+    )
+    surv = docs.join(F.broadcast(removed), "doc_id", "left_anti")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    contaminated = decontaminate(docs, bench, n=3, threshold=0.5).select("doc_id")
+    kept = surv.join(F.broadcast(contaminated), "doc_id", "left_anti")
+    return chunk_documents(kept, chunk_tokens=64, overlap=16).select(
+        "doc_id", "chunk_id", "n_tokens"
+    )

@@ -842,3 +842,29 @@ def q69_curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(kept, chunk_tokens=64, overlap=16).select(
         "doc_id", "chunk_id", "n_tokens"
     )
+
+
+@query(
+    "q70_dup_rate_by_source",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           count(DISTINCT md5(text)) AS n_unique,
+           round(1.0 - count(DISTINCT md5(text)) / count(*), 6) AS dup_rate
+    FROM documents GROUP BY source
+    """,
+)
+def q70_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication profile per source — the report a curation operator
+    reads to decide which feeds need aggressive dedup. Digest-only
+    distinct (16-byte md5), one aggregation."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5(F.col("text").cast("binary"))).alias("n_unique"),
+        F.round(
+            F.lit(1.0)
+            - F.countDistinct(F.md5(F.col("text").cast("binary"))) / F.count(F.lit(1)),
+            6,
+        ).alias("dup_rate"),
+    )

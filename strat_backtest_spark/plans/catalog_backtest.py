@@ -558,12 +558,18 @@ def q52_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q53_resample_ohlc",
     oracle="""
     WITH bars AS (
-      -- floor, not ::BIGINT: DuckDB's cast rounds, Spark's truncates
-      SELECT ticker, date, close, floor(abs(vol_raw))::BIGINT AS volume FROM (
-        SELECT user_id::VARCHAR AS ticker, CAST(ts AS DATE) AS date,
-               arg_min(value, ts) AS close, sum(value) AS vol_raw
-        FROM events GROUP BY 1, 2
-      )
+      -- round BEFORE the floor (both engines): a floor of an unrounded
+      -- float sum flips with summation order near integer boundaries.
+      -- rn=1 over (ts, event_id) = Spark's min_by(value,
+      -- struct(ts, event_id)) deterministic tie-break (as in q39).
+      SELECT ticker, date, value AS close,
+             floor(round(abs(vol_raw), 6))::BIGINT AS volume FROM (
+        SELECT user_id::VARCHAR AS ticker, CAST(ts AS DATE) AS date, value,
+               row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                  ORDER BY ts, event_id) AS rn,
+               sum(value) OVER (PARTITION BY user_id, CAST(ts AS DATE)) AS vol_raw
+        FROM events
+      ) WHERE rn = 1
     )
     SELECT ticker, strftime(date_trunc('week', date), '%Y-%m-%d') AS week,
            round(arg_min(close, date), 6) AS open,

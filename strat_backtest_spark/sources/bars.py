@@ -84,6 +84,10 @@ def bars_from_events(events: DataFrame) -> DataFrame:
     a ticker, `value` the close price, ts→date (first event per day).
 
     Deterministic: first value per (user, day) by (ts, event_id).
+    Volume is rounded to 6dp BEFORE the integer floor — a floor of an
+    unrounded float sum flips with summation order when |sum| lands
+    within float-noise of an integer (the catalog's design rule,
+    plans/catalog.py:13-14).
     """
     per_day = events.groupBy(
         F.col("user_id").cast("string").alias("ticker"),
@@ -99,7 +103,7 @@ def bars_from_events(events: DataFrame) -> DataFrame:
         F.col("close").alias("high"),
         F.col("close").alias("low"),
         "close",
-        F.abs(F.col("volume_raw")).cast("long").alias("volume"),
+        F.floor(F.round(F.abs(F.col("volume_raw")), 6)).alias("volume"),
     )
 
 

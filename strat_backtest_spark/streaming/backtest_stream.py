@@ -130,6 +130,12 @@ _KERNEL_STATE = StructType(
         StructField("pend_day", ArrayType(LongType())),
         StructField("pend_close", ArrayType(DoubleType())),
         StructField("max_day", LongType()),
+        # last day the simulation CONSUMED: a bar at or before it
+        # arrived later than the lateness bound allows and is dropped
+        # on the floor (true watermark-drop) — appending it would make
+        # the history unsorted and corrupt the stop-scan searchsorted
+        # and the rolling-MA tail.
+        StructField("last_day", LongType()),
     ]
 )
 
@@ -225,7 +231,7 @@ def _make_kernel_fn(
             cum_buy, cum_sell = 0.0, 0.0
             heap_entries, hist_day, hist_close = [], [], []
             accounted: dict[int, tuple[float, float]] = {}
-            pend_day, pend_close, max_day = [], [], -1
+            pend_day, pend_close, max_day, last_day = [], [], -1, -1
         else:
             n_seen, tail, prev_cross, first_buy_day = row[0], list(row[1]), row[2], row[3]
             cum_buy, cum_sell = row[13], row[14]
@@ -237,6 +243,7 @@ def _make_kernel_fn(
                 int(d): (sh, cl) for d, sh, cl in zip(row[20], row[21], row[22])
             }
             pend_day, pend_close, max_day = list(row[23]), list(row[24]), row[25]
+            last_day = row[26]
         eng = _restore_engine(row, initial_amount)
         # re-arm the stop heap; heap entries may cite completed orders
         # (the reference keeps them addressable for the scan's
@@ -258,6 +265,11 @@ def _make_kernel_fn(
         # watermark-as-record): it advances the frontier — flushing
         # the buffer on a finite replay — but is not a bar.
         frontier = max_day - lateness_days
+        # beyond-bound lateness = TRUE drop: a bar at or before the
+        # last consumed day would enter the simulation AFTER newer
+        # bars already simulated — unsorted history silently breaks
+        # the stop-scan searchsorted and the MA tail. Pending bars
+        # were admitted while on time, so only fresh arrivals filter.
         combined = sorted(
             [
                 (dy, float(cl))
@@ -266,7 +278,7 @@ def _make_kernel_fn(
             + [
                 (dy, float(cl))
                 for dy, cl in zip(b_days, b_closes)
-                if not np.isnan(cl)
+                if not np.isnan(cl) and dy > last_day
             ]
         )
         ready = [(dy, cl) for dy, cl in combined if dy <= frontier]
@@ -275,6 +287,8 @@ def _make_kernel_fn(
         pend_close = [cl for _, cl in held]
         days_new = [dy for dy, _ in ready]
         closes_new = np.array([cl for _, cl in ready], dtype=np.float64)
+        if days_new:
+            last_day = days_new[-1]
         dates_new = [datetime.date.fromordinal(dy) for dy in days_new]
 
         concat = pd.Series(np.concatenate([np.asarray(tail, dtype=np.float64), closes_new]))
@@ -388,6 +402,7 @@ def _make_kernel_fn(
                 [int(dy) for dy in pend_day],
                 [float(cl) for cl in pend_close],
                 int(max_day),
+                int(last_day),
             )
         )
         yield pd.DataFrame(out)

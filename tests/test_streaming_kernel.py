@@ -410,3 +410,66 @@ def test_streaming_kernel_out_of_order_arrival(spark, tmp_path):
         assert r["net_worth"] == pytest.approx(
             batch[(r["ticker"], str(r["date"]))], rel=1e-12
         ), (r["ticker"], r["date"])
+
+
+def test_streaming_kernel_drops_beyond_bound_late_bar(spark, tmp_path):
+    """A bar arriving LATER than allowed_lateness_days must be dropped
+    on the floor, not appended after already-simulated newer bars: a
+    poison re-delivery of an early date (wrong close) lands in the
+    final chunk after the frontier has moved far past it — the drained
+    curve must still equal the batch kernel on the clean bars."""
+    import datetime
+    import pandas as pd
+
+    from strat_backtest_spark.plans.backtest import Backtest, MACrossStrategy
+    from strat_backtest_spark.plans.catalog import _t
+    from strat_backtest_spark.sources.bars import bars_from_events
+    from strat_backtest_spark.streaming.backtest_stream import streaming_backtest_curve
+
+    ev = _t(spark, SF_SMALL, "events")
+    bars = bars_from_events(ev)
+    init = 10_000.0
+
+    bt = Backtest(bars, init, MACrossStrategy(3, 8))
+    batch = {
+        (r["ticker"], str(r["date"])): r["net_worth"] for r in bt.run().collect()
+    }
+    bt.release()
+
+    pdf = bars.toPandas().sort_values(["date", "ticker"]).reset_index(drop=True)
+    dates = sorted(pdf["date"].unique())
+    half = len(dates) // 2
+    poison = pdf[pdf["date"] == dates[2]].copy()
+    poison["close"] = poison["close"] * 10 + 999.0  # must never be simulated
+    punct = pd.DataFrame(
+        {
+            "ticker": pdf["ticker"].unique(),
+            "date": max(dates) + datetime.timedelta(days=60),
+            "open": None, "high": None, "low": None,
+            "close": None, "volume": None,
+        }
+    ).astype({"close": "float64"})
+    src = str(tmp_path / "late_drop")
+    os.makedirs(src)
+    chunks = [
+        pdf[pdf["date"].isin(dates[:half])],
+        pdf[pdf["date"].isin(dates[half:])],
+        poison,  # dates[2] again, long past the 2-day bound
+        punct,   # flushes the reorder buffer
+    ]
+    for i, c in enumerate(chunks):
+        c.to_parquet(os.path.join(src, f"{i:03d}.parquet"), index=False)
+        time.sleep(0.05)
+
+    stream = (
+        spark.readStream.schema(bars.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    curve = streaming_backtest_curve(stream, 3, 8, init, allowed_lateness_days=2)
+    got = _drain_stream(spark, curve).collect()
+    assert len(got) == len(batch)  # no extra row for the poison bar
+    for r in got:
+        assert r["net_worth"] == pytest.approx(
+            batch[(r["ticker"], str(r["date"]))], rel=1e-12
+        ), (r["ticker"], r["date"])

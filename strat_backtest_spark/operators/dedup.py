@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from strat_backtest_spark.functions.hashing import P, md5_hash, perm_params
+from strat_backtest_spark.functions.numeric import round_half_up
 from strat_backtest_spark.functions.text import whitespace_tokens
 
 
@@ -292,7 +293,7 @@ def ngram_jaccard_pairs(
         union = lens[:, None] + lens[None, :] - inter
         with np.errstate(divide="ignore", invalid="ignore"):
             jac = np.where(union > 0, inter / union, 0.0)
-        jac = np.round(jac, 6)
+        jac = round_half_up(jac, 6)  # oracle parity: SQL round is HALF_UP
         iu, ju = np.triu_indices(m, k=1)
         keep = jac[iu, ju] >= thr
         iu, ju = iu[keep], ju[keep]

@@ -18,6 +18,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from strat_backtest_spark.functions.numeric import round_half_up
+
 
 def _dot(a: Column, b: Column) -> Column:
     # HOF fold, deliberately: an unrolled 64-term element_at expression
@@ -268,7 +270,7 @@ def embedding_neardup_pairs(
         V = np.vstack(pdf["vec"].to_numpy()[order]).astype(np.float64)
         nrm = np.sqrt((V * V).sum(axis=1))
         with np.errstate(divide="ignore", invalid="ignore"):
-            sim = np.round((V @ V.T) / np.outer(nrm, nrm), 6)
+            sim = round_half_up((V @ V.T) / np.outer(nrm, nrm), 6)
         iu, ju = np.triu_indices(n, k=1)
         keep = sim[iu, ju] >= thr
         iu, ju = iu[keep], ju[keep]
@@ -316,7 +318,7 @@ def ivf_assign(
         if len(vecs) == 0:
             return pd.Series(np.empty(0, dtype=np.int64))
         V = np.vstack(vecs.to_numpy()).astype(np.float64)  # (N, dim)
-        D = np.round(((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), 9)
+        D = round_half_up(((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), 9)
         best = D.min(axis=1, keepdims=True)
         # among equal-distance centroids, the smallest cid wins
         cand = np.where(D == best, cids[None, :], np.iinfo(np.int64).max)
@@ -344,7 +346,7 @@ def ivf_probes(
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
         V = np.vstack(vecs.to_numpy()).astype(np.float64)
-        D = np.round(((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), 9)
+        D = round_half_up(((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), 9)
         # sort centroids per row by (distance, cid); cids may be unsorted
         cid_order = np.argsort(cids, kind="stable")
         Ds = D[:, cid_order]

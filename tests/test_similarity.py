@@ -63,3 +63,22 @@ def test_neardup_multi_table_recall(spark):
     r1, r3 = recall(1), recall(3)
     assert r3 >= r1
     assert r3 >= 0.7, f"multi-table recall {r3}"
+
+
+def test_round_half_up_matches_sql_round():
+    """np.round is banker's (half-to-even); SQL round in Spark and
+    DuckDB is half-away-from-zero. The shared helper must follow SQL."""
+    import duckdb
+    import numpy as np
+
+    from strat_backtest_spark.functions.numeric import round_half_up
+
+    xs = np.array([0.0000005, 0.0000015, -0.0000005, -0.0000015, 0.1234564, 0.12345649999])
+    got = round_half_up(xs, 6)
+    exp = [
+        duckdb.sql(f"SELECT round(CAST({repr(float(x))} AS DOUBLE), 6)").fetchone()[0] for x in xs
+    ]
+    assert got.tolist() == exp
+    # the case banker's rounding gets wrong:
+    assert round_half_up(np.array([2.5]), 0)[0] == 3.0
+    assert round_half_up(np.array([-2.5]), 0)[0] == -3.0

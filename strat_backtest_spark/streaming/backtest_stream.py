@@ -601,24 +601,48 @@ def bars_replay_stream(
     chunk), so every per-key series crosses batch boundaries and the
     stateful operators genuinely exercise their cross-batch state.
 
-    This is a test/gate harness: it materializes the bars driver-side
-    into a temp dir. A production job replaces it with the real
-    arrival stream (kafka / cloud-storage file notifications) — the
-    downstream operators are identical."""
+    This is a test/gate harness: a production job replaces it with the
+    real arrival stream (kafka / cloud-storage file notifications) —
+    the downstream operators are identical.
+
+    The bars themselves never touch the driver: each chunk is written
+    by a Spark job (date→chunk via ntile over the DISTINCT dates — a
+    calendar-bounded, driver-safe window) and the driver only renames
+    the finished part-file into the watched directory. Replay order is
+    pinned with explicit increasing mtimes (``os.utime``) — the file
+    source triggers oldest-mtime-first, and wall-clock writes can tie
+    on filesystems with coarse mtime granularity."""
+    import glob
     import os
+    import shutil
     import tempfile
     import time
 
-    pdf = bars.toPandas().sort_values(["date", "ticker"]).reset_index(drop=True)
-    dates = sorted(pdf["date"].unique())
-    chunk = max(1, len(dates) // n_chunks)
+    from pyspark.sql import Window
+
     out_dir = tempfile.mkdtemp(prefix="bars_replay_")
-    for i in range(n_chunks):
-        lo = i * chunk
-        hi = None if i == n_chunks - 1 else (i + 1) * chunk
-        sel = pdf[pdf["date"].isin(dates[lo:hi])]
-        sel.to_parquet(os.path.join(out_dir, f"{i:03d}.parquet"), index=False)
-        time.sleep(0.05)  # distinct mtimes -> oldest-first replay order
+    chunk_of = (
+        bars.select("date")
+        .distinct()
+        .withColumn("__chunk", F.ntile(n_chunks).over(Window.orderBy("date")))
+    )
+    chunked = bars.join(chunk_of, "date").select("__chunk", *bars.columns)
+    base = time.time()
+    for i in range(1, n_chunks + 1):
+        stage = os.path.join(out_dir, f"_stage_{i}")
+        (
+            chunked.filter(F.col("__chunk") == i)
+            .select(*bars.columns)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        parts = glob.glob(os.path.join(stage, "part-*.parquet"))
+        if parts:  # empty tile (n_chunks > distinct dates) writes none
+            dst = os.path.join(out_dir, f"{i:03d}.parquet")
+            shutil.move(parts[0], dst)
+            os.utime(dst, (base + i, base + i))
+        shutil.rmtree(stage)
     return (
         spark.readStream.schema(bars.schema)
         .option("maxFilesPerTrigger", "1")

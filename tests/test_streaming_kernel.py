@@ -25,13 +25,16 @@ def _split_bars_to_files(spark, bars, tmpdir: str, n_chunks: int) -> str:
     chunk = max(1, len(dates) // n_chunks)
     out_dir = os.path.join(tmpdir, f"bars_{uuid.uuid4().hex[:8]}")
     os.makedirs(out_dir, exist_ok=True)
+    base = time.time()
     for i in range(n_chunks):
         lo = i * chunk
         hi = None if i == n_chunks - 1 else (i + 1) * chunk
         sel = pdf[pdf["date"].isin(dates[lo:hi])]
         path = os.path.join(out_dir, f"{i:03d}.parquet")
         sel.to_parquet(path, index=False)
-        time.sleep(0.05)  # distinct mtimes -> deterministic replay order
+        # explicit increasing mtimes -> deterministic oldest-first
+        # replay even on coarse-mtime filesystems
+        os.utime(path, (base + i, base + i))
     return out_dir
 
 
@@ -394,9 +397,11 @@ def test_streaming_kernel_out_of_order_arrival(spark, tmp_path):
             }
         ).astype({"close": "float64"}),
     ]
+    base = time.time()
     for i, c in enumerate(chunks):
-        c.to_parquet(os.path.join(src, f"{i:03d}.parquet"), index=False)
-        time.sleep(0.05)
+        p = os.path.join(src, f"{i:03d}.parquet")
+        c.to_parquet(p, index=False)
+        os.utime(p, (base + i, base + i))
 
     stream = (
         spark.readStream.schema(bars.schema)
@@ -457,9 +462,11 @@ def test_streaming_kernel_drops_beyond_bound_late_bar(spark, tmp_path):
         poison,  # dates[2] again, long past the 2-day bound
         punct,   # flushes the reorder buffer
     ]
+    base = time.time()
     for i, c in enumerate(chunks):
-        c.to_parquet(os.path.join(src, f"{i:03d}.parquet"), index=False)
-        time.sleep(0.05)
+        p = os.path.join(src, f"{i:03d}.parquet")
+        c.to_parquet(p, index=False)
+        os.utime(p, (base + i, base + i))
 
     stream = (
         spark.readStream.schema(bars.schema)

@@ -311,62 +311,82 @@ def connected_components(
     max_iter: int = 25,
 ) -> DataFrame:
     """Near-duplicate GROUPS from candidate pairs: connected components
-    by iterative min-label propagation — each node ends labeled with
-    the smallest doc id reachable from it (deterministic).
+    by alternating LARGE-STAR / SMALL-STAR contraction (the MapReduce
+    CC algorithm of Kiveris et al.) — each node ends labeled with the
+    smallest doc id reachable from it (deterministic).
 
-    The iterative shape is the Spark-native one: per round, one join
-    propagates labels across edges and one aggregation keeps the
-    minimum; ``localCheckpoint`` truncates the growing lineage so round
-    N doesn't replay rounds 1..N-1. Rounds needed = graph diameter —
-    near-dup clusters are shallow (pairs share LSH buckets), so this
-    converges in a handful of rounds; for adversarially long chains the
-    large-star/small-star variant halves the diameter per round with
-    the same per-round plan.
+    Why this shape: min-label propagation needs diameter rounds — an
+    adversarially deep near-dup chain (a path graph) makes it crawl or
+    bail. Star contraction halves tree heights every round and
+    converges in O(log^2 n) rounds on ANY topology, with the same
+    Spark-native per-round plan: one join + one min-aggregation per
+    star step, ``localCheckpoint`` truncating lineage so round N
+    doesn't replay rounds 1..N-1. Skew note for 100 TB: a high-degree
+    hub concentrates its neighborhood in one aggregation group, but
+    the payload per neighbor is a single id (no text), so a
+    10M-neighbor hub is ~80 MB in one task — survivable; AQE skew
+    handling splits the join side.
 
     Output: (id, component) for every node appearing in ``pairs``.
     """
-    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    und = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
-    und = und.localCheckpoint()
-
-    labels = (
-        und.select(F.col("src").alias("id"))
+    nodes = (
+        pairs.select(F.col(id_a).alias("id"))
+        .union(pairs.select(F.col(id_b).alias("id")))
         .distinct()
-        .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
-    changed = 0
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        # per node u over the UNDIRECTED neighborhood: m = min(N(u) ∪
+        # {u}); connect every strictly-larger neighbor to m.
+        und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mn = und.groupBy("u").agg(F.min("v").alias("mn"))
+        mn = mn.select("u", F.least("u", "mn").alias("m"))
+        return (
+            und.join(mn, "u")
+            .filter(F.col("v") > F.col("u"))  # m <= u < v: never a self-loop
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # input oriented larger->smaller; per node u: m = min of its
+        # smaller neighbors, relink them all (and u) to m.
+        mn = e.groupBy("u").agg(F.min("v").alias("m"))
+        relink = e.join(mn, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+        parent = mn.select(F.col("u"), F.col("m").alias("v"))
+        return (
+            relink.union(parent)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    prev = None
+    converged = edges.isEmpty()
     for _ in range(max_iter):
-        prop = und.join(labels, und.src == labels.id).select(
-            F.col("dst").alias("id"), F.col("label")
-        )
-        new_labels = (
-            labels.unionByName(prop)
-            .groupBy("id")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        if converged:
             break
-    if changed != 0:
-        # a component with diameter > max_iter would otherwise return
-        # silently-wrong labels; fail loudly instead
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        if prev is not None and prev.count() == edges.count():
+            if edges.exceptAll(prev).limit(1).count() == 0:
+                converged = True
+        prev = edges
+    if not converged:
+        # silently-wrong labels are worse than an error
         raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds "
-            "(component diameter exceeds max_iter); raise max_iter or use "
-            "the large-star/small-star variant for deep chains"
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter"
         )
-    return labels.select(F.col("id"), F.col("label").alias("component"))
+    # stable edge set = star forest rooted at each component's minimum
+    return nodes.join(
+        edges.select(F.col("u").alias("id"), F.col("v").alias("root")), "id", "left"
+    ).select("id", F.coalesce("root", "id").alias("component"))
 
 
 def simhash_neardup_pairs(

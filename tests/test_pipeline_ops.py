@@ -74,3 +74,20 @@ def test_connected_components_chain(spark):
     got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
     assert all(got[i] == 10 for i in range(10, 20))
     assert got[100] == 100 and got[101] == 100
+
+
+def test_connected_components_deep_chain(spark):
+    """Adversarial topology: a 60-node path (diameter 59, far past
+    max_iter=25 propagation rounds) — star contraction must converge
+    in O(log n) rounds and label the whole chain with its minimum.
+    Edges deliberately arrive big->small and shuffled."""
+    import random
+
+    from strat_backtest_spark.operators.dedup import connected_components
+
+    edges = [(i + 1, i) for i in range(1000, 1059)]  # reversed orientation
+    random.Random(7).shuffle(edges)
+    pairs = spark.createDataFrame(edges + [(7, 7)], "id_a long, id_b long")
+    got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert all(got[i] == 1000 for i in range(1000, 1060))
+    assert got[7] == 7  # self-pair-only node keeps its own label

@@ -34,35 +34,37 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The correctness sweep evaluates at most ~50 catalog entries in
-# registration order (43/43 in round 1, then exactly the first 50 of 58
-# in rounds 2-4), so entries past the window never get a gate row. The
-# catalog (70 entries as of round 5) is larger than the window; rotate
-# which entries sit past it: every tail entry below already holds FOUR
-# rounds of hash-match rows in committed CORRECTNESS_r01..r04.json, so
-# pushing them out lets the round-4-unswept entries (q44-q46, q48-q50,
-# q52-q53) plus all round-5 additions (q59-q68) take the window this
-# round. Rotate again next round so coverage keeps accumulating.
+# registration order, so entries past the window never get a gate row.
+# The catalog (70 entries) is larger than the window; rotate which
+# entries sit past it. Round-6 rotation: the r5 tail (q03-q20, q26,
+# q27) returns to the window, and 20 entries that hash-matched in r5
+# AND are untouched by this round's changes move out. Every query this
+# round's rewrites touch stays IN the window — q53 (volume rounding),
+# q56/q68/q69 (star-contraction CC), q25/q47/q51 (HALF_UP rounding),
+# q48/q49/q59/q63-q65 (executor-side replay) — plus q23 as a canary
+# for the dedup shared helpers (shingles/minhash hashing) and q63 for
+# the streaming-dedup path. Head is exactly 50 entries.
 _SWEEP_TAIL = [
-    "q04_orders_with_bigticket_items",  # hash-match r01-r04
-    "q05_status_totals",                # hash-match r01-r04
-    "q07_pct_change",                   # hash-match r01-r04
-    "q08_running_totals",               # hash-match r01-r04
-    "q10_forward_fill",                 # hash-match r01-r04
-    "q11_tail_n",                       # hash-match r01-r04
-    "q13_first_last",                   # hash-match r01-r04
-    "q14_distinct",                     # hash-match r01-r04
-    "q15_union_nations",                # hash-match r01-r04
-    "q16_nations_without_suppliers",    # hash-match r01-r04
-    "q17_signal_edges",                 # hash-match r01-r04
-    "q18_compound_range_predicate",     # hash-match r01-r04
-    "q19_string_predicates",            # hash-match r01-r04
-    "q20_json_props",                   # hash-match r01-r04
-    "q12_trailing_period",              # hash-match r01-r04
-    "q06_rolling_mean",                 # hash-match r01-r04
-    "q09_cumprod",                      # hash-match r01-r04
-    "q03_top_customers",                # hash-match r01-r04
-    "q26_token_counts",                 # hash-match r02-r04
-    "q27_quality_score",                # hash-match r02-r04
+    "q21_dedup_exact",          # hash-match r05
+    "q22_minhash_signatures",   # hash-match r05
+    "q24_simhash",              # hash-match r05
+    "q28_langid",               # hash-match r05
+    "q29_fingerprint",          # hash-match r05
+    "q30_cosine_topk",          # hash-match r05
+    "q31_ann_lsh_topk",         # hash-match r05
+    "q44_common_stock_mentions",  # hash-match r05
+    "q50_multimodal_frames",    # hash-match r05
+    "q52_range_join",           # hash-match r05
+    "q54_stratified_sample",    # hash-match r05
+    "q55_curation_pipeline",    # hash-match r05
+    "q57_kmv_distinct_users",   # hash-match r05
+    "q58_simhash_neardup",      # hash-match r05
+    "q60_decontaminate",        # hash-match r05
+    "q61_repetition_score",     # hash-match r05
+    "q62_token_quantiles",      # hash-match r05
+    "q66_chunking",             # hash-match r05
+    "q67_embedding_profile",    # hash-match r05
+    "q70_dup_rate_by_source",   # hash-match r05
 ]
 
 

@@ -1,15 +1,30 @@
 """Catalog-vs-DuckDB oracle tests — the same comparison the driver's
-correctness gate runs, at sf0.001 for speed (the driver uses sf0.01)."""
+correctness gate runs, at sf0.001 for speed AND at sf0.01 (the
+driver's scale factor): boundary-sensitive oracles can pass at one
+scale and flip at another (round 5's q53 had 45 float-boundary groups
+at sf0.01 and zero at sf0.001), so green must mean green where the
+gate runs."""
 
 import pytest
 
-from conftest import SF_SMALL
+from conftest import SF_MED, SF_SMALL
 
 
 def test_catalog_matches_duckdb(spark):
     from oracle_utils import run_catalog
 
     results = run_catalog(spark, SF_SMALL, verbose=False)
+    assert results, "catalog is empty"
+    failures = [r for r in results if not r["ok"]]
+    assert not failures, "; ".join(f"{r['name']}: {r['detail'][:120]}" for r in failures)
+
+
+def test_catalog_matches_duckdb_at_driver_sf(spark):
+    """The driver's scale factor — slower, but the only pass that
+    catches scale-dependent divergence before the gate does."""
+    from oracle_utils import run_catalog
+
+    results = run_catalog(spark, SF_MED, verbose=False)
     assert results, "catalog is empty"
     failures = [r for r in results if not r["ok"]]
     assert not failures, "; ".join(f"{r['name']}: {r['detail'][:120]}" for r in failures)

@@ -32,6 +32,8 @@ HEADLINE = [
     "q23_minhash_lsh_pairs",    # LSH banding + bucket self-join
     "q30_cosine_topk",          # brute-force similarity
     "q47_embedding_neardup",    # LSH-bucketed cosine near-dup
+    "q58_simhash_neardup",      # banded-Hamming pairs (largest output)
+    "q56_dedup_components",     # star-contraction connected components
     "q32_asof_join",            # as-of join
     "q35_sessionization",       # lag + running sum + agg
     "q36_token_topk",           # explode + count + top-k

@@ -24,6 +24,8 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from pyspark.sql.types import StructField, StructType
+
 from strat_backtest_spark.functions.hashing import P, md5_hash, perm_params
 from strat_backtest_spark.functions.numeric import round_half_up
 from strat_backtest_spark.functions.text import whitespace_tokens
@@ -304,11 +306,47 @@ def ngram_jaccard_pairs(
     return base.groupBy(*group_cols).applyInPandas(_block_pairs, out_schema)
 
 
+def _union_find_local(p: DataFrame) -> DataFrame:
+    """Driver-side union-find over a SIZE-GATED ids-only edge collect;
+    labels each node with its component minimum — identical contract
+    to the distributed star contraction."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    rows = p.collect()
+    for r in rows:
+        a, b = r[0], r[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    min_of: dict = {}
+    for x in parent:
+        r = find(x)
+        if r not in min_of or x < min_of[r]:
+            min_of[r] = x
+    out = [(x, min_of[find(x)]) for x in parent]
+    id_type = p.schema[0].dataType
+    schema = StructType(
+        [StructField("id", id_type), StructField("component", id_type)]
+    )
+    return p.sparkSession.createDataFrame(out, schema)
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    local_threshold: int = 200_000,
 ) -> DataFrame:
     """Near-duplicate GROUPS from candidate pairs: connected components
     by alternating LARGE-STAR / SMALL-STAR contraction (the MapReduce
@@ -327,17 +365,31 @@ def connected_components(
     10M-neighbor hub is ~80 MB in one task — survivable; AQE skew
     handling splits the join side.
 
+    Below ``local_threshold`` edges the graph is solved driver-side
+    with union-find instead: after banding caps, a candidate-pair
+    graph is orders of magnitude smaller than its corpus, and at gate
+    scale the iteration's job-scheduling floor dominates any
+    distributed win. The collect is ids-only (no text) and explicitly
+    size-gated, so the driver holds at most a few MB; anything larger
+    takes the distributed star-contraction path.
+
     Output: (id, component) for every node appearing in ``pairs``.
     """
+    # ONE materialization of the candidate-pair lineage (LSH banding
+    # etc. is expensive); nodes/edges both derive from it.
+    p = pairs.select(
+        F.col(id_a).alias("u"), F.col(id_b).alias("v")
+    ).localCheckpoint()
+    if p.count() <= local_threshold:
+        return _union_find_local(p)
     nodes = (
-        pairs.select(F.col(id_a).alias("id"))
-        .union(pairs.select(F.col(id_b).alias("id")))
+        p.select(F.col("u").alias("id"))
+        .union(p.select(F.col("v").alias("id")))
         .distinct()
         .localCheckpoint()
     )
     edges = (
-        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-        .filter(F.col("u") != F.col("v"))
+        p.filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint()
     )
@@ -367,16 +419,35 @@ def connected_components(
             .distinct()
         )
 
-    prev = None
+    # convergence test: one cheap order-insensitive signature aggregate
+    # per round (count + id sums + hash sum); only a signature MATCH
+    # pays for the exact exceptAll confirmation — so the exact check
+    # runs once, on the final round, never per round.
+    def _sig(e: DataFrame) -> tuple:
+        # bit_xor, not sum: order-insensitive, never overflows (the
+        # edge set is distinct, so xor-cancellation needs a hash
+        # collision — and the exact confirm below catches even that)
+        return tuple(
+            e.agg(
+                F.count("*"),
+                F.expr("bit_xor(xxhash64(u, v))"),
+                F.expr("bit_xor(xxhash64(v, u))"),
+            ).collect()[0]
+        )
+
+    prev, prev_sig = None, None
     converged = edges.isEmpty()
     for _ in range(max_iter):
         if converged:
             break
         edges = _small_star(_large_star(edges)).localCheckpoint()
-        if prev is not None and prev.count() == edges.count():
+        sig = _sig(edges)
+        if prev_sig is not None and sig == prev_sig:
+            # equal counts (in the signature) + empty one-way except
+            # => equal sets
             if edges.exceptAll(prev).limit(1).count() == 0:
                 converged = True
-        prev = edges
+        prev, prev_sig = edges, sig
     if not converged:
         # silently-wrong labels are worse than an error
         raise RuntimeError(

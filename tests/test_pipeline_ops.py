@@ -74,6 +74,12 @@ def test_connected_components_chain(spark):
     got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
     assert all(got[i] == 10 for i in range(10, 20))
     assert got[100] == 100 and got[101] == 100
+    # same graph through the DISTRIBUTED star-contraction path
+    got_d = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs, local_threshold=0).collect()
+    }
+    assert got_d == got
 
 
 def test_connected_components_deep_chain(spark):
@@ -88,6 +94,11 @@ def test_connected_components_deep_chain(spark):
     edges = [(i + 1, i) for i in range(1000, 1059)]  # reversed orientation
     random.Random(7).shuffle(edges)
     pairs = spark.createDataFrame(edges + [(7, 7)], "id_a long, id_b long")
-    got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    # local_threshold=0 forces the distributed path — the one whose
+    # round count must not depend on diameter
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs, local_threshold=0).collect()
+    }
     assert all(got[i] == 1000 for i in range(1000, 1060))
     assert got[7] == 7  # self-pair-only node keeps its own label

@@ -45,6 +45,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # for the dedup shared helpers (shingles/minhash hashing) and q63 for
 # the streaming-dedup path. Head is exactly 50 entries.
 _SWEEP_TAIL = [
+    "q34_pivot_event_matrix",   # hash-match r01-r05
     "q21_dedup_exact",          # hash-match r05
     "q22_minhash_signatures",   # hash-match r05
     "q24_simhash",              # hash-match r05

@@ -302,8 +302,37 @@ def band_driver(
             last_move_sell = False
 
 
+def ma_cross_partial_driver(
+    eng: TradingEngine, dates: np.ndarray, closes: np.ndarray,
+    actions: np.ndarray, params: dict,
+) -> None:
+    """ma_cross variant selling a FIXED share count per down-cross
+    (``sell_shares``): exercises the engine's partial-fill path — Q1's
+    remainder double-queue (strats.py:151,205) and Q4's
+    num_shares-overwrite-on-fill (strats.py:81) — which whole-order
+    ``sell(-1)`` closes never reach. No shipped reference strategy
+    issues partial closes; this driver exists so the partial path has
+    end-to-end batch/streaming parity coverage."""
+    shares = params.get("sell_shares", 1.0)
+    mask = (actions == "buy") | (actions == "sell")
+    idxs = np.flatnonzero(mask)
+    if idxs.size == 0:
+        return
+    acts = actions[idxs]
+    buy_pos = np.flatnonzero(acts == "buy")
+    if buy_pos.size == 0:
+        return
+    first_buy = dates[idxs[buy_pos[0]]]
+    for i in idxs:
+        if actions[i] == "buy":
+            eng.buy(dates[i], closes[i])
+        elif dates[i] > first_buy:
+            eng.sell(dates[i], closes[i], num_shares=shares)
+
+
 DRIVERS: dict[str, Callable[..., None]] = {
     "ma_cross": ma_cross_driver,
+    "ma_cross_partial": ma_cross_partial_driver,
     "band": band_driver,
 }
 

@@ -38,6 +38,13 @@ class MACrossStrategy:
     lagging: int = 100
     stop_loss_pct: Optional[float] = None
     kernel_driver: str = "ma_cross"
+    # sell a fixed share count per down-cross instead of whole-order
+    # FIFO closes — routes through the engine's partial-fill path
+    sell_shares: Optional[float] = None
+
+    def __post_init__(self) -> None:
+        if self.sell_shares is not None:
+            self.kernel_driver = "ma_cross_partial"
 
     def signal_feed(self, bars: DataFrame, run_id: int = 0) -> DataFrame:
         signals = ma_cross_signals(bars, self.fast, self.lagging, run_id=run_id)
@@ -54,7 +61,10 @@ class MACrossStrategy:
         )
 
     def kernel_params(self) -> dict:
-        return {"stop_loss_pct": self.stop_loss_pct}
+        p: dict = {"stop_loss_pct": self.stop_loss_pct}
+        if self.sell_shares is not None:
+            p["sell_shares"] = self.sell_shares
+        return p
 
 
 @dataclass

@@ -645,3 +645,25 @@ def q65_stream_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ticker", "run_id")
         .limit(150)
     )
+
+
+@query("q71_stream_partial_close")  # path-dependent sim: rows-only check
+def q71_stream_partial_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size sells on the streaming kernel — the partial-fill
+    path (Q1 remainder double-queue + Q4 fill-time overwrite) in
+    UPDATE output mode: a fill that rewrites an already-emitted buy
+    bar's accounting re-emits the corrected history rows, latest
+    emit_seq wins. Bit-exact vs the batch ma_cross_partial driver in
+    tests/test_streaming_kernel.py."""
+    from strat_backtest_spark.streaming.backtest_stream import (
+        bars_replay_stream,
+        drain_stream_update,
+        streaming_backtest_curve_update,
+    )
+
+    bars = _bars(spark, sf_dir)
+    curve = streaming_backtest_curve_update(
+        bars_replay_stream(spark, bars, n_chunks=3),
+        fast=3, lagging=8, initial_amount=10_000.0, sell_shares=2.0,
+    )
+    return drain_stream_update(spark, curve).orderBy("ticker", "date").limit(150)

@@ -44,8 +44,16 @@ Per-bar buy/sell shares are read at emission time. That is safe for
 the shipped drivers because both always close with ``num_shares=-1``
 (whole-order FIFO pop), so an order's ``num_shares`` never mutates
 after its bar is emitted — the reference's Q4 post-hoc overwrite can
-only trigger via partial closes, which no shipped strategy issues. A
-custom partial-close strategy would need update-mode re-emission.
+only trigger via partial closes, which no shipped strategy issues.
+Partial-close strategies ARE supported via
+``streaming_backtest_curve_update``: UPDATE output mode, where a
+partial fill that overwrites an already-emitted buy bar's shares
+re-emits the corrected history rows (tagged with a monotonically
+increasing ``emit_seq``; latest per (ticker, run_id, date) wins —
+``drain_stream_update`` resolves it). State additionally carries the
+emitted-row cache for the mutable window — bars at/after the earliest
+OPEN order's start day, the only region a future fill can rewrite —
+so state stays O(open-position look-back), not O(stream length).
 """
 
 from __future__ import annotations
@@ -146,7 +154,12 @@ def _restore_engine(state_row, initial_amount: float) -> TradingEngine:
     Dates are raw day ORDINALS throughout: the engine only compares,
     searchsorts, and dict-keys them, so ints work everywhere a
     datetime would, serialize smaller, and make the stop-scan history
-    a plain int array."""
+    a plain int array.
+
+    A repeated oid restores as the SAME object: Q1's partial-close
+    remainder is queued twice (strats.py:151,205) and its quirk
+    semantics depend on both deque slots aliasing one order — two
+    fresh objects would fill independently."""
     eng = TradingEngine(
         np.array([], dtype=np.int64), np.array([], dtype=np.float64), initial_amount
     )
@@ -162,9 +175,11 @@ def _restore_engine(state_row, initial_amount: float) -> TradingEngine:
     book._next_id = next_id
     book.open_orders = deque()
     for oid, ns, sd, sa in zip(oids, shares, start_days, start_amts):
-        o = _KOrder(oid, ns, int(sd), sa)
+        o = book.by_id.get(oid)
+        if o is None:
+            o = _KOrder(oid, ns, int(sd), sa)
+            book.by_id[oid] = o
         book.open_orders.append(o)
-        book.by_id[oid] = o
     return eng
 
 
@@ -550,6 +565,273 @@ def streaming_backtest_curve(
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+_CURVE_OUTPUT_U = StructType(
+    list(_CURVE_OUTPUT.fields) + [StructField("emit_seq", LongType())]
+)
+
+# Update-mode layout: signal fields + engine book (positions 4..12,
+# shared with _KERNEL_STATE so _restore_engine/_save_engine apply) +
+# net-worth cums + the two mutable-window structures:
+#   accb_*  — per in-window buy day, the order object buy() registered
+#             (Q4 overwrites its num_shares at its first partial fill;
+#             oid lives until that fill settles it)
+#   row_*   — the emitted-row cache a future fill can rewrite: bars
+#             at/after the earliest OPEN order's start day
+_PARTIAL_STATE = StructType(
+    [
+        StructField("n_seen", LongType()),
+        StructField("ma_tail", ArrayType(DoubleType())),
+        StructField("prev_cross", IntegerType()),
+        StructField("first_buy_day", LongType()),
+        StructField("current_amount", DoubleType()),
+        StructField("profit_base", DoubleType()),
+        StructField("active_orders", DoubleType()),
+        StructField("total_shares", DoubleType()),
+        StructField("next_id", LongType()),
+        StructField("open_oid", ArrayType(LongType())),
+        StructField("open_shares", ArrayType(DoubleType())),
+        StructField("open_start_day", ArrayType(LongType())),
+        StructField("open_start_amount", ArrayType(DoubleType())),
+        StructField("cum_buy_cost", DoubleType()),
+        StructField("cum_sell_proceeds", DoubleType()),
+        StructField("accb_day", ArrayType(LongType())),
+        StructField("accb_oid", ArrayType(LongType())),
+        StructField("accb_shares", ArrayType(DoubleType())),
+        StructField("accb_price", ArrayType(DoubleType())),
+        StructField("row_day", ArrayType(LongType())),
+        StructField("row_close", ArrayType(DoubleType())),
+        StructField("row_action", ArrayType(StringType())),
+        StructField("row_shares", ArrayType(DoubleType())),
+        StructField("row_net", ArrayType(DoubleType())),
+        StructField("emit_seq", LongType()),
+        # a Q1 double-queued remainder can sit in the open deque
+        # ALREADY FILLED (its first copy was popped and filled);
+        # value() must then read end_amount, so fill state survives
+        # the handoff (sparse: filled open orders only)
+        StructField("of_oid", ArrayType(LongType())),
+        StructField("of_end_day", ArrayType(LongType())),
+        StructField("of_end_amt", ArrayType(DoubleType())),
+    ]
+)
+
+
+def _make_partial_kernel_fn(
+    initial_amount: float, fast: int, lagging: int, run_id: int, sell_shares: float
+):
+    """applyInPandasWithState function for MA-cross with FIXED-size
+    sells (the partial-fill path). Emission contract: every bar emits
+    once when simulated; when a later partial fill overwrites a past
+    buy bar's shares (Q4), every cached row from that bar forward is
+    re-emitted with the corrected net worth and a higher ``emit_seq``
+    — latest seq per date is the curve, and it equals the batch
+    kernel's post-run curve exactly."""
+
+    tail_len = max(fast, lagging) - 1
+
+    def fn(
+        key: Tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        row = state.get if state.exists else None
+        if row is None:
+            n_seen, tail, prev_cross, first_buy_day = 0, [], -1, -1
+            cum_buy, cum_sell = 0.0, 0.0
+            accb: dict[int, list] = {}
+            rows: list[list] = []
+            emit_seq = 0
+        else:
+            n_seen, tail, prev_cross, first_buy_day = row[0], list(row[1]), row[2], row[3]
+            cum_buy, cum_sell = row[13], row[14]
+            accb = {
+                int(d): [int(o), float(s), float(p)]
+                for d, o, s, p in zip(row[15], row[16], row[17], row[18])
+            }
+            rows = [
+                [int(d), float(c), a, float(s), float(n)]
+                for d, c, a, s, n in zip(row[19], row[20], row[21], row[22], row[23])
+            ]
+            emit_seq = row[24]
+        eng = _restore_engine(row, initial_amount)
+        if row is not None:
+            for oid, ed, ea in zip(row[25], row[26], row[27]):
+                o = eng.book.by_id[int(oid)]
+                o.filled, o.end_time, o.end_amount = True, int(ed), float(ea)
+
+        pdf = pd.concat(list(pdf_iter))
+        pdf = pdf[pdf["close"].notna()].sort_values("date")
+        days_new = [d.toordinal() for d in pdf["date"]]
+        closes_new = pdf["close"].to_numpy(dtype=np.float64)
+
+        concat = pd.Series(
+            np.concatenate([np.asarray(tail, dtype=np.float64), closes_new])
+        )
+        ma_f = concat.rolling(fast).mean().to_numpy()
+        ma_l = concat.rolling(lagging).mean().to_numpy()
+        off = len(tail)
+
+        out = {c: [] for c in _CURVE_OUTPUT_U.names}
+        settled_fills: set[int] = set()
+
+        def emit(day, close, action, shares, net, seq):
+            out["ticker"].append(key[0])
+            out["run_id"].append(run_id)
+            out["date"].append(datetime.date.fromordinal(day))
+            out["close"].append(close)
+            out["action"].append(action)
+            out["shares_owned"].append(shares)
+            out["net_worth"].append(net)
+            out["emit_seq"].append(seq)
+
+        for i, (day, close) in enumerate(zip(days_new, closes_new)):
+            close = float(close)
+            f, l = ma_f[off + i], ma_l[off + i]
+            cross = 1 if (not np.isnan(f) and not np.isnan(l) and f > l) else 0
+            changed = prev_cross == -1 or cross != prev_cross
+            prev_cross = cross
+            action = None
+            if changed:
+                if cross:
+                    action = "buy"
+                    eng.buy(day, close)
+                    if first_buy_day < 0:
+                        first_buy_day = day
+                else:
+                    action = "sell"
+                    if first_buy_day >= 0 and day > first_buy_day:
+                        eng.sell(day, close, num_shares=sell_shares)
+            b = eng.buy_orders.get(day)
+            if b is not None:
+                accb[day] = [int(b.oid), float(b.num_shares), float(b.start_amount)]
+                cum_buy += b.num_shares * b.start_amount
+            s = eng.sell_orders.get(day)
+            if s:
+                cum_sell += s * close
+            # Q4 reconciliation: a fill this bar may have overwritten
+            # the shares of an order a PAST bar's buy event registered
+            dirty = None
+            for o in eng.book.completed:
+                if o.oid in settled_fills:
+                    continue
+                settled_fills.add(o.oid)
+                ent = accb.get(int(o.start_time))
+                if ent is not None and ent[0] == o.oid:
+                    if ent[1] != o.num_shares:
+                        delta = (ent[1] - o.num_shares) * ent[2]
+                        cum_buy -= delta
+                        ent[1] = float(o.num_shares)
+                        d0 = int(o.start_time)
+                        for r in rows:
+                            if r[0] >= d0:
+                                r[4] += delta
+                        dirty = d0 if dirty is None else min(dirty, d0)
+                    ent[0] = -1  # settled: a filled order never mutates again
+            if dirty is not None:
+                for r in rows:
+                    if r[0] >= dirty:
+                        emit_seq += 1
+                        emit(r[0], r[1], r[2], r[3], r[4], emit_seq)
+            shares = eng.book.total_shares
+            net = shares * close - cum_buy + cum_sell + float(initial_amount)
+            emit_seq += 1
+            emit(day, close, action, float(shares), float(net), emit_seq)
+            rows.append([day, close, action, float(shares), float(net)])
+
+        n_seen += len(closes_new)
+        new_tail = (
+            [float(x) for x in concat.to_numpy()[-tail_len:]] if tail_len > 0 else []
+        )
+        # prune the mutable window: only bars at/after the earliest
+        # OPEN order's start day can still be rewritten
+        anchor = min((int(o.start_time) for o in eng.book.open_orders), default=None)
+        if anchor is None:
+            rows = []
+        else:
+            rows = [r for r in rows if r[0] >= anchor]
+        accb = {d: v for d, v in accb.items() if v[0] != -1}
+        filled_opens = list(
+            {o.oid: o for o in eng.book.open_orders if o.filled}.values()
+        )
+        state.update(
+            (int(n_seen), new_tail, int(prev_cross), int(first_buy_day))
+            + _save_engine(eng)
+            + (
+                float(cum_buy), float(cum_sell),
+                [int(d) for d in accb],
+                [int(v[0]) for v in accb.values()],
+                [float(v[1]) for v in accb.values()],
+                [float(v[2]) for v in accb.values()],
+                [int(r[0]) for r in rows],
+                [float(r[1]) for r in rows],
+                [r[2] for r in rows],
+                [float(r[3]) for r in rows],
+                [float(r[4]) for r in rows],
+                int(emit_seq),
+                [int(o.oid) for o in filled_opens],
+                [int(o.end_time) for o in filled_opens],
+                [float(o.end_amount) for o in filled_opens],
+            )
+        )
+        yield pd.DataFrame(out)
+
+    return fn
+
+
+def streaming_backtest_curve_update(
+    bars_stream: DataFrame,
+    fast: int = 20,
+    lagging: int = 100,
+    initial_amount: float = 10_000.0,
+    run_id: int = 0,
+    sell_shares: float = 1.0,
+) -> DataFrame:
+    """MA-cross backtest with FIXED-size sells on a stream — the
+    partial-close path append mode cannot express (Q4's fill-time
+    overwrite rewrites an already-emitted buy bar's accounting).
+    UPDATE output mode: corrected history rows re-emit with a higher
+    ``emit_seq``; resolve with :func:`drain_stream_update` (or any
+    latest-per-key consumer). Stop-loss + reorder buffering stay on
+    the append-mode operator."""
+    fn = _make_partial_kernel_fn(initial_amount, fast, lagging, run_id, sell_shares)
+    return (
+        bars_stream.select("ticker", "date", "close")
+        .groupBy("ticker")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=_CURVE_OUTPUT_U,
+            stateStructType=_PARTIAL_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def drain_stream_update(spark: SparkSession, streaming_df: DataFrame) -> DataFrame:
+    """Drain an update-mode curve and resolve re-emissions: the memory
+    sink keeps every emission, so the curve is the max-``emit_seq`` row
+    per (ticker, run_id, date)."""
+    import uuid
+
+    from pyspark.sql import Window
+
+    name = f"bt_stream_u_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_df.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    w = Window.partitionBy("ticker", "run_id", "date").orderBy(F.col("emit_seq").desc())
+    return (
+        spark.table(name)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "emit_seq")
     )
 
 

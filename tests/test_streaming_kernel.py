@@ -480,3 +480,50 @@ def test_streaming_kernel_drops_beyond_bound_late_bar(spark, tmp_path):
         assert r["net_worth"] == pytest.approx(
             batch[(r["ticker"], str(r["date"]))], rel=1e-12
         ), (r["ticker"], r["date"])
+
+
+def test_streaming_partial_close_update_mode(spark, tmp_path):
+    """Fixed-size sells route through the engine's partial-fill path:
+    Q4 overwrites an already-emitted buy bar's shares, so the stream
+    re-emits corrected history (update mode, emit_seq-resolved). The
+    resolved curve must equal the batch kernel's post-run curve
+    bit-exactly, across 3 micro-batches."""
+    from strat_backtest_spark.plans.backtest import Backtest, MACrossStrategy
+    from strat_backtest_spark.plans.catalog import _t
+    from strat_backtest_spark.sources.bars import bars_from_events
+    from strat_backtest_spark.streaming.backtest_stream import (
+        drain_stream_update,
+        streaming_backtest_curve_update,
+    )
+
+    ev = _t(spark, SF_SMALL, "events")
+    bars = bars_from_events(ev)
+    init = 10_000.0
+
+    bt = Backtest(bars, init, MACrossStrategy(3, 8, sell_shares=2.0))
+    batch = {
+        (r["ticker"], str(r["date"])): (r["net_worth"], r["shares_owned"])
+        for r in bt.run().collect()
+    }
+    bt.release()
+
+    src = _split_bars_to_files(spark, bars, str(tmp_path), 3)
+    stream = (
+        spark.readStream.schema(bars.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    curve = streaming_backtest_curve_update(
+        stream, 3, 8, init, sell_shares=2.0
+    )
+    got = drain_stream_update(spark, curve)
+    rows = got.collect()
+    assert len(rows) == len(batch)
+    # re-emissions must actually have happened (the partial path fires)
+    raw = [t for t in spark.catalog.listTables() if t.name.startswith("bt_stream_u_")]
+    assert raw and spark.table(raw[-1].name).count() > len(batch)
+    for r in rows:
+        want_net, want_shares = batch[(r["ticker"], str(r["date"]))]
+        assert r["net_worth"] == pytest.approx(want_net, rel=1e-12, abs=1e-9), (
+            r["ticker"], r["date"])
+        assert r["shares_owned"] == pytest.approx(want_shares, rel=1e-12)

@@ -31,15 +31,35 @@ def tokens_col(col: str | Column = "text") -> Column:
     return whitespace_tokens(col)
 
 
-def with_token_counts(df: DataFrame, col: str = "text") -> DataFrame:
+def with_token_counts(
+    df: DataFrame, col: str = "text", tokenizer=None
+) -> DataFrame:
     """Token counting: whitespace tokens and a BPE-ish word/symbol
-    count (runs of alphanumerics or single punctuation marks)."""
+    count (runs of alphanumerics or single punctuation marks).
+
+    ``tokenizer`` is the injection point for a REAL subword tokenizer
+    (same pattern as multimodal's codec injection,
+    operators/multimodal.py): pass ``fn(batch: pd.Series[str]) ->
+    pd.Series[int]`` — e.g. a tiktoken/HF-tokenizers count — and it
+    runs as an Arrow-batched pandas UDF in place of the regex
+    approximation. The libraries are not in this container, so the
+    default stays the oracle-mirrorable JVM expression; the Spark-side
+    plumbing (batching, schema, column contract) is identical either
+    way."""
     toks = tokens_col(col)
-    bpe = F.regexp_extract_all(
-        F.lower(F.col(col)), F.lit(r"([a-z0-9]+|[^a-z0-9\s])"), 1
-    )
+    if tokenizer is not None:
+        _bpe_count = F.pandas_udf(
+            lambda texts: tokenizer(texts).astype("int32"), "int"
+        )
+        bpe_count = _bpe_count(F.col(col))
+    else:
+        bpe_count = F.size(
+            F.regexp_extract_all(
+                F.lower(F.col(col)), F.lit(r"([a-z0-9]+|[^a-z0-9\s])"), 1
+            )
+        )
     return df.withColumn("n_tokens", F.size(toks)).withColumn(
-        "n_bpe_tokens", F.size(bpe)
+        "n_bpe_tokens", bpe_count
     )
 
 

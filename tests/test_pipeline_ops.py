@@ -102,3 +102,20 @@ def test_connected_components_deep_chain(spark):
     }
     assert all(got[i] == 1000 for i in range(1000, 1060))
     assert got[7] == 7  # self-pair-only node keeps its own label
+
+
+def test_token_count_tokenizer_injection(spark):
+    """A real subword tokenizer injects as an Arrow-batched pandas UDF
+    in place of the regex approximation — the plumbing contract the
+    docstring promises (multimodal-codec pattern)."""
+    from strat_backtest_spark.operators.text_analysis import with_token_counts
+
+    df = spark.createDataFrame([("hello, world!",), ("a b c",)], "text string")
+    default = {r["text"]: r["n_bpe_tokens"] for r in with_token_counts(df).collect()}
+    assert default == {"hello, world!": 4, "a b c": 3}
+    fake = lambda s: s.str.len()  # deterministic stand-in "tokenizer"
+    injected = {
+        r["text"]: r["n_bpe_tokens"]
+        for r in with_token_counts(df, tokenizer=fake).collect()
+    }
+    assert injected == {"hello, world!": 13, "a b c": 5}

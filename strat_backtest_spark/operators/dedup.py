@@ -486,7 +486,7 @@ def simhash_neardup_pairs(
     """
     width = bits // bands
     mask = (1 << width) - 1
-    sh = simhash(df, bits, text_col, id_col)
+    sh = simhash(df, bits, text_col, id_col).localCheckpoint()
     banded = sh.select(
         F.col(id_col).alias("id"),
         "simhash",
@@ -504,6 +504,18 @@ def simhash_neardup_pairs(
             )
         ).alias("bk"),
     ).select("id", "simhash", "bk.band", "bk.band_val")
+    # capped (hot) buckets: driver-bounded tiny — only buckets whose
+    # size exceeds the cap, collected so the first-band-wins predicate
+    # below can skip them exactly
+    capped = (
+        banded.groupBy("band", "band_val")
+        .count()
+        .filter(F.col("count") > max_bucket_size)
+        .collect()
+    )
+    capped_by_band: dict[int, set[int]] = {}
+    for r in capped:
+        capped_by_band.setdefault(int(r["band"]), set()).add(int(r["band_val"]))
     bucket = Window.partitionBy("band", "band_val")
     banded = banded.withColumn("__n", F.count(F.lit(1)).over(bucket)).filter(
         F.col("__n") <= max_bucket_size
@@ -514,16 +526,36 @@ def simhash_neardup_pairs(
     b = banded.select(
         "band", "band_val", F.col("id").alias("id_b"), F.col("simhash").alias("sh_b")
     )
+
+    # FIRST-SURVIVING-BAND-WINS dedup: a pair colliding in k bands
+    # would emit k times; instead of a dropDuplicates shuffle over the
+    # full pair stream, keep the row only in the first band where both
+    # sides' slices match AND that bucket survived the cap — a pure
+    # JVM expression, because every band value derives from the two
+    # simhashes already in the row.
+    def _slice(col, j):
+        return F.shiftright(F.col(col), j * width).bitwiseAND(F.lit(mask))
+
+    first_match = F.lit(None).cast("int")
+    chain = None
+    for j in range(bands):
+        m = _slice("sh_a", j) == _slice("sh_b", j)
+        hot = capped_by_band.get(j)
+        if hot:
+            m = m & ~_slice("sh_a", j).isin([int(x) for x in hot])
+        chain = F.when(m, F.lit(j)) if chain is None else chain.when(m, F.lit(j))
+    first_match = chain
+
     return (
         a.join(b, ["band", "band_val"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(first_match == F.col("band"))
         .select(
             "id_a",
             "id_b",
             F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["id_a", "id_b"])
     )
 
 

@@ -119,3 +119,46 @@ def test_token_count_tokenizer_injection(spark):
         for r in with_token_counts(df, tokenizer=fake).collect()
     }
     assert injected == {"hello, world!": 13, "a b c": 5}
+
+
+def test_simhash_neardup_capped_bucket_parity(spark):
+    """First-surviving-band-wins dedup must equal the any-surviving-
+    band contract exactly when caps bite: with a tiny cap some band
+    buckets drop, and a pair whose FIRST matching band was capped must
+    still surface via a later surviving band."""
+    from strat_backtest_spark.operators.dedup import simhash, simhash_neardup_pairs
+
+    texts = [
+        (f"d{i:02d}", "common shared words everywhere " + ("alpha" if i % 2 else "beta") * (i % 5 + 1))
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(texts, "doc_id string, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_neardup_pairs(
+            docs, max_hamming=10, bands=4, bits=32, max_bucket_size=6
+        ).collect()
+    }
+    # brute-force reference: any band where both sides share a
+    # SURVIVING (<= cap) bucket
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs, 32).collect()}
+    width, mask = 8, 255
+    from collections import Counter
+    bucket_sizes = Counter()
+    for h in sh.values():
+        for j in range(4):
+            bucket_sizes[(j, (h >> (j * width)) & mask)] += 1
+    want = {}
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            ok = any(
+                ((sh[a] >> (j * width)) & mask) == ((sh[b] >> (j * width)) & mask)
+                and bucket_sizes[(j, (sh[a] >> (j * width)) & mask)] <= 6
+                for j in range(4)
+            )
+            ham = bin(sh[a] ^ sh[b]).count("1")
+            if ok and ham <= 10:
+                want[(a, b)] = ham
+    assert any(bucket_sizes[k] > 6 for k in bucket_sizes), "cap never bit; weak test"
+    assert got == want

@@ -404,11 +404,22 @@ def q42_backtest_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bt.metrics(risk_free_rate=0.03)
 
 
-@query("q43_stream_windowed_agg")  # streaming: rows-only check
+@query(
+    "q43_stream_windowed_agg",
+    # finite replay + complete-mode drain => the watermark drops
+    # nothing and the windowed state equals a batch 1-day group-by
+    # (Spark's epoch-aligned tumbling window at UTC = date_trunc)
+    oracle="""
+    SELECT date_trunc('day', ts) AS window_start, event_type,
+           count(*) AS n, round(sum(value), 4) AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
 def q43_stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming path: the events table replayed as a
-    stream, watermarked 1-day-windowed counts per event_type, memory
-    sink drained synchronously."""
+    stream, watermarked 1-day-windowed counts per event_type, drained
+    to parquet executor-side and checked against the exact batch SQL
+    (q48/q49-style shared-semantics oracle)."""
     from strat_backtest_spark.streaming.events_stream import windowed_event_counts
 
     return windowed_event_counts(spark, sf_dir)

@@ -35,17 +35,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The correctness sweep evaluates at most ~50 catalog entries in
 # registration order, so entries past the window never get a gate row.
-# The catalog (70 entries) is larger than the window; rotate which
+# The catalog (71 entries) is larger than the window; rotate which
 # entries sit past it. Round-6 rotation: the r5 tail (q03-q20, q26,
-# q27) returns to the window, and 20 entries that hash-matched in r5
+# q27) returns to the window, and 21 entries that hash-matched in r5
 # AND are untouched by this round's changes move out. Every query this
 # round's rewrites touch stays IN the window — q53 (volume rounding),
 # q56/q68/q69 (star-contraction CC), q25/q47/q51 (HALF_UP rounding),
-# q48/q49/q59/q63-q65 (executor-side replay) — plus q23 as a canary
+# q48/q49/q59/q63-q65 (executor-side replay), q58 (first-band-wins
+# dedup rewrite), q43 (new oracle), q71 (new) — plus q23 as a canary
 # for the dedup shared helpers (shingles/minhash hashing) and q63 for
 # the streaming-dedup path. Head is exactly 50 entries.
 _SWEEP_TAIL = [
     "q34_pivot_event_matrix",   # hash-match r01-r05
+    "q38_multimodal_features",  # hash-match r05, untouched
     "q21_dedup_exact",          # hash-match r05
     "q22_minhash_signatures",   # hash-match r05
     "q24_simhash",              # hash-match r05
@@ -59,7 +61,6 @@ _SWEEP_TAIL = [
     "q54_stratified_sample",    # hash-match r05
     "q55_curation_pipeline",    # hash-match r05
     "q57_kmv_distinct_users",   # hash-match r05
-    "q58_simhash_neardup",      # hash-match r05
     "q60_decontaminate",        # hash-match r05
     "q61_repetition_score",     # hash-match r05
     "q62_token_quantiles",      # hash-match r05

@@ -1,12 +1,21 @@
 """Numeric parity helpers.
 
-The oracle mirrors round floating scores with SQL ``round()``, which
-in both Spark (java BigDecimal HALF_UP) and DuckDB rounds a half tie
-AWAY FROM ZERO. ``np.round`` is banker's half-to-even — a score
-landing exactly on a .5 tie at the rounded digit would round the other
-way and flip a ``>= threshold`` filter against the oracle. Any numpy
-code whose rounded output feeds an oracle-checked comparison or column
+The oracle mirrors round floating scores with DuckDB ``round()``,
+which rounds the float64 BINARY value half-away-from-zero.
+``np.round`` is banker's half-to-even — a score landing exactly on a
+.5 tie at the rounded digit would round the other way and flip a
+``>= threshold`` filter against the oracle. Any numpy code whose
+rounded output feeds a DUCKDB-oracle-checked comparison or column
 must round through this helper instead.
+
+Caveat: this is binary-value HALF_UP, i.e. DuckDB semantics. Spark
+``F.round`` on DOUBLE routes through ``BigDecimal.valueOf`` (the
+SHORTEST DECIMAL REPRESENTATION), so it can disagree with both numpy
+and DuckDB at representation ties: ``F.round(lit(2.675), 2)`` gives
+2.68 (BigDecimal sees the string "2.675") while the binary value of
+2.675 is just below the true tie and rounds to 2.67 here and in
+DuckDB. Outputs compared against a Spark-side ``F.round`` (rather
+than a DuckDB oracle) must NOT use this helper — keep those JVM-side.
 """
 
 from __future__ import annotations
@@ -15,9 +24,10 @@ import numpy as np
 
 
 def round_half_up(x: np.ndarray, decimals: int) -> np.ndarray:
-    """Element-wise round-half-away-from-zero, matching Spark
-    ``F.round`` / DuckDB ``round()`` semantics (sign-aware: HALF_UP
-    on negatives rounds -2.5 to -3, where ``np.floor(x + 0.5)``
-    alone would give -2)."""
+    """Element-wise round-half-away-from-zero on the binary float64
+    value, matching DuckDB ``round()`` (sign-aware: HALF_UP on
+    negatives rounds -2.5 to -3, where ``np.floor(x + 0.5)`` alone
+    would give -2). See the module docstring for why this is NOT
+    always identical to Spark ``F.round`` on doubles."""
     scale = 10.0 ** decimals
     return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale

@@ -44,6 +44,12 @@ class MACrossStrategy:
 
     def __post_init__(self) -> None:
         if self.sell_shares is not None:
+            if self.stop_loss_pct is not None:
+                # ma_cross_partial_driver does not run the stop scan;
+                # silently ignoring the stop would be worse
+                raise NotImplementedError(
+                    "stop_loss_pct with sell_shares is not supported"
+                )
             self.kernel_driver = "ma_cross_partial"
 
     def signal_feed(self, bars: DataFrame, run_id: int = 0) -> DataFrame:

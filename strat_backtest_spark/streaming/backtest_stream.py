@@ -618,6 +618,36 @@ _PARTIAL_STATE = StructType(
 )
 
 
+def _restore_filled_open_orders(eng: TradingEngine, of_rows) -> dict:
+    """Re-mark still-queued Q1 remainder copies as FILLED after an
+    engine restore and return {oid: folded_profit} — the value each
+    order's single pre-boundary completed entry was folded into
+    profit_base with at the last save.
+
+    Why the return value matters: the batch engine's order_worth (Q2)
+    re-reads every completed entry at its CURRENT values on every
+    call, so when the still-queued copy later RE-FILLS at a new
+    price, the pre-boundary entry retroactively re-values too. The
+    folded profit_base froze the old value; the delta must be applied
+    at re-fill time (:func:`_refill_profit_correction`) or buying
+    power silently drifts from the batch engine's."""
+    out: dict[int, float] = {}
+    for oid, ed, ea in of_rows:
+        o = eng.book.by_id[int(oid)]
+        o.filled, o.end_time, o.end_amount = True, int(ed), float(ea)
+        out[int(oid)] = (float(ea) - o.start_amount) * o.num_shares
+    return out
+
+
+def _refill_profit_correction(eng: TradingEngine, order, folded: dict) -> None:
+    """Q2 retro re-valuation: when a restored-filled order re-fills,
+    replace its previously folded profit with the re-fill's value
+    (idempotent — the oid is popped on first application)."""
+    old = folded.pop(order.oid, None)
+    if old is not None:
+        eng.book.profit_base += (order.profit_loss() or 0.0) - old
+
+
 def _make_partial_kernel_fn(
     initial_amount: float, fast: int, lagging: int, run_id: int, sell_shares: float
 ):
@@ -654,10 +684,11 @@ def _make_partial_kernel_fn(
             ]
             emit_seq = row[24]
         eng = _restore_engine(row, initial_amount)
+        refill_folded: dict[int, float] = {}
         if row is not None:
-            for oid, ed, ea in zip(row[25], row[26], row[27]):
-                o = eng.book.by_id[int(oid)]
-                o.filled, o.end_time, o.end_amount = True, int(ed), float(ea)
+            refill_folded = _restore_filled_open_orders(
+                eng, zip(row[25], row[26], row[27])
+            )
 
         pdf = pd.concat(list(pdf_iter))
         pdf = pdf[pdf["close"].notna()].sort_values("date")
@@ -715,6 +746,7 @@ def _make_partial_kernel_fn(
                 if o.oid in settled_fills:
                     continue
                 settled_fills.add(o.oid)
+                _refill_profit_correction(eng, o, refill_folded)
                 ent = accb.get(int(o.start_time))
                 if ent is not None and ent[0] == o.oid:
                     if ent[1] != o.num_shares:
@@ -908,7 +940,12 @@ def bars_replay_stream(
         .distinct()
         .withColumn("__chunk", F.ntile(n_chunks).over(Window.orderBy("date")))
     )
-    chunked = bars.join(chunk_of, "date").select("__chunk", *bars.columns)
+    # materialize ONCE: the per-chunk filter/write loop below would
+    # otherwise re-run the full bars lineage (and the ntile window)
+    # n_chunks times
+    chunked = (
+        bars.join(chunk_of, "date").select("__chunk", *bars.columns).localCheckpoint()
+    )
     base = time.time()
     for i in range(1, n_chunks + 1):
         stage = os.path.join(out_dir, f"_stage_{i}")

@@ -488,11 +488,12 @@ def test_streaming_partial_close_update_mode(spark, tmp_path):
     re-emits corrected history (update mode, emit_seq-resolved). The
     resolved curve must equal the batch kernel's post-run curve
     bit-exactly, across 3 micro-batches."""
+    from pyspark.sql import functions as F
+
     from strat_backtest_spark.plans.backtest import Backtest, MACrossStrategy
     from strat_backtest_spark.plans.catalog import _t
     from strat_backtest_spark.sources.bars import bars_from_events
     from strat_backtest_spark.streaming.backtest_stream import (
-        drain_stream_update,
         streaming_backtest_curve_update,
     )
 
@@ -516,14 +517,112 @@ def test_streaming_partial_close_update_mode(spark, tmp_path):
     curve = streaming_backtest_curve_update(
         stream, 3, 8, init, sell_shares=2.0
     )
-    got = drain_stream_update(spark, curve)
-    rows = got.collect()
-    assert len(rows) == len(batch)
+    # drain with a KNOWN query name so the raw (pre-dedup) emission
+    # table can be asserted on without guessing among uuid names
+    name = f"pc_test_{uuid.uuid4().hex[:8]}"
+    q = (
+        curve.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    raw = spark.table(name)
     # re-emissions must actually have happened (the partial path fires)
-    raw = [t for t in spark.catalog.listTables() if t.name.startswith("bt_stream_u_")]
-    assert raw and spark.table(raw[-1].name).count() > len(batch)
+    assert raw.count() > len(batch)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("ticker", "run_id", "date").orderBy(F.col("emit_seq").desc())
+    rows = (
+        raw.withColumn("__rn", F.row_number().over(w))
+        .filter("__rn = 1")
+        .drop("__rn", "emit_seq")
+        .collect()
+    )
+    assert len(rows) == len(batch)
     for r in rows:
         want_net, want_shares = batch[(r["ticker"], str(r["date"]))]
         assert r["net_worth"] == pytest.approx(want_net, rel=1e-12, abs=1e-9), (
             r["ticker"], r["date"])
         assert r["shares_owned"] == pytest.approx(want_shares, rel=1e-12)
+
+
+def test_partial_close_refill_across_boundary_state_parity():
+    """A Q1 double-queued remainder whose two fills land in DIFFERENT
+    micro-batches: the batch engine's order_worth (Q2) re-values the
+    pre-boundary completed entry at the re-fill's prices on every
+    later call, so the streamed engine must correct its folded
+    profit_base by the same delta — otherwise buying power silently
+    drifts (measured 17-25 on this series before the fix). Pure
+    engine-level harness of the save/restore/correct helpers the
+    stateful fn uses; no Spark session needed."""
+    import numpy as np
+    import pandas as pd
+
+    from strat_backtest_spark.operators.kernel import TradingEngine
+    from strat_backtest_spark.streaming.backtest_stream import (
+        _refill_profit_correction,
+        _restore_engine,
+        _restore_filled_open_orders,
+        _save_engine,
+    )
+
+    closes = []
+    v = 10.0
+    for _ in range(10):
+        for _ in range(3):
+            v *= 1.06
+            closes.append(v)
+        for _ in range(3):
+            v *= 0.93
+            closes.append(v)
+    closes = np.array(closes)
+    days = np.arange(len(closes), dtype=np.int64)
+    s = pd.Series(closes)
+    f, l = s.rolling(2).mean(), s.rolling(4).mean()
+    actions = []
+    prev = None
+    for i in range(len(closes)):
+        cc = 1 if (not np.isnan(f.iloc[i]) and not np.isnan(l.iloc[i]) and f.iloc[i] > l.iloc[i]) else 0
+        actions.append(("buy" if cc else "sell") if (prev is None or cc != prev) else None)
+        prev = cc
+    init = 100.0  # ~10-share buys, so sell_shares=3 exhausts remainders
+
+    def drive(eng, lo, hi, first_buy, folded):
+        settled = set()
+        for i in range(lo, hi):
+            if actions[i] == "buy":
+                eng.buy(int(days[i]), float(closes[i]))
+                first_buy = True
+            elif actions[i] == "sell" and first_buy:
+                eng.sell(int(days[i]), float(closes[i]), num_shares=3.0)
+            for o in eng.book.completed:
+                if o.oid not in settled:
+                    settled.add(o.oid)
+                    _refill_profit_correction(eng, o, folded)
+        return first_buy
+
+    truth = TradingEngine(days, closes, init)
+    drive(truth, 0, len(closes), False, {})
+
+    for split in (9, 12, 15, 18, 21, 24, 27):
+        e1 = TradingEngine(days, closes, init)
+        fb = drive(e1, 0, split, False, {})
+        saved = (None,) * 4 + _save_engine(e1)
+        of_rows = [
+            (o.oid, o.end_time, o.end_amount)
+            for o in {o.oid: o for o in e1.book.open_orders if o.filled}.values()
+        ]
+        e2 = _restore_engine(saved, init)
+        folded = _restore_filled_open_orders(e2, of_rows)
+        drive(e2, split, len(closes), fb, folded)
+        assert e2.book.total_shares == truth.book.total_shares, split
+        assert e2.current_amount == pytest.approx(truth.current_amount, abs=1e-9), split
+        assert e2.book.profit_base + sum(
+            o.profit_loss() or 0.0 for o in e2.book.completed
+        ) == pytest.approx(
+            sum(o.profit_loss() or 0.0 for o in truth.book.completed), abs=1e-9
+        ), split

@@ -626,3 +626,69 @@ def test_partial_close_refill_across_boundary_state_parity():
         ) == pytest.approx(
             sum(o.profit_loss() or 0.0 for o in truth.book.completed), abs=1e-9
         ), split
+
+
+def test_streaming_partial_close_refill_e2e(spark, tmp_path):
+    """End-to-end partial-close stream on a series engineered so
+    remainders EXHAUST and re-fill across micro-batch boundaries
+    (10-share buys, 3-share sells over a zigzag): the resolved
+    update-mode curve must still equal the batch kernel bit-exactly.
+    Complements the engine-level split harness with full-pipeline
+    coverage of the re-fill correction."""
+    import datetime
+    import pandas as pd
+
+    from pyspark.sql import Window as W, functions as F
+
+    from strat_backtest_spark.plans.backtest import Backtest, MACrossStrategy
+    from strat_backtest_spark.streaming.backtest_stream import (
+        drain_stream_update,
+        streaming_backtest_curve_update,
+    )
+
+    base = datetime.date(2022, 1, 1)
+    rows = []
+    v = 10.0
+    for cyc in range(10):
+        for _ in range(3):
+            v *= 1.06
+            rows.append(v)
+        for _ in range(3):
+            v *= 0.93
+            rows.append(v)
+    pdf = pd.DataFrame(
+        {
+            "ticker": "z",
+            "date": [base + datetime.timedelta(days=i) for i in range(len(rows))],
+            "close": rows,
+        }
+    )
+    bars = spark.createDataFrame(pdf)
+    init = 100.0
+
+    bt = Backtest(bars, init, MACrossStrategy(2, 4, sell_shares=3.0))
+    batch = {
+        str(r["date"]): (r["net_worth"], r["shares_owned"])
+        for r in bt.run().collect()
+    }
+    bt.release()
+
+    for n_chunks in (5, 9):
+        src = _split_bars_to_files(spark, bars, str(tmp_path), n_chunks)
+        stream = (
+            spark.readStream.schema(bars.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        got = drain_stream_update(
+            spark,
+            streaming_backtest_curve_update(stream, 2, 4, init, sell_shares=3.0),
+        ).collect()
+        assert len(got) == len(batch), n_chunks
+        for r in got:
+            want_net, want_shares = batch[str(r["date"])]
+            assert r["shares_owned"] == want_shares, (n_chunks, r["date"])
+            assert r["net_worth"] == pytest.approx(want_net, rel=1e-12, abs=1e-9), (
+                n_chunks,
+                r["date"],
+            )

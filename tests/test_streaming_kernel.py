@@ -692,3 +692,59 @@ def test_streaming_partial_close_refill_e2e(spark, tmp_path):
                 n_chunks,
                 r["date"],
             )
+
+
+def test_streaming_partial_close_fuzz(spark, tmp_path):
+    """Seeded random-walk differential for the partial-close stream:
+    small initial capital forces remainder exhaustion and re-fills at
+    data-dependent points; every (seed, chunking) must match the batch
+    kernel exactly."""
+    import datetime
+    import numpy as np
+    import pandas as pd
+
+    from strat_backtest_spark.plans.backtest import Backtest, MACrossStrategy
+    from strat_backtest_spark.streaming.backtest_stream import (
+        drain_stream_update,
+        streaming_backtest_curve_update,
+    )
+
+    base = datetime.date(2023, 6, 1)
+    for seed, n_chunks in ((11, 4), (12, 7)):
+        rng = np.random.default_rng(seed)
+        rows = []
+        for t in range(3):
+            n = int(rng.integers(25, 45))
+            closes = np.abs(rng.normal(0, 0.6, n)).cumsum() + 8.0
+            for i in range(n):
+                rows.append(
+                    (f"t{t}", base + datetime.timedelta(days=i), float(closes[i]))
+                )
+        bars = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["ticker", "date", "close"])
+        )
+        init, shares = 120.0, float(rng.integers(2, 5))
+        bt = Backtest(bars, init, MACrossStrategy(2, 4, sell_shares=shares))
+        batch = {
+            (r["ticker"], str(r["date"])): (r["net_worth"], r["shares_owned"])
+            for r in bt.run().collect()
+        }
+        bt.release()
+
+        src = _split_bars_to_files(spark, bars, str(tmp_path), n_chunks)
+        stream = (
+            spark.readStream.schema(bars.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        got = drain_stream_update(
+            spark,
+            streaming_backtest_curve_update(stream, 2, 4, init, sell_shares=shares),
+        ).collect()
+        assert len(got) == len(batch), (seed, n_chunks)
+        for r in got:
+            want_net, want_shares = batch[(r["ticker"], str(r["date"]))]
+            assert r["shares_owned"] == want_shares, (seed, r["ticker"], r["date"])
+            assert r["net_worth"] == pytest.approx(
+                want_net, rel=1e-12, abs=1e-9
+            ), (seed, r["ticker"], r["date"])

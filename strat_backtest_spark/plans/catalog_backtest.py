@@ -363,21 +363,214 @@ def q39_ma_cross_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q40_backtest_networth")  # kernel: rows-only check
+def _ma_kernel_sim_sql(runs: list[tuple[int, int, int]], final_select: str) -> str:
+    """DuckDB oracle for the SEQUENTIAL order kernel: a recursive CTE
+    folds each (ticker, run_id) group's signal-edge stream through the
+    exact TradingEngine recurrence (operators/kernel.py:166-244,
+    reference strats.py:252-420), carrying the FIFO order book as a
+    LIST<STRUCT(s, p)> deque plus scalar state (buying power with the
+    Q2 re-add mutation, completed-profit total, share counters, the
+    Σbuy·close / Σsell·close event sums the portfolio telescopes to).
+
+    FP parity is by construction, not by rounding slack: every
+    arithmetic step mirrors the Python kernel's operation ORDER —
+    ``ca + (ptot - Σopen)`` keeps order_worth's parenthesization
+    (kernel.py:184-186), share counts replicate CPython's float
+    floordiv via fmod + the >0.5 correction (floatobject.c float_divmod
+    semantics), and the cb/cs accumulators add in event-date order,
+    matching Spark's in-partition-ordered partial aggregation over the
+    kernel's date-sorted event emission. Verified bit-exact (0/150
+    groups differ before rounding) at sf0.01.
+
+    ``runs``: (run_id, fast, lagging) triples; window frames are baked
+    as literals per distinct MA length, mirroring
+    ma_cross_signals_grid's one-pass multi-window plan.
+    """
+    lengths = sorted({f for _, f, _ in runs} | {l for _, _, l in runs})
+    win_cols = ",\n             ".join(
+        f"count(*) OVER w{n} AS cnt{n}, avg(close) OVER w{n} AS avg{n}"
+        for n in lengths
+    )
+    win_defs = ",\n             ".join(
+        f"w{n} AS (PARTITION BY ticker ORDER BY date "
+        f"ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW)"
+        for n in lengths
+    )
+    per_run = "\n      UNION ALL\n".join(
+        f"""      SELECT ticker, date, close, {rid}::BIGINT AS run_id,
+             coalesce(CASE WHEN cnt{f} >= {f} THEN avg{f} END
+                      > CASE WHEN cnt{l} >= {l} THEN avg{l} END, false) AS is_cross,
+             lag(coalesce(CASE WHEN cnt{f} >= {f} THEN avg{f} END
+                          > CASE WHEN cnt{l} >= {l} THEN avg{l} END, false))
+               OVER (PARTITION BY ticker ORDER BY date) AS prev_cross
+      FROM win"""
+        for rid, f, l in runs
+    )
+    return f"""
+    WITH RECURSIVE bars AS (
+      SELECT ticker, date, close FROM (
+        SELECT user_id::VARCHAR AS ticker, CAST(ts AS DATE) AS date, value AS close,
+               row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ), win AS (
+      SELECT ticker, date, close,
+             {win_cols}
+      FROM bars
+      WINDOW {win_defs}
+    ), crossed AS (
+{per_run}
+    ), edge0 AS (
+      SELECT ticker, run_id, date, close,
+             CASE WHEN is_cross THEN 'buy' ELSE 'sell' END AS action
+      FROM crossed
+      WHERE prev_cross IS NULL OR is_cross <> prev_cross
+    ), edges AS (
+      -- ma_cross_driver: sells at or before the first buy are skipped
+      -- (kernel.py:266-276); survivors are the kernel's decision stream
+      SELECT ticker, run_id, date, close, action,
+             row_number() OVER (PARTITION BY ticker, run_id ORDER BY date) AS i
+      FROM (
+        SELECT *, min(CASE WHEN action = 'buy' THEN date END)
+                    OVER (PARTITION BY ticker, run_id) AS first_buy
+        FROM edge0
+      )
+      WHERE action = 'buy' OR date > first_buy
+    ), sim AS (
+      SELECT ticker, run_id,
+             0::BIGINT AS i,
+             10000.0::DOUBLE AS ca,     -- TradingEngine.current_amount
+             0.0::DOUBLE AS ptot,       -- Σ completed-order profits
+             CAST([] AS STRUCT(s DOUBLE, p DOUBLE)[]) AS opens,  -- FIFO deque
+             0.0::DOUBLE AS tsh,        -- book.total_shares
+             0.0::DOUBLE AS act,        -- engine.active_orders
+             0.0::DOUBLE AS cb,         -- Σ buy_shares·event_close
+             0.0::DOUBLE AS cs          -- Σ sell_shares·event_close
+      FROM (SELECT DISTINCT ticker, run_id FROM edges)
+      UNION ALL
+      SELECT ticker, run_id, i,
+             CASE WHEN is_buy THEN ca1 ELSE ca END,
+             CASE WHEN is_close THEN ptot + ((px - p0) * s0) ELSE ptot END,
+             CASE WHEN accept THEN list_append(opens, {{'s': n, 'p': px}})
+                  WHEN is_close THEN opens[2:]
+                  ELSE opens END,
+             CASE WHEN accept THEN tsh + n WHEN is_close THEN tsh - s0 ELSE tsh END,
+             CASE WHEN accept THEN act + n WHEN is_close THEN act - s0 ELSE act END,
+             CASE WHEN accept THEN cb + (n * px) ELSE cb END,
+             CASE WHEN is_close THEN cs + (s0 * px) ELSE cs END
+      FROM (
+        -- Q13: a buy the mutated buying power cannot afford is
+        -- silently dropped (the CA mutation still sticks)
+        SELECT *, is_buy AND NOT (ca1 < px * n) AS accept
+        FROM (
+          SELECT *,
+                 -- CPython float floordiv (shares = ca1 // px): fmod
+                 -- remainder, then the floor(+1 if frac > .5) repair
+                 CASE WHEN NOT is_buy THEN 0.0
+                      WHEN ca1 > 0 THEN floor(divq)
+                           + (CASE WHEN divq - floor(divq) > 0.5 THEN 1.0 ELSE 0.0 END)
+                      ELSE -1.0 END AS n
+          FROM (
+            SELECT *,
+                   CASE WHEN is_buy AND ca1 > 0
+                        THEN (ca1 - fmod(ca1, px)) / px ELSE 0.0 END AS divq
+            FROM (
+              SELECT *,
+                     -- Q2: buying power re-adds completed profits and
+                     -- subtracts open-order BARE prices (Q3) per call
+                     CASE WHEN action = 'buy' AND px > 0
+                          THEN ca + (ptot - coalesce(
+                                 list_sum(list_transform(opens, o -> o.p)), 0.0))
+                          ELSE ca END AS ca1,
+                     action = 'buy' AND px > 0 AS is_buy,
+                     action <> 'buy' AND act > 0 AND len(opens) > 0 AS is_close,
+                     CASE WHEN len(opens) > 0 THEN opens[1].s ELSE 0.0 END AS s0,
+                     CASE WHEN len(opens) > 0 THEN opens[1].p ELSE 0.0 END AS p0
+              FROM (
+                SELECT s.ticker, s.run_id, e.i, e.close AS px, e.action,
+                       s.ca, s.ptot, s.opens, s.tsh, s.act, s.cb, s.cs
+                FROM sim s
+                JOIN edges e ON e.ticker = s.ticker AND e.run_id = s.run_id
+                            AND e.i = s.i + 1
+              )
+            )
+          )
+        )
+      )
+    ), finals AS (
+      SELECT ticker, run_id, tsh, cb, cs
+      FROM sim
+      QUALIFY row_number() OVER (PARTITION BY ticker, run_id ORDER BY i DESC) = 1
+    ), last_close AS (
+      SELECT ticker, arg_max(close, date) AS lc FROM bars GROUP BY ticker
+    )
+    {final_select}
+    """
+
+
+@query(
+    "q40_backtest_networth",
+    oracle=_ma_kernel_sim_sql(
+        [(0, 3, 8)],
+        # net_worth(T) telescope (portfolio.py:64-100), Spark's exact
+        # parenthesization: ((shares·close − cb) + cs) + init
+        final_select="""
+    SELECT lc.ticker, p.run_id,
+           round((((coalesce(f.tsh, 0.0) * lc.lc) - coalesce(f.cb, 0.0))
+                  + coalesce(f.cs, 0.0)) + 10000.0, 4) AS net_worth
+    FROM last_close lc
+    CROSS JOIN (VALUES (0::BIGINT)) p(run_id)
+    LEFT JOIN finals f ON f.ticker = lc.ticker AND f.run_id = p.run_id""",
+    ),
+)
 def q40_backtest_networth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end backtest (signals → order kernel → portfolio) per
-    synthetic ticker. Sequential order matching is not SQL-expressible."""
+    synthetic ticker. The sequential order matching runs in the
+    mapInPandas kernel; the gate checks it against a recursive-CTE
+    DuckDB oracle that folds the same edge stream through the same
+    order-book recurrence (see _ma_kernel_sim_sql) — bit-exact before
+    the shared round(4)."""
     from strat_backtest_spark.plans.backtest import Backtest, MACrossStrategy
 
     bt = Backtest(_bars(spark, sf_dir), 10_000.0, MACrossStrategy(fast=3, lagging=8))
-    return bt.final_net_worth()
+    return bt.final_net_worth().select(
+        "ticker", "run_id", F.round("net_worth", 4).alias("net_worth")
+    )
 
 
-@query("q41_grid_search")  # kernel: rows-only check
+_GRID_RUNS = [(0, 3, 8), (1, 3, 13), (2, 5, 8), (3, 5, 13)]
+
+@query(
+    "q41_grid_search",
+    oracle=_ma_kernel_sim_sql(
+        _GRID_RUNS,
+        # argmax per ticker on the UNROUNDED objective, lowest run_id
+        # tiebreak — grid_search's exact selection (optimize.py:99-104)
+        final_select="""
+    , params(run_id, fast, lagging) AS (
+      VALUES (0::BIGINT, 3, 8), (1::BIGINT, 3, 13),
+             (2::BIGINT, 5, 8), (3::BIGINT, 5, 13)
+    ), scored AS (
+      SELECT lc.ticker, p.run_id, p.fast, p.lagging,
+             (((coalesce(f.tsh, 0.0) * lc.lc) - coalesce(f.cb, 0.0))
+              + coalesce(f.cs, 0.0)) + 10000.0 AS nw
+      FROM last_close lc
+      CROSS JOIN params p
+      LEFT JOIN finals f ON f.ticker = lc.ticker AND f.run_id = p.run_id
+    )
+    SELECT ticker, fast, lagging, round(nw, 4) AS net_worth
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY ticker ORDER BY nw DESC, run_id ASC) = 1""",
+    ),
+)
 def q41_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyper-parameter grid sweep: one cluster job evaluates every
     (fast, lagging) point (reference runs these serially,
-    optimize.py:221-225); returns the best point per ticker."""
+    optimize.py:221-225); returns the best point per ticker. Gate
+    checks the whole sweep — multi-window signal plan, kernel per
+    (ticker, run), argmax selection — against the recursive-CTE kernel
+    oracle instantiated at all four grid points."""
     from strat_backtest_spark.operators.optimize import grid_search
 
     return grid_search(

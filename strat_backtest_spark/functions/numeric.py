@@ -23,6 +23,29 @@ from __future__ import annotations
 import numpy as np
 
 
+def round_half_up_col(c, decimals: int):
+    """pyspark Column version of :func:`round_half_up` — binary-value
+    HALF_UP as pure IEEE ops (signum/abs/floor/mul/div), so the SAME
+    expression evaluated by DuckDB (:func:`round_half_up_sql`) on a
+    bit-identical input produces a bit-identical output. Needed where
+    magnitudes get large enough (≥ ~1e10) that one double ULP is
+    comparable to the rounding unit and Spark ``F.round``'s
+    shortest-decimal BigDecimal path visibly disagrees with DuckDB
+    ``round()`` — e.g. the compounding band-strategy net-worth curve.
+    Values must stay below 2^53/10^decimals (exact-long range)."""
+    from pyspark.sql import functions as F
+
+    scale = float(10.0 ** decimals)
+    return F.signum(c) * F.floor(F.abs(c) * scale + F.lit(0.5)) / scale
+
+
+def round_half_up_sql(expr: str, decimals: int) -> str:
+    """The DuckDB-side twin of :func:`round_half_up_col`: identical
+    operation sequence, identical IEEE results."""
+    scale = repr(10.0 ** decimals)
+    return f"sign({expr}) * floor((abs({expr}) * {scale}) + 0.5) / {scale}"
+
+
 def round_half_up(x: np.ndarray, decimals: int) -> np.ndarray:
     """Element-wise round-half-away-from-zero on the binary float64
     value, matching DuckDB ``round()`` (sign-aware: HALF_UP on

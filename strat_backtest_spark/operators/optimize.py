@@ -96,11 +96,20 @@ def grid_search(
     spark = bars.sparkSession
     params = expand_grid(spark, fast_range, lagging_range)
     scored = evaluate_params(bars, params, initial_amount)
+    from strat_backtest_spark.functions.numeric import round_half_up_col
+
     w = Window.partitionBy("ticker").orderBy(F.desc("net_worth"), F.asc("run_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
-        .select("ticker", "fast", "lagging", F.round("net_worth", 4).alias("net_worth"))
+        .select(
+            "ticker",
+            "fast",
+            "lagging",
+            # IEEE-stable rounding (not F.round): objective magnitudes
+            # can reach ~1e11 where one double ULP straddles 1e-4
+            round_half_up_col(F.col("net_worth"), 4).alias("net_worth"),
+        )
     )
 
 

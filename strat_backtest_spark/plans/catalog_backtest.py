@@ -11,6 +11,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types as T
 
+from strat_backtest_spark.functions.numeric import (
+    round_half_up_col,
+    round_half_up_sql,
+)
 from strat_backtest_spark.plans.catalog import _t, query
 
 
@@ -514,14 +518,20 @@ def _ma_kernel_sim_sql(runs: list[tuple[int, int, int]], final_select: str) -> s
     oracle=_ma_kernel_sim_sql(
         [(0, 3, 8)],
         # net_worth(T) telescope (portfolio.py:64-100), Spark's exact
-        # parenthesization: ((shares·close − cb) + cs) + init
-        final_select="""
-    SELECT lc.ticker, p.run_id,
-           round((((coalesce(f.tsh, 0.0) * lc.lc) - coalesce(f.cb, 0.0))
-                  + coalesce(f.cs, 0.0)) + 10000.0, 4) AS net_worth
-    FROM last_close lc
-    CROSS JOIN (VALUES (0::BIGINT)) p(run_id)
-    LEFT JOIN finals f ON f.ticker = lc.ticker AND f.run_id = p.run_id""",
+        # parenthesization: ((shares·close − cb) + cs) + init; rounded
+        # via the IEEE-stable helper (see round_half_up_col) so huge
+        # magnitudes cannot strand the two engines' round() on
+        # different sides of a decimal boundary
+        final_select=f"""
+    SELECT ticker, run_id, {round_half_up_sql('nw', 4)} AS net_worth
+    FROM (
+      SELECT lc.ticker, p.run_id,
+             (((coalesce(f.tsh, 0.0) * lc.lc) - coalesce(f.cb, 0.0))
+              + coalesce(f.cs, 0.0)) + 10000.0 AS nw
+      FROM last_close lc
+      CROSS JOIN (VALUES (0::BIGINT)) p(run_id)
+      LEFT JOIN finals f ON f.ticker = lc.ticker AND f.run_id = p.run_id
+    )""",
     ),
 )
 def q40_backtest_networth(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -535,7 +545,9 @@ def q40_backtest_networth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     bt = Backtest(_bars(spark, sf_dir), 10_000.0, MACrossStrategy(fast=3, lagging=8))
     return bt.final_net_worth().select(
-        "ticker", "run_id", F.round("net_worth", 4).alias("net_worth")
+        "ticker",
+        "run_id",
+        round_half_up_col(F.col("net_worth"), 4).alias("net_worth"),
     )
 
 
@@ -547,7 +559,7 @@ _GRID_RUNS = [(0, 3, 8), (1, 3, 13), (2, 5, 8), (3, 5, 13)]
         _GRID_RUNS,
         # argmax per ticker on the UNROUNDED objective, lowest run_id
         # tiebreak — grid_search's exact selection (optimize.py:99-104)
-        final_select="""
+        final_select=f"""
     , params(run_id, fast, lagging) AS (
       VALUES (0::BIGINT, 3, 8), (1::BIGINT, 3, 13),
              (2::BIGINT, 5, 8), (3::BIGINT, 5, 13)
@@ -559,7 +571,8 @@ _GRID_RUNS = [(0, 3, 8), (1, 3, 13), (2, 5, 8), (3, 5, 13)]
       CROSS JOIN params p
       LEFT JOIN finals f ON f.ticker = lc.ticker AND f.run_id = p.run_id
     )
-    SELECT ticker, fast, lagging, round(nw, 4) AS net_worth
+    SELECT ticker, fast, lagging,
+           {round_half_up_sql('nw', 4)} AS net_worth
     FROM scored
     QUALIFY row_number() OVER (PARTITION BY ticker ORDER BY nw DESC, run_id ASC) = 1""",
     ),
@@ -661,14 +674,172 @@ def q49_stream_signal_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q59_stream_backtest_kernel")  # path-dependent sim: rows-only check
+def _curve_sim_sql(strategy: str) -> str:
+    """Per-bar variant of :func:`_ma_kernel_sim_sql`: the recursion
+    steps over EVERY bar (not just signal edges) so the full per-bar
+    net-worth curve falls out of the state rows directly — the oracle
+    for the STREAMING kernels (q59 ma_cross, q64 band), whose output is
+    the curve itself. State additionally carries the emitted action and
+    (band) the anchor/last-move trigger pair; the curve row at bar i is
+    ``((tsh·close − cb) + cs) + init``, the same scalar accumulation
+    order the streaming fn uses (streaming/backtest_stream.py:380-382,
+    511-513). Band trigger semantics: reference Ten_Percent_Strat
+    (custom_strats.py:83-101) — thresholds anchored to the LAST
+    transaction bar, anchor moving even when the engine op no-ops."""
+    if strategy == "ma_cross":
+        signal_ctes = """win AS (
+      SELECT ticker, date, close,
+             count(*) OVER w3 AS cnt3, avg(close) OVER w3 AS avg3,
+             count(*) OVER w8 AS cnt8, avg(close) OVER w8 AS avg8
+      FROM bars
+      WINDOW w3 AS (PARTITION BY ticker ORDER BY date ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+             w8 AS (PARTITION BY ticker ORDER BY date ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+    ), crossed AS (
+      SELECT ticker, date, close,
+             coalesce(CASE WHEN cnt3 >= 3 THEN avg3 END
+                      > CASE WHEN cnt8 >= 8 THEN avg8 END, false) AS is_cross,
+             lag(coalesce(CASE WHEN cnt3 >= 3 THEN avg3 END
+                          > CASE WHEN cnt8 >= 8 THEN avg8 END, false))
+               OVER (PARTITION BY ticker ORDER BY date) AS prev_cross
+      FROM win
+    ), barsn AS (
+      SELECT ticker, date, close,
+             CASE WHEN prev_cross IS NULL OR is_cross <> prev_cross
+                  THEN CASE WHEN is_cross THEN 'buy' ELSE 'sell' END END AS sig,
+             min(CASE WHEN (prev_cross IS NULL OR is_cross <> prev_cross)
+                       AND is_cross THEN date END)
+               OVER (PARTITION BY ticker) AS first_buy,
+             row_number() OVER (PARTITION BY ticker ORDER BY date) AS i
+      FROM crossed
+    ),"""
+        trig = """sig = 'buy' AND px > 0 AS is_buy,
+                     sig = 'sell' AND date > first_buy
+                       AND act > 0 AND len(opens) > 0 AS is_close,
+                     sig AS axn,
+                     0.0::DOUBLE AS anchor1, false AS lms1"""
+    elif strategy == "band":
+        signal_ctes = """barsn AS (
+      SELECT ticker, date, close, NULL::DATE AS first_buy, NULL::VARCHAR AS sig,
+             row_number() OVER (PARTITION BY ticker ORDER BY date) AS i
+      FROM bars
+    ),"""
+        trig = """CASE WHEN b.i = 1 THEN px > 0
+                          WHEN px <= anchor * 0.99 AND lms THEN px > 0
+                          ELSE false END AS is_buy,
+                     b.i > 1 AND px >= anchor * 1.05 AND NOT lms
+                       AND act > 0 AND len(opens) > 0 AS is_close,
+                     CASE WHEN b.i = 1 THEN 'buy'
+                          WHEN px >= anchor * 1.05 AND NOT lms THEN 'sell'
+                          WHEN px <= anchor * 0.99 AND lms THEN 'buy' END AS axn,
+                     CASE WHEN b.i = 1 OR (px >= anchor * 1.05 AND NOT lms)
+                            OR (px <= anchor * 0.99 AND lms)
+                          THEN px ELSE anchor END AS anchor1,
+                     CASE WHEN b.i = 1 THEN false
+                          WHEN px >= anchor * 1.05 AND NOT lms THEN true
+                          WHEN px <= anchor * 0.99 AND lms THEN false
+                          ELSE lms END AS lms1"""
+    else:  # pragma: no cover - registration-time constant
+        raise ValueError(strategy)
+    return f"""
+    WITH RECURSIVE bars AS (
+      SELECT ticker, date, close FROM (
+        SELECT user_id::VARCHAR AS ticker, CAST(ts AS DATE) AS date, value AS close,
+               row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ), {signal_ctes} sim AS (
+      SELECT ticker,
+             0::BIGINT AS i,
+             NULL::VARCHAR AS axn,
+             0.0::DOUBLE AS anchor, false AS lms,
+             10000.0::DOUBLE AS ca,
+             0.0::DOUBLE AS ptot,
+             CAST([] AS STRUCT(s DOUBLE, p DOUBLE)[]) AS opens,
+             0.0::DOUBLE AS tsh,
+             0.0::DOUBLE AS act,
+             0.0::DOUBLE AS cb,
+             0.0::DOUBLE AS cs
+      FROM (SELECT DISTINCT ticker FROM barsn)
+      UNION ALL
+      SELECT ticker, i, axn,
+             anchor1, lms1,
+             CASE WHEN is_buy THEN ca1 ELSE ca END,
+             CASE WHEN is_close THEN ptot + ((px - p0) * s0) ELSE ptot END,
+             CASE WHEN accept THEN list_append(opens, {{'s': n, 'p': px}})
+                  WHEN is_close THEN opens[2:]
+                  ELSE opens END,
+             CASE WHEN accept THEN tsh + n WHEN is_close THEN tsh - s0 ELSE tsh END,
+             CASE WHEN accept THEN act + n WHEN is_close THEN act - s0 ELSE act END,
+             CASE WHEN accept THEN cb + (n * px) ELSE cb END,
+             CASE WHEN is_close THEN cs + (s0 * px) ELSE cs END
+      FROM (
+        SELECT *, is_buy AND NOT (ca1 < px * n) AS accept
+        FROM (
+          SELECT *,
+                 CASE WHEN NOT is_buy THEN 0.0
+                      WHEN ca1 > 0 THEN floor(divq)
+                           + (CASE WHEN divq - floor(divq) > 0.5 THEN 1.0 ELSE 0.0 END)
+                      ELSE -1.0 END AS n
+          FROM (
+            SELECT *,
+                   CASE WHEN is_buy AND ca1 > 0
+                        THEN (ca1 - fmod(ca1, px)) / px ELSE 0.0 END AS divq
+            FROM (
+              SELECT *,
+                     CASE WHEN is_buy
+                          THEN ca + (ptot - coalesce(
+                                 list_sum(list_transform(opens, o -> o.p)), 0.0))
+                          ELSE ca END AS ca1
+              FROM (
+                SELECT s.ticker, b.i, b.close AS px, b.date, {trig},
+                       CASE WHEN len(s.opens) > 0 THEN s.opens[1].s ELSE 0.0 END AS s0,
+                       CASE WHEN len(s.opens) > 0 THEN s.opens[1].p ELSE 0.0 END AS p0,
+                       s.ca, s.ptot, s.opens, s.tsh, s.act, s.cb, s.cs
+                FROM sim s
+                JOIN barsn b ON b.ticker = s.ticker AND b.i = s.i + 1
+              )
+            )
+          )
+        )
+      )
+    ), curve AS (
+      SELECT s.ticker, 0::BIGINT AS run_id, b.date, b.close, s.axn AS action,
+             s.tsh AS shares_owned,
+             (((s.tsh * b.close) - s.cb) + s.cs) + 10000.0 AS nw
+      FROM sim s
+      JOIN barsn b ON b.ticker = s.ticker AND b.i = s.i
+    )
+    SELECT ticker, run_id, strftime(date, '%Y-%m-%d') AS date,
+           round(close, 6) AS close, action, shares_owned,
+           {round_half_up_sql('nw', 4)} AS net_worth
+    FROM curve ORDER BY ticker, date LIMIT 150
+    """
+
+
+def _fmt_curve(df: DataFrame) -> DataFrame:
+    """Gate formatting for streaming-curve outputs: rounded per the
+    catalog's float convention, dates as strings (both engines emit
+    identical text)."""
+    return df.select(
+        "ticker",
+        "run_id",
+        F.date_format("date", "yyyy-MM-dd").alias("date"),
+        F.round("close", 6).alias("close"),
+        "action",
+        "shares_owned",
+        round_half_up_col(F.col("net_worth"), 4).alias("net_worth"),
+    )
+
+
+@query("q59_stream_backtest_kernel", oracle=_curve_sim_sql("ma_cross"))
 def q59_stream_backtest_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FIFO order kernel as a streaming stateful operator
     (SURVEY §7.2 M9): bars replayed as three micro-batches; per-ticker
     state carries the open-order book + MA tail; output is the per-bar
-    net-worth curve, bit-exact vs the batch kernel (golden + replay
-    parity in tests/test_streaming_kernel.py — the sim itself is not
-    SQL-expressible, same as batch q40)."""
+    net-worth curve — gate-checked against the per-bar recursive-CTE
+    kernel oracle (_curve_sim_sql), so the streaming state handoff is
+    verified against exact SQL, not just batch parity."""
     from strat_backtest_spark.streaming.backtest_stream import (
         bars_replay_stream,
         drain_stream,
@@ -680,7 +851,7 @@ def q59_stream_backtest_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
         bars_replay_stream(spark, bars, n_chunks=3), fast=3, lagging=8,
         initial_amount=10_000.0,
     )
-    return drain_stream(spark, curve).orderBy("ticker", "date").limit(150)
+    return _fmt_curve(drain_stream(spark, curve).orderBy("ticker", "date").limit(150))
 
 
 @query(
@@ -803,13 +974,13 @@ def q53_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q64_stream_band_kernel")  # path-dependent sim: rows-only check
+@query("q64_stream_band_kernel", oracle=_curve_sim_sql("band"))
 def q64_stream_band_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The band strategy (threshold re-anchoring to the last
     transaction — fully path-dependent) on the streaming kernel:
     per-ticker state carries (anchor, last-move, book) across three
-    micro-batches. Bit-exact vs the batch kernel in
-    tests/test_streaming_kernel.py."""
+    micro-batches — gate-checked against the per-bar recursive-CTE
+    oracle with the band trigger state folded into the recursion."""
     from strat_backtest_spark.streaming.backtest_stream import (
         bars_replay_stream,
         drain_stream,
@@ -822,15 +993,36 @@ def q64_stream_band_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
         initial_amount=10_000.0,
         strategy="band",
     )
-    return drain_stream(spark, curve).orderBy("ticker", "date").limit(150)
+    return _fmt_curve(drain_stream(spark, curve).orderBy("ticker", "date").limit(150))
 
 
-@query("q65_stream_grid")  # path-dependent sim: rows-only check
+@query(
+    "q65_stream_grid",
+    # the concurrent grid's objective values are the per-edge kernel
+    # sim's finals at every (ticker, run_id) — same oracle as q41
+    # before the argmax, ordered/limited like the query
+    oracle=_ma_kernel_sim_sql(
+        _GRID_RUNS,
+        final_select=f"""
+    , params(run_id) AS (
+      VALUES (0::BIGINT), (1::BIGINT), (2::BIGINT), (3::BIGINT)
+    )
+    SELECT ticker, run_id, {round_half_up_sql('nw', 4)} AS net_worth
+    FROM (
+      SELECT lc.ticker, p.run_id,
+             (((coalesce(f.tsh, 0.0) * lc.lc) - coalesce(f.cb, 0.0))
+              + coalesce(f.cs, 0.0)) + 10000.0 AS nw
+      FROM last_close lc
+      CROSS JOIN params p
+      LEFT JOIN finals f ON f.ticker = lc.ticker AND f.run_id = p.run_id
+    ) ORDER BY ticker, run_id LIMIT 150""",
+    ),
+)
 def q65_stream_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A 4-point (fast, lagging) grid evaluated CONCURRENTLY on the
     bar stream — one stateful operator keyed (ticker, run_id), every
-    parameter point its own live order book. Matches the batch
-    optimizer objective in tests/test_streaming_kernel.py."""
+    parameter point its own live order book. Gate-checked against the
+    per-edge kernel sim instantiated at all four grid points."""
     from strat_backtest_spark.streaming.backtest_stream import (
         bars_replay_stream,
         drain_stream,
@@ -845,7 +1037,9 @@ def q65_stream_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         drain_stream(spark, curve)
         .groupBy("ticker", "run_id")
-        .agg(F.max_by("net_worth", "date").alias("net_worth"))
+        .agg(
+            round_half_up_col(F.max_by("net_worth", "date"), 4).alias("net_worth")
+        )
         .orderBy("ticker", "run_id")
         .limit(150)
     )

@@ -124,10 +124,7 @@ def _symbols_values_sql() -> str:
     """
 
 
-@query(
-    "q44_common_stock_mentions",
-    oracle=r"""
-    WITH toks AS (
+_TOKS_CTE = r"""toks AS (
       SELECT lower(unnest(list_transform(
                regexp_extract_all(
                  regexp_replace(upper(text),
@@ -138,15 +135,24 @@ def _symbols_values_sql() -> str:
       FROM documents
     ),
     """
-    + _symbols_values_sql()
-    + """
+
+
+def _mentions_sql(n: int) -> str:
+    """Shared mentions aggregation over the token + dictionary CTEs
+    (the q44 oracle body, parameterized by top-n)."""
+    return f"""
     SELECT symbol, count(*) AS n_mentions
     FROM toks WHERE symbol IS NOT NULL AND len(symbol) > 1
       AND symbol IN (SELECT symbol FROM valid)
     GROUP BY symbol
     ORDER BY n_mentions DESC, symbol ASC
-    LIMIT 5
-    """,
+    LIMIT {n}
+    """
+
+
+@query(
+    "q44_common_stock_mentions",
+    oracle="WITH " + _TOKS_CTE + _symbols_values_sql() + _mentions_sql(5),
 )
 def q44_common_stock_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7+P6/P7/P8+T1 composed: document corpus → ticker-token regex →
@@ -161,7 +167,46 @@ def q44_common_stock_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ticker_mentions(docs, symbols, stopwords, n=5)
 
 
-@query("q45_common_stock_sweep")  # kernel: rows-only check
+def _q45_oracle() -> str:
+    """q45 = q44's mention ranking composed with q41's kernel-sim grid:
+    the recursive-CTE kernel oracle (catalog_backtest._ma_kernel_sim_sql)
+    instantiated at the 4 grid points, argmax per ticker, restricted to
+    the rank-bridged top-3 mention tickers."""
+    from strat_backtest_spark.functions.numeric import round_half_up_sql
+    from strat_backtest_spark.plans.catalog_backtest import (
+        _GRID_RUNS,
+        _ma_kernel_sim_sql,
+    )
+
+    final = f"""
+    , {_TOKS_CTE} {_symbols_values_sql()}
+    , mentions AS ({_mentions_sql(3)})
+    , bridge AS (
+      SELECT (row_number() OVER (ORDER BY n_mentions DESC, symbol ASC) - 1)::VARCHAR
+               AS ticker,
+             symbol AS mentioned_symbol
+      FROM mentions
+    ), params(run_id, fast, lagging) AS (
+      VALUES (0::BIGINT, 3, 8), (1::BIGINT, 3, 13),
+             (2::BIGINT, 5, 8), (3::BIGINT, 5, 13)
+    ), scored AS (
+      SELECT lc.ticker, p.run_id, p.fast, p.lagging,
+             (((coalesce(f.tsh, 0.0) * lc.lc) - coalesce(f.cb, 0.0))
+              + coalesce(f.cs, 0.0)) + 10000.0 AS nw
+      FROM last_close lc
+      CROSS JOIN params p
+      LEFT JOIN finals f ON f.ticker = lc.ticker AND f.run_id = p.run_id
+    ), best AS (
+      SELECT ticker, fast, lagging, {round_half_up_sql('nw', 4)} AS net_worth
+      FROM scored
+      QUALIFY row_number() OVER (PARTITION BY ticker ORDER BY nw DESC, run_id ASC) = 1
+    )
+    SELECT b.ticker, br.mentioned_symbol, b.fast, b.lagging, b.net_worth
+    FROM best b JOIN bridge br ON br.ticker = b.ticker"""
+    return _ma_kernel_sim_sql(_GRID_RUNS, final_select=final)
+
+
+@query("q45_common_stock_sweep", oracle=_q45_oracle())
 def q45_common_stock_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O5 end-to-end on synthetic data: top-3 mentioned symbols are
     rank-mapped onto the synthetic bar tickers (the corpus and the

@@ -32,11 +32,18 @@ def round_half_up_col(c, decimals: int):
     comparable to the rounding unit and Spark ``F.round``'s
     shortest-decimal BigDecimal path visibly disagrees with DuckDB
     ``round()`` — e.g. the compounding band-strategy net-worth curve.
-    Values must stay below 2^53/10^decimals (exact-long range)."""
+
+    Above 2^53 the scaled value has no fractional part, so DuckDB's
+    double-typed ``floor`` is the identity there; Spark's ``F.floor``
+    returns LONG (which would clamp at 2^63 for degenerate metrics
+    like a ^255-compounded sharpe), so the same branch is taken
+    explicitly and the op sequence stays engine-identical."""
     from pyspark.sql import functions as F
 
     scale = float(10.0 ** decimals)
-    return F.signum(c) * F.floor(F.abs(c) * scale + F.lit(0.5)) / scale
+    y = F.abs(c) * scale + F.lit(0.5)
+    fl = F.when(y < 2.0 ** 53, F.floor(y).cast("double")).otherwise(y)
+    return F.signum(c) * fl / scale
 
 
 def round_half_up_sql(expr: str, decimals: int) -> str:

@@ -152,7 +152,21 @@ def compute_metrics(
         F.col("n_orders") > 0,
         F.try_divide(F.col("filled_profit_sum"), F.col("total_risked")),
     )
-    annual_er = F.pow(F.col("mean_r_s") + 1, 255) - 1  # Q9
+    # Q9: mean daily return compounded over 255 trading days. Explicit
+    # square-and-multiply instead of F.pow: Java Math.pow and C libm
+    # pow disagree in the last ULP for some inputs, and the ^255
+    # amplification makes that visible through the DuckDB oracle's
+    # hash gate — a fixed left-associated product of binary powers is
+    # the same IEEE op sequence in any engine.
+    b1 = F.col("mean_r_s") + 1
+    b2 = b1 * b1
+    b4 = b2 * b2
+    b8 = b4 * b4
+    b16 = b8 * b8
+    b32 = b16 * b16
+    b64 = b32 * b32
+    b128 = b64 * b64
+    annual_er = b1 * b2 * b4 * b8 * b16 * b32 * b64 * b128 - 1
     sharpe = F.try_divide(annual_er - rf, F.col("std_r_s") * math.sqrt(252))
     volatility = F.col("std_r_s") * math.sqrt(252)
     covariance = F.try_divide(F.col("cov_num"), F.col("n_rows"))  # Q11

@@ -16,6 +16,11 @@ from strat_backtest_spark.functions.numeric import (
     round_half_up_sql,
 )
 from strat_backtest_spark.plans.catalog import _t, query
+from strat_backtest_spark.plans.kernel_oracle import (
+    _GRID_RUNS,
+    _curve_sim_sql,
+    _ma_kernel_sim_sql,
+)
 
 
 # ===========================================================================
@@ -367,152 +372,6 @@ def q39_ma_cross_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ma_kernel_sim_sql(runs: list[tuple[int, int, int]], final_select: str) -> str:
-    """DuckDB oracle for the SEQUENTIAL order kernel: a recursive CTE
-    folds each (ticker, run_id) group's signal-edge stream through the
-    exact TradingEngine recurrence (operators/kernel.py:166-244,
-    reference strats.py:252-420), carrying the FIFO order book as a
-    LIST<STRUCT(s, p)> deque plus scalar state (buying power with the
-    Q2 re-add mutation, completed-profit total, share counters, the
-    Σbuy·close / Σsell·close event sums the portfolio telescopes to).
-
-    FP parity is by construction, not by rounding slack: every
-    arithmetic step mirrors the Python kernel's operation ORDER —
-    ``ca + (ptot - Σopen)`` keeps order_worth's parenthesization
-    (kernel.py:184-186), share counts replicate CPython's float
-    floordiv via fmod + the >0.5 correction (floatobject.c float_divmod
-    semantics), and the cb/cs accumulators add in event-date order,
-    matching Spark's in-partition-ordered partial aggregation over the
-    kernel's date-sorted event emission. Verified bit-exact (0/150
-    groups differ before rounding) at sf0.01.
-
-    ``runs``: (run_id, fast, lagging) triples; window frames are baked
-    as literals per distinct MA length, mirroring
-    ma_cross_signals_grid's one-pass multi-window plan.
-    """
-    lengths = sorted({f for _, f, _ in runs} | {l for _, _, l in runs})
-    win_cols = ",\n             ".join(
-        f"count(*) OVER w{n} AS cnt{n}, avg(close) OVER w{n} AS avg{n}"
-        for n in lengths
-    )
-    win_defs = ",\n             ".join(
-        f"w{n} AS (PARTITION BY ticker ORDER BY date "
-        f"ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW)"
-        for n in lengths
-    )
-    per_run = "\n      UNION ALL\n".join(
-        f"""      SELECT ticker, date, close, {rid}::BIGINT AS run_id,
-             coalesce(CASE WHEN cnt{f} >= {f} THEN avg{f} END
-                      > CASE WHEN cnt{l} >= {l} THEN avg{l} END, false) AS is_cross,
-             lag(coalesce(CASE WHEN cnt{f} >= {f} THEN avg{f} END
-                          > CASE WHEN cnt{l} >= {l} THEN avg{l} END, false))
-               OVER (PARTITION BY ticker ORDER BY date) AS prev_cross
-      FROM win"""
-        for rid, f, l in runs
-    )
-    return f"""
-    WITH RECURSIVE bars AS (
-      SELECT ticker, date, close FROM (
-        SELECT user_id::VARCHAR AS ticker, CAST(ts AS DATE) AS date, value AS close,
-               row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
-                                  ORDER BY ts, event_id) AS rn
-        FROM events
-      ) WHERE rn = 1
-    ), win AS (
-      SELECT ticker, date, close,
-             {win_cols}
-      FROM bars
-      WINDOW {win_defs}
-    ), crossed AS (
-{per_run}
-    ), edge0 AS (
-      SELECT ticker, run_id, date, close,
-             CASE WHEN is_cross THEN 'buy' ELSE 'sell' END AS action
-      FROM crossed
-      WHERE prev_cross IS NULL OR is_cross <> prev_cross
-    ), edges AS (
-      -- ma_cross_driver: sells at or before the first buy are skipped
-      -- (kernel.py:266-276); survivors are the kernel's decision stream
-      SELECT ticker, run_id, date, close, action,
-             row_number() OVER (PARTITION BY ticker, run_id ORDER BY date) AS i
-      FROM (
-        SELECT *, min(CASE WHEN action = 'buy' THEN date END)
-                    OVER (PARTITION BY ticker, run_id) AS first_buy
-        FROM edge0
-      )
-      WHERE action = 'buy' OR date > first_buy
-    ), sim AS (
-      SELECT ticker, run_id,
-             0::BIGINT AS i,
-             10000.0::DOUBLE AS ca,     -- TradingEngine.current_amount
-             0.0::DOUBLE AS ptot,       -- Σ completed-order profits
-             CAST([] AS STRUCT(s DOUBLE, p DOUBLE)[]) AS opens,  -- FIFO deque
-             0.0::DOUBLE AS tsh,        -- book.total_shares
-             0.0::DOUBLE AS act,        -- engine.active_orders
-             0.0::DOUBLE AS cb,         -- Σ buy_shares·event_close
-             0.0::DOUBLE AS cs          -- Σ sell_shares·event_close
-      FROM (SELECT DISTINCT ticker, run_id FROM edges)
-      UNION ALL
-      SELECT ticker, run_id, i,
-             CASE WHEN is_buy THEN ca1 ELSE ca END,
-             CASE WHEN is_close THEN ptot + ((px - p0) * s0) ELSE ptot END,
-             CASE WHEN accept THEN list_append(opens, {{'s': n, 'p': px}})
-                  WHEN is_close THEN opens[2:]
-                  ELSE opens END,
-             CASE WHEN accept THEN tsh + n WHEN is_close THEN tsh - s0 ELSE tsh END,
-             CASE WHEN accept THEN act + n WHEN is_close THEN act - s0 ELSE act END,
-             CASE WHEN accept THEN cb + (n * px) ELSE cb END,
-             CASE WHEN is_close THEN cs + (s0 * px) ELSE cs END
-      FROM (
-        -- Q13: a buy the mutated buying power cannot afford is
-        -- silently dropped (the CA mutation still sticks)
-        SELECT *, is_buy AND NOT (ca1 < px * n) AS accept
-        FROM (
-          SELECT *,
-                 -- CPython float floordiv (shares = ca1 // px): fmod
-                 -- remainder, then the floor(+1 if frac > .5) repair
-                 CASE WHEN NOT is_buy THEN 0.0
-                      WHEN ca1 > 0 THEN floor(divq)
-                           + (CASE WHEN divq - floor(divq) > 0.5 THEN 1.0 ELSE 0.0 END)
-                      ELSE -1.0 END AS n
-          FROM (
-            SELECT *,
-                   CASE WHEN is_buy AND ca1 > 0
-                        THEN (ca1 - fmod(ca1, px)) / px ELSE 0.0 END AS divq
-            FROM (
-              SELECT *,
-                     -- Q2: buying power re-adds completed profits and
-                     -- subtracts open-order BARE prices (Q3) per call
-                     CASE WHEN action = 'buy' AND px > 0
-                          THEN ca + (ptot - coalesce(
-                                 list_sum(list_transform(opens, o -> o.p)), 0.0))
-                          ELSE ca END AS ca1,
-                     action = 'buy' AND px > 0 AS is_buy,
-                     action <> 'buy' AND act > 0 AND len(opens) > 0 AS is_close,
-                     CASE WHEN len(opens) > 0 THEN opens[1].s ELSE 0.0 END AS s0,
-                     CASE WHEN len(opens) > 0 THEN opens[1].p ELSE 0.0 END AS p0
-              FROM (
-                SELECT s.ticker, s.run_id, e.i, e.close AS px, e.action,
-                       s.ca, s.ptot, s.opens, s.tsh, s.act, s.cb, s.cs
-                FROM sim s
-                JOIN edges e ON e.ticker = s.ticker AND e.run_id = s.run_id
-                            AND e.i = s.i + 1
-              )
-            )
-          )
-        )
-      )
-    ), finals AS (
-      SELECT ticker, run_id, tsh, cb, cs
-      FROM sim
-      QUALIFY row_number() OVER (PARTITION BY ticker, run_id ORDER BY i DESC) = 1
-    ), last_close AS (
-      SELECT ticker, arg_max(close, date) AS lc FROM bars GROUP BY ticker
-    )
-    {final_select}
-    """
-
-
 @query(
     "q40_backtest_networth",
     oracle=_ma_kernel_sim_sql(
@@ -550,8 +409,6 @@ def q40_backtest_networth(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_up_col(F.col("net_worth"), 4).alias("net_worth"),
     )
 
-
-_GRID_RUNS = [(0, 3, 8), (1, 3, 13), (2, 5, 8), (3, 5, 13)]
 
 @query(
     "q41_grid_search",
@@ -594,9 +451,16 @@ def q41_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q42_backtest_metrics")  # kernel: rows-only check
+from strat_backtest_spark.plans.kernel_oracle import _metrics_sim_sql  # noqa: E402
+
+
+@query("q42_backtest_metrics", oracle=_metrics_sim_sql())
 def q42_backtest_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 18-stat metrics suite over a synthetic-bar backtest."""
+    """The 18-stat metrics suite over a synthetic-bar backtest — full
+    hash check against the kernel-sim metrics oracle (orders tracked in
+    the recursion, Q6 positional benchmark attach, Spark-exact Average
+    and Welford replication for the ^255-amplified stats; see
+    kernel_oracle._metrics_sim_sql)."""
     from strat_backtest_spark.plans.backtest import Backtest, MACrossStrategy
 
     bars = _bars(spark, sf_dir)
@@ -607,7 +471,18 @@ def q42_backtest_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         bars, 10_000.0, MACrossStrategy(fast=3, lagging=8), benchmark=bench
     )
     bt.run()
-    return bt.metrics(risk_free_rate=0.03)
+    m = bt.metrics(risk_free_rate=0.03)
+    date_cols = {"start_time", "end_time"}
+    return m.select(
+        *[
+            F.date_format(c, "yyyy-MM-dd").alias(c)
+            if c in date_cols
+            else round_half_up_col(F.col(c), 6).alias(c)
+            if dict(m.dtypes)[c] == "double"
+            else F.col(c)
+            for c in m.columns
+        ]
+    )
 
 
 @query(
@@ -672,149 +547,6 @@ def q49_stream_signal_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("close", 6).alias("close"),
         "action",
     )
-
-
-def _curve_sim_sql(strategy: str) -> str:
-    """Per-bar variant of :func:`_ma_kernel_sim_sql`: the recursion
-    steps over EVERY bar (not just signal edges) so the full per-bar
-    net-worth curve falls out of the state rows directly — the oracle
-    for the STREAMING kernels (q59 ma_cross, q64 band), whose output is
-    the curve itself. State additionally carries the emitted action and
-    (band) the anchor/last-move trigger pair; the curve row at bar i is
-    ``((tsh·close − cb) + cs) + init``, the same scalar accumulation
-    order the streaming fn uses (streaming/backtest_stream.py:380-382,
-    511-513). Band trigger semantics: reference Ten_Percent_Strat
-    (custom_strats.py:83-101) — thresholds anchored to the LAST
-    transaction bar, anchor moving even when the engine op no-ops."""
-    if strategy == "ma_cross":
-        signal_ctes = """win AS (
-      SELECT ticker, date, close,
-             count(*) OVER w3 AS cnt3, avg(close) OVER w3 AS avg3,
-             count(*) OVER w8 AS cnt8, avg(close) OVER w8 AS avg8
-      FROM bars
-      WINDOW w3 AS (PARTITION BY ticker ORDER BY date ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
-             w8 AS (PARTITION BY ticker ORDER BY date ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
-    ), crossed AS (
-      SELECT ticker, date, close,
-             coalesce(CASE WHEN cnt3 >= 3 THEN avg3 END
-                      > CASE WHEN cnt8 >= 8 THEN avg8 END, false) AS is_cross,
-             lag(coalesce(CASE WHEN cnt3 >= 3 THEN avg3 END
-                          > CASE WHEN cnt8 >= 8 THEN avg8 END, false))
-               OVER (PARTITION BY ticker ORDER BY date) AS prev_cross
-      FROM win
-    ), barsn AS (
-      SELECT ticker, date, close,
-             CASE WHEN prev_cross IS NULL OR is_cross <> prev_cross
-                  THEN CASE WHEN is_cross THEN 'buy' ELSE 'sell' END END AS sig,
-             min(CASE WHEN (prev_cross IS NULL OR is_cross <> prev_cross)
-                       AND is_cross THEN date END)
-               OVER (PARTITION BY ticker) AS first_buy,
-             row_number() OVER (PARTITION BY ticker ORDER BY date) AS i
-      FROM crossed
-    ),"""
-        trig = """sig = 'buy' AND px > 0 AS is_buy,
-                     sig = 'sell' AND date > first_buy
-                       AND act > 0 AND len(opens) > 0 AS is_close,
-                     sig AS axn,
-                     0.0::DOUBLE AS anchor1, false AS lms1"""
-    elif strategy == "band":
-        signal_ctes = """barsn AS (
-      SELECT ticker, date, close, NULL::DATE AS first_buy, NULL::VARCHAR AS sig,
-             row_number() OVER (PARTITION BY ticker ORDER BY date) AS i
-      FROM bars
-    ),"""
-        trig = """CASE WHEN b.i = 1 THEN px > 0
-                          WHEN px <= anchor * 0.99 AND lms THEN px > 0
-                          ELSE false END AS is_buy,
-                     b.i > 1 AND px >= anchor * 1.05 AND NOT lms
-                       AND act > 0 AND len(opens) > 0 AS is_close,
-                     CASE WHEN b.i = 1 THEN 'buy'
-                          WHEN px >= anchor * 1.05 AND NOT lms THEN 'sell'
-                          WHEN px <= anchor * 0.99 AND lms THEN 'buy' END AS axn,
-                     CASE WHEN b.i = 1 OR (px >= anchor * 1.05 AND NOT lms)
-                            OR (px <= anchor * 0.99 AND lms)
-                          THEN px ELSE anchor END AS anchor1,
-                     CASE WHEN b.i = 1 THEN false
-                          WHEN px >= anchor * 1.05 AND NOT lms THEN true
-                          WHEN px <= anchor * 0.99 AND lms THEN false
-                          ELSE lms END AS lms1"""
-    else:  # pragma: no cover - registration-time constant
-        raise ValueError(strategy)
-    return f"""
-    WITH RECURSIVE bars AS (
-      SELECT ticker, date, close FROM (
-        SELECT user_id::VARCHAR AS ticker, CAST(ts AS DATE) AS date, value AS close,
-               row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
-                                  ORDER BY ts, event_id) AS rn
-        FROM events
-      ) WHERE rn = 1
-    ), {signal_ctes} sim AS (
-      SELECT ticker,
-             0::BIGINT AS i,
-             NULL::VARCHAR AS axn,
-             0.0::DOUBLE AS anchor, false AS lms,
-             10000.0::DOUBLE AS ca,
-             0.0::DOUBLE AS ptot,
-             CAST([] AS STRUCT(s DOUBLE, p DOUBLE)[]) AS opens,
-             0.0::DOUBLE AS tsh,
-             0.0::DOUBLE AS act,
-             0.0::DOUBLE AS cb,
-             0.0::DOUBLE AS cs
-      FROM (SELECT DISTINCT ticker FROM barsn)
-      UNION ALL
-      SELECT ticker, i, axn,
-             anchor1, lms1,
-             CASE WHEN is_buy THEN ca1 ELSE ca END,
-             CASE WHEN is_close THEN ptot + ((px - p0) * s0) ELSE ptot END,
-             CASE WHEN accept THEN list_append(opens, {{'s': n, 'p': px}})
-                  WHEN is_close THEN opens[2:]
-                  ELSE opens END,
-             CASE WHEN accept THEN tsh + n WHEN is_close THEN tsh - s0 ELSE tsh END,
-             CASE WHEN accept THEN act + n WHEN is_close THEN act - s0 ELSE act END,
-             CASE WHEN accept THEN cb + (n * px) ELSE cb END,
-             CASE WHEN is_close THEN cs + (s0 * px) ELSE cs END
-      FROM (
-        SELECT *, is_buy AND NOT (ca1 < px * n) AS accept
-        FROM (
-          SELECT *,
-                 CASE WHEN NOT is_buy THEN 0.0
-                      WHEN ca1 > 0 THEN floor(divq)
-                           + (CASE WHEN divq - floor(divq) > 0.5 THEN 1.0 ELSE 0.0 END)
-                      ELSE -1.0 END AS n
-          FROM (
-            SELECT *,
-                   CASE WHEN is_buy AND ca1 > 0
-                        THEN (ca1 - fmod(ca1, px)) / px ELSE 0.0 END AS divq
-            FROM (
-              SELECT *,
-                     CASE WHEN is_buy
-                          THEN ca + (ptot - coalesce(
-                                 list_sum(list_transform(opens, o -> o.p)), 0.0))
-                          ELSE ca END AS ca1
-              FROM (
-                SELECT s.ticker, b.i, b.close AS px, b.date, {trig},
-                       CASE WHEN len(s.opens) > 0 THEN s.opens[1].s ELSE 0.0 END AS s0,
-                       CASE WHEN len(s.opens) > 0 THEN s.opens[1].p ELSE 0.0 END AS p0,
-                       s.ca, s.ptot, s.opens, s.tsh, s.act, s.cb, s.cs
-                FROM sim s
-                JOIN barsn b ON b.ticker = s.ticker AND b.i = s.i + 1
-              )
-            )
-          )
-        )
-      )
-    ), curve AS (
-      SELECT s.ticker, 0::BIGINT AS run_id, b.date, b.close, s.axn AS action,
-             s.tsh AS shares_owned,
-             (((s.tsh * b.close) - s.cb) + s.cs) + 10000.0 AS nw
-      FROM sim s
-      JOIN barsn b ON b.ticker = s.ticker AND b.i = s.i
-    )
-    SELECT ticker, run_id, strftime(date, '%Y-%m-%d') AS date,
-           round(close, 6) AS close, action, shares_owned,
-           {round_half_up_sql('nw', 4)} AS net_worth
-    FROM curve ORDER BY ticker, date LIMIT 150
-    """
 
 
 def _fmt_curve(df: DataFrame) -> DataFrame:

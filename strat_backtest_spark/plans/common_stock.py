@@ -173,7 +173,7 @@ def _q45_oracle() -> str:
     instantiated at the 4 grid points, argmax per ticker, restricted to
     the rank-bridged top-3 mention tickers."""
     from strat_backtest_spark.functions.numeric import round_half_up_sql
-    from strat_backtest_spark.plans.catalog_backtest import (
+    from strat_backtest_spark.plans.kernel_oracle import (
         _GRID_RUNS,
         _ma_kernel_sim_sql,
     )

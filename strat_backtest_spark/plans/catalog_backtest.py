@@ -777,14 +777,18 @@ def q65_stream_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q71_stream_partial_close")  # path-dependent sim: rows-only check
+from strat_backtest_spark.plans.kernel_oracle import _partial_sim_sql  # noqa: E402
+
+
+@query("q71_stream_partial_close", oracle=_partial_sim_sql())
 def q71_stream_partial_close(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-size sells on the streaming kernel — the partial-fill
     path (Q1 remainder double-queue + Q4 fill-time overwrite) in
     UPDATE output mode: a fill that rewrites an already-emitted buy
     bar's accounting re-emits the corrected history rows, latest
-    emit_seq wins. Bit-exact vs the batch ma_cross_partial driver in
-    tests/test_streaming_kernel.py."""
+    emit_seq wins. Gate-checked against the order-table recursion
+    oracle (kernel_oracle._partial_sim_sql) in addition to the batch
+    parity suite in tests/test_streaming_kernel.py."""
     from strat_backtest_spark.streaming.backtest_stream import (
         bars_replay_stream,
         drain_stream_update,
@@ -796,4 +800,6 @@ def q71_stream_partial_close(spark: SparkSession, sf_dir: str) -> DataFrame:
         bars_replay_stream(spark, bars, n_chunks=3),
         fast=3, lagging=8, initial_amount=10_000.0, sell_shares=2.0,
     )
-    return drain_stream_update(spark, curve).orderBy("ticker", "date").limit(150)
+    return _fmt_curve(
+        drain_stream_update(spark, curve).orderBy("ticker", "date").limit(150)
+    )

@@ -608,3 +608,175 @@ SELECT ticker, 0::BIGINT AS run_id,
        {R(covariance / nullif(sqrt(var_r_s) * std_r_m, 0.0))} AS r_squared
 FROM m
 """
+
+
+def _partial_sim_sql() -> str:
+    """q71's oracle: the ma_cross_partial driver (fixed 2-share sells,
+    kernel.py:305-330) with the engine's FULL partial-fill quirk set —
+    the recursion carries an oid-indexed order TABLE plus the deque and
+    completed lists as oid references, so Q1's remainder double-queue
+    (the same remainder object queued twice, strats.py:151,205) and
+    Q4's fill-time num_shares overwrite (strats.py:81) replay exactly:
+    a re-popped already-filled copy re-fills at the new bar and its
+    profit re-values through the completed list, just like the object
+    graph. The curve is derived POST-SIM from final order states (buy
+    bars price the Q4-overwritten share count — 'late mutation
+    visible'), matching the streaming entry's resolved re-emissions
+    and the batch build_portfolio algebra."""
+    return _PARTIAL_SQL
+
+
+_PARTIAL_SQL = r"""
+WITH RECURSIVE bars AS (
+  SELECT ticker, date, close FROM (
+    SELECT user_id::VARCHAR AS ticker, CAST(ts AS DATE) AS date, value AS close,
+           row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                              ORDER BY ts, event_id) AS rn
+    FROM events
+  ) WHERE rn = 1
+), win AS (
+  SELECT ticker, date, close,
+         count(*) OVER w3 AS cnt3, avg(close) OVER w3 AS avg3,
+         count(*) OVER w8 AS cnt8, avg(close) OVER w8 AS avg8
+  FROM bars
+  WINDOW w3 AS (PARTITION BY ticker ORDER BY date ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+         w8 AS (PARTITION BY ticker ORDER BY date ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+), crossed AS (
+  SELECT ticker, date, close,
+         coalesce(CASE WHEN cnt3 >= 3 THEN avg3 END
+                  > CASE WHEN cnt8 >= 8 THEN avg8 END, false) AS is_cross,
+         lag(coalesce(CASE WHEN cnt3 >= 3 THEN avg3 END
+                      > CASE WHEN cnt8 >= 8 THEN avg8 END, false))
+           OVER (PARTITION BY ticker ORDER BY date) AS prev_cross
+  FROM win
+), barsn AS (
+  SELECT ticker, date, close,
+         CASE WHEN prev_cross IS NULL OR is_cross <> prev_cross
+              THEN CASE WHEN is_cross THEN 'buy' ELSE 'sell' END END AS sig,
+         min(CASE WHEN (prev_cross IS NULL OR is_cross <> prev_cross)
+                   AND is_cross THEN date END)
+           OVER (PARTITION BY ticker) AS first_buy,
+         row_number() OVER (PARTITION BY ticker ORDER BY date) AS i
+  FROM crossed
+), edges AS (
+  SELECT ticker, date, close, sig AS action,
+         row_number() OVER (PARTITION BY ticker ORDER BY date) AS i
+  FROM barsn
+  WHERE sig = 'buy' OR (sig = 'sell' AND date > first_buy)
+), sim AS (
+  SELECT ticker,
+         0::BIGINT AS i,
+         10000.0::DOUBLE AS ca,
+         CAST([] AS STRUCT(n DOUBLE, st DATE, sa DOUBLE,
+                           filled BOOLEAN, et DATE, ea DOUBLE)[]) AS ords,
+         CAST([] AS BIGINT[]) AS dq,
+         CAST([] AS BIGINT[]) AS comp,
+         CAST([] AS STRUCT(d DATE, b BIGINT, sc DOUBLE, tsh DOUBLE)[]) AS ev,
+         0.0::DOUBLE AS tsh,
+         0.0::DOUBLE AS act
+  FROM (SELECT DISTINCT ticker FROM edges)
+  UNION ALL
+  SELECT ticker, i,
+         CASE WHEN is_buy THEN ca1 ELSE ca END,
+         CASE WHEN accept
+              THEN list_append(ords, {'n': nsh, 'st': date, 'sa': px,
+                                      'filled': false, 'et': NULL::DATE,
+                                      'ea': NULL::DOUBLE})
+              WHEN do_pop AND partial
+              THEN list_concat(list_concat(ords[:front - 1],
+                     [{'n': 2.0::DOUBLE, 'st': fo.st, 'sa': fo.sa,
+                       'filled': true, 'et': date, 'ea': px}]),
+                     list_concat(ords[front + 1:],
+                     [{'n': fo.n - 2.0, 'st': fo.st, 'sa': fo.sa,
+                       'filled': false, 'et': NULL::DATE, 'ea': NULL::DOUBLE}]))
+              WHEN do_pop
+              THEN list_concat(list_concat(ords[:front - 1],
+                     [{'n': 2.0::DOUBLE, 'st': fo.st, 'sa': fo.sa,
+                       'filled': true, 'et': date, 'ea': px}]),
+                     ords[front + 1:])
+              ELSE ords END,
+         CASE WHEN accept THEN list_append(dq, len(ords) + 1)
+              WHEN do_pop AND partial
+              THEN list_concat([len(ords) + 1, len(ords) + 1], dq[2:])
+              WHEN do_pop THEN dq[2:]
+              ELSE dq END,
+         CASE WHEN do_pop THEN list_append(comp, front) ELSE comp END,
+         CASE WHEN accept
+              THEN list_append(ev, {'d': date, 'b': len(ords) + 1,
+                                    'sc': NULL::DOUBLE, 'tsh': tsh + nsh})
+              WHEN do_pop
+              THEN list_append(ev, {'d': date, 'b': NULL::BIGINT,
+                                    'sc': 2.0::DOUBLE, 'tsh': tsh - 2.0})
+              WHEN do_zero
+              THEN list_append(ev, {'d': date, 'b': NULL::BIGINT,
+                                    'sc': 0.0::DOUBLE, 'tsh': tsh})
+              ELSE ev END,
+         CASE WHEN accept THEN tsh + nsh WHEN do_pop THEN tsh - 2.0 ELSE tsh END,
+         CASE WHEN accept THEN act + nsh WHEN do_pop THEN act - 2.0 ELSE act END
+  FROM (
+    SELECT *, is_buy AND NOT (ca1 < px * nsh) AS accept
+    FROM (
+      SELECT *,
+             CASE WHEN NOT is_buy THEN 0.0
+                  WHEN ca1 > 0 THEN floor(divq)
+                       + (CASE WHEN divq - floor(divq) > 0.5 THEN 1.0 ELSE 0.0 END)
+                  ELSE -1.0 END AS nsh
+      FROM (
+        SELECT *,
+               CASE WHEN is_buy AND ca1 > 0
+                    THEN (ca1 - fmod(ca1, px)) / px ELSE 0.0 END AS divq
+        FROM (
+          SELECT *,
+                 CASE WHEN is_buy
+                      THEN ca + ((0.0 + coalesce(list_reduce(list_prepend(0.0,
+                               list_transform(comp, o ->
+                                 ((ords[o].ea - ords[o].sa) * ords[o].n))),
+                               (a, b) -> a + b), 0.0))
+                             - coalesce(list_reduce(list_prepend(0.0,
+                               list_transform(dq, o ->
+                                 CASE WHEN ords[o].filled THEN ords[o].ea
+                                      ELSE ords[o].sa END)),
+                               (a, b) -> a + b), 0.0))
+                      ELSE ca END AS ca1
+          FROM (
+            SELECT s.ticker, e.i, e.close AS px, e.date,
+                   e.action = 'buy' AND e.close > 0 AS is_buy,
+                   e.action = 'sell' AND s.act > 0 AND len(s.dq) > 0 AS do_pop,
+                   e.action = 'sell' AND s.act > 0 AND len(s.dq) = 0 AS do_zero,
+                   CASE WHEN len(s.dq) > 0 THEN s.dq[1] ELSE 0 END AS front,
+                   CASE WHEN len(s.dq) > 0 THEN s.ords[s.dq[1]] END AS fo,
+                   CASE WHEN len(s.dq) > 0 AND 2.0 < s.ords[s.dq[1]].n
+                        THEN true ELSE false END AS partial,
+                   s.ca, s.ords, s.dq, s.comp, s.ev, s.tsh, s.act
+            FROM sim s
+            JOIN edges e ON e.ticker = s.ticker AND e.i = s.i + 1
+          )
+        )
+      )
+    )
+  )
+), finals AS (
+  SELECT ticker, ords, ev FROM sim
+  QUALIFY row_number() OVER (PARTITION BY ticker ORDER BY i DESC) = 1
+), evrows AS (
+  SELECT f.ticker, u.e.d AS date,
+         CASE WHEN u.e.b IS NOT NULL THEN f.ords[u.e.b].n END AS bshares,
+         u.e.sc AS sshares,
+         u.e.tsh AS tsh
+  FROM finals f, unnest(f.ev) AS u(e)
+), curve AS (
+  SELECT b.ticker, 0::BIGINT AS run_id, b.date, b.close, b.sig AS action,
+         coalesce(last_value(e.tsh IGNORE NULLS) OVER cum, 0.0) AS shares_owned,
+         ((coalesce(last_value(e.tsh IGNORE NULLS) OVER cum, 0.0) * b.close
+           - sum(coalesce(e.bshares, 0.0) * b.close) OVER cum)
+          + sum(coalesce(e.sshares, 0.0) * b.close) OVER cum) + 10000.0 AS nw
+  FROM barsn b
+  LEFT JOIN evrows e ON e.ticker = b.ticker AND e.date = b.date
+  WINDOW cum AS (PARTITION BY b.ticker ORDER BY b.date
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT ticker, run_id, strftime(date, '%Y-%m-%d') AS date,
+       round(close, 6) AS close, action, shares_owned,
+       sign(nw) * floor((abs(nw) * 10000.0) + 0.5) / 10000.0 AS net_worth
+FROM curve ORDER BY ticker, date LIMIT 150
+"""

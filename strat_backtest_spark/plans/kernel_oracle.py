@@ -76,7 +76,7 @@ def _ma_kernel_sim_sql(runs: list[tuple[int, int, int]], final_select: str) -> s
              CASE WHEN is_cross THEN 'buy' ELSE 'sell' END AS action
       FROM crossed
       WHERE prev_cross IS NULL OR is_cross <> prev_cross
-    ), edges AS (
+    ), edges AS MATERIALIZED (
       -- ma_cross_driver: sells at or before the first buy are skipped
       -- (kernel.py:266-276); survivors are the kernel's decision stream
       SELECT ticker, run_id, date, close, action,
@@ -188,7 +188,7 @@ def _curve_sim_sql(strategy: str) -> str:
                           > CASE WHEN cnt8 >= 8 THEN avg8 END, false))
                OVER (PARTITION BY ticker ORDER BY date) AS prev_cross
       FROM win
-    ), barsn AS (
+    ), barsn AS MATERIALIZED (
       SELECT ticker, date, close,
              CASE WHEN prev_cross IS NULL OR is_cross <> prev_cross
                   THEN CASE WHEN is_cross THEN 'buy' ELSE 'sell' END END AS sig,
@@ -204,7 +204,7 @@ def _curve_sim_sql(strategy: str) -> str:
                      sig AS axn,
                      0.0::DOUBLE AS anchor1, false AS lms1"""
     elif strategy == "band":
-        signal_ctes = """barsn AS (
+        signal_ctes = """barsn AS MATERIALIZED (
       SELECT ticker, date, close, NULL::DATE AS first_buy, NULL::VARCHAR AS sig,
              row_number() OVER (PARTITION BY ticker ORDER BY date) AS i
       FROM bars
@@ -375,7 +375,7 @@ WITH RECURSIVE bars AS (
                       > CASE WHEN cnt8 >= 8 THEN avg8 END, false))
            OVER (PARTITION BY ticker ORDER BY date) AS prev_cross
   FROM win
-), barsn AS (
+), barsn AS MATERIALIZED (
   SELECT ticker, date, close,
          CASE WHEN prev_cross IS NULL OR is_cross <> prev_cross
               THEN CASE WHEN is_cross THEN 'buy' ELSE 'sell' END END AS sig,
@@ -512,7 +512,7 @@ WITH RECURSIVE bars AS (
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
          fw AS (PARTITION BY ticker ORDER BY date
                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-), pr AS (
+), pr AS MATERIALIZED (
   SELECT ticker, date, net_worth,
          (nw_ff / nullif(lag(nw_ff) OVER wt, 0.0)) - 1 AS r_s,
          (sp_ff / nullif(lag(sp_ff) OVER wt, 0.0)) - 1 AS r_m,
@@ -522,7 +522,7 @@ WITH RECURSIVE bars AS (
   WINDOW wt AS (PARTITION BY ticker ORDER BY date),
          cum2 AS (PARTITION BY ticker ORDER BY date
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-), prn AS (
+), prn AS MATERIALIZED (
   SELECT *, row_number() OVER (PARTITION BY ticker ORDER BY date) AS j FROM pr
 ), wrec AS (
   -- recursion #2: Spark's exact row-ordered Average + CentralMomentAgg
@@ -649,7 +649,7 @@ WITH RECURSIVE bars AS (
                       > CASE WHEN cnt8 >= 8 THEN avg8 END, false))
            OVER (PARTITION BY ticker ORDER BY date) AS prev_cross
   FROM win
-), barsn AS (
+), barsn AS MATERIALIZED (
   SELECT ticker, date, close,
          CASE WHEN prev_cross IS NULL OR is_cross <> prev_cross
               THEN CASE WHEN is_cross THEN 'buy' ELSE 'sell' END END AS sig,
@@ -658,7 +658,7 @@ WITH RECURSIVE bars AS (
            OVER (PARTITION BY ticker) AS first_buy,
          row_number() OVER (PARTITION BY ticker ORDER BY date) AS i
   FROM crossed
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT ticker, date, close, sig AS action,
          row_number() OVER (PARTITION BY ticker ORDER BY date) AS i
   FROM barsn

@@ -35,17 +35,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The correctness sweep evaluates at most ~50 catalog entries in
 # registration order, so entries past the window never get a gate row.
-# The catalog (71 entries) is larger than the window; rotate which
+# The catalog (72 entries) is larger than the window; rotate which
 # entries sit past it. Round-6 rotation: the r5 tail (q03-q20, q26,
-# q27) returns to the window, and 21 entries that hash-matched in r5
+# q27) returns to the window, and 22 entries that hash-matched in r5
 # AND are untouched by this round's changes move out. Every query this
 # round's rewrites touch stays IN the window — q53 (volume rounding),
 # q56/q68/q69 (star-contraction CC), q25/q47/q51 (HALF_UP rounding),
-# q48/q49/q59/q63-q65 (executor-side replay), q58 (first-band-wins
-# dedup rewrite), q43 (new oracle), q71 (new) — plus q23 as a canary
-# for the dedup shared helpers (shingles/minhash hashing) and q63 for
-# the streaming-dedup path. Head is exactly 50 entries.
+# q48/q49/q63 (executor-side replay), the newly-oracled kernel family
+# (q40-q42, q45, q59, q64, q65, q71, and new q72), q58 (first-band-
+# wins dedup rewrite), q43 (new oracle) — plus q23 as a canary for the
+# dedup shared helpers (shingles/minhash hashing) and q63 for the
+# streaming-dedup path. Head is exactly 50 entries.
 _SWEEP_TAIL = [
+    "q02_regional_revenue",     # hash-match r01-r05 (q01 stays as canary)
     "q34_pivot_event_matrix",   # hash-match r01-r05
     "q38_multimodal_features",  # hash-match r05, untouched
     "q21_dedup_exact",          # hash-match r05

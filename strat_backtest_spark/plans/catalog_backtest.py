@@ -777,7 +777,33 @@ def q65_stream_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from strat_backtest_spark.plans.kernel_oracle import _partial_sim_sql  # noqa: E402
+from strat_backtest_spark.plans.kernel_oracle import (  # noqa: E402
+    _partial_sim_sql,
+    _stoploss_sim_sql,
+)
+
+
+@query("q72_stoploss_networth", oracle=_stoploss_sim_sql())
+def q72_stoploss_networth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MA-cross WITH a 5% stop-loss per synthetic ticker — gates the
+    engine's stop machinery (Q5 cheapest-stop-first heap, the
+    first-match range scan booking sells at PAST bars, discarded
+    never-triggered stops) against the stop-loss order-table recursion
+    oracle (kernel_oracle._stoploss_sim_sql). Stops change the outcome
+    on most tickers at the gate's scale, so the quirks are exercised,
+    not latent."""
+    from strat_backtest_spark.plans.backtest import Backtest, MACrossStrategy
+
+    bt = Backtest(
+        _bars(spark, sf_dir),
+        10_000.0,
+        MACrossStrategy(fast=3, lagging=8, stop_loss_pct=0.95),
+    )
+    return bt.final_net_worth().select(
+        "ticker",
+        "run_id",
+        round_half_up_col(F.col("net_worth"), 4).alias("net_worth"),
+    )
 
 
 @query("q71_stream_partial_close", oracle=_partial_sim_sql())

@@ -780,3 +780,224 @@ SELECT ticker, run_id, strftime(date, '%Y-%m-%d') AS date,
        sign(nw) * floor((abs(nw) * 10000.0) + 0.5) / 10000.0 AS net_worth
 FROM curve ORDER BY ticker, date LIMIT 150
 """
+
+
+def _stoploss_sim_sql() -> str:
+    """q72's oracle: MA-cross WITH a stop-loss (reference
+    strats.py:302-326, quirk Q5) on the order-table recursion. The
+    engine's flush loop maps onto extra recursion iterations: each pops
+    ONE stop (cheapest (stop, oid) first — the heap is modeled as a
+    kept-sorted list, whose pop order equals heapq's) WITHOUT advancing
+    the edge cursor; a popped stop whose first-match range scan over
+    the key's full bar series (np.searchsorted window semantics,
+    kernel.py:188-205) finds no close <= stop is DISCARDED and ends the
+    flush. A fired stop sells FIFO-front at the PAST bar's (date,
+    price), so event-dict writes can land on earlier dates and
+    overwrite — events carry a write sequence and the final per-date
+    dict value is the last write, exactly the kernel's
+    buy_orders/sell_orders/shares_owned dict replay. cb/cs fold in
+    date order over the final dict values, matching Spark's aggregation
+    over the kernel's sorted-date event emission."""
+    return _STOPLOSS_SQL
+
+
+_STOPLOSS_SQL = r"""
+WITH RECURSIVE bars AS (
+  SELECT ticker, date, close FROM (
+    SELECT user_id::VARCHAR AS ticker, CAST(ts AS DATE) AS date, value AS close,
+           row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                              ORDER BY ts, event_id) AS rn
+    FROM events
+  ) WHERE rn = 1
+), win AS (
+  SELECT ticker, date, close,
+         count(*) OVER w3 AS cnt3, avg(close) OVER w3 AS avg3,
+         count(*) OVER w8 AS cnt8, avg(close) OVER w8 AS avg8
+  FROM bars
+  WINDOW w3 AS (PARTITION BY ticker ORDER BY date ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+         w8 AS (PARTITION BY ticker ORDER BY date ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+), crossed AS (
+  SELECT ticker, date, close,
+         coalesce(CASE WHEN cnt3 >= 3 THEN avg3 END
+                  > CASE WHEN cnt8 >= 8 THEN avg8 END, false) AS is_cross,
+         lag(coalesce(CASE WHEN cnt3 >= 3 THEN avg3 END
+                      > CASE WHEN cnt8 >= 8 THEN avg8 END, false))
+           OVER (PARTITION BY ticker ORDER BY date) AS prev_cross
+  FROM win
+), edge0 AS (
+  SELECT ticker, date, close,
+         CASE WHEN is_cross THEN 'buy' ELSE 'sell' END AS action
+  FROM crossed
+  WHERE prev_cross IS NULL OR is_cross <> prev_cross
+), edges AS MATERIALIZED (
+  SELECT ticker, date, close, action,
+         row_number() OVER (PARTITION BY ticker ORDER BY date) AS i
+  FROM (
+    SELECT *, min(CASE WHEN action = 'buy' THEN date END)
+                OVER (PARTITION BY ticker) AS first_buy
+    FROM edge0
+  )
+  WHERE action = 'buy' OR date > first_buy
+), allbars AS MATERIALIZED (
+  SELECT ticker, list({'d': date, 'c': close} ORDER BY date) AS allb
+  FROM bars GROUP BY ticker
+), sim AS (
+  SELECT e.ticker,
+         0::BIGINT AS i,
+         false AS flushed,
+         10000.0::DOUBLE AS ca,
+         CAST([] AS STRUCT(n DOUBLE, st DATE, sa DOUBLE,
+                           filled BOOLEAN, et DATE, ea DOUBLE)[]) AS ords,
+         CAST([] AS BIGINT[]) AS dq,
+         CAST([] AS BIGINT[]) AS comp,
+         CAST([] AS STRUCT(sl DOUBLE, oid BIGINT)[]) AS stops,
+         CAST([] AS STRUCT(q BIGINT, d DATE, b BIGINT, sc DOUBLE, tsh DOUBLE)[]) AS ev,
+         0.0::DOUBLE AS tsh,
+         0.0::DOUBLE AS act,
+         a.allb
+  FROM (SELECT DISTINCT ticker FROM edges) e
+  JOIN allbars a ON a.ticker = e.ticker
+  UNION ALL
+  SELECT ticker,
+         CASE WHEN is_edge THEN i ELSE i - 1 END,   -- joined i = s.i+1; stay on stop iters
+         CASE WHEN stop_discard THEN true WHEN is_edge THEN false ELSE flushed END,
+         CASE WHEN is_edge AND is_buy THEN ca1 ELSE ca END,
+         CASE WHEN accept
+              THEN list_append(ords, {'n': nsh, 'st': date, 'sa': px,
+                                      'filled': false, 'et': NULL::DATE,
+                                      'ea': NULL::DOUBLE})
+              WHEN do_pop
+              THEN list_concat(list_concat(ords[:front - 1],
+                     [{'n': fo.n, 'st': fo.st, 'sa': fo.sa,
+                       'filled': true, 'et': cd, 'ea': cp}]),
+                     ords[front + 1:])
+              ELSE ords END,
+         CASE WHEN accept THEN list_append(dq, len(ords) + 1)
+              WHEN do_pop THEN dq[2:]
+              ELSE dq END,
+         CASE WHEN do_pop THEN list_append(comp, front) ELSE comp END,
+         CASE WHEN accept
+              THEN list_sort(list_append(stops, {'sl': px * 0.95, 'oid': len(ords) + 1}))
+              WHEN stop_fire OR stop_discard THEN stops[2:]
+              ELSE stops END,
+         CASE WHEN accept
+              THEN list_append(ev, {'q': len(ev) + 1, 'd': date, 'b': len(ords) + 1,
+                                    'sc': NULL::DOUBLE, 'tsh': tsh + nsh})
+              WHEN do_pop
+              THEN list_append(ev, {'q': len(ev) + 1, 'd': cd, 'b': NULL::BIGINT,
+                                    'sc': fo.n, 'tsh': tsh - fo.n})
+              WHEN do_zero
+              THEN list_append(ev, {'q': len(ev) + 1, 'd': cd, 'b': NULL::BIGINT,
+                                    'sc': 0.0::DOUBLE, 'tsh': tsh})
+              ELSE ev END,
+         CASE WHEN accept THEN tsh + nsh WHEN do_pop THEN tsh - fo.n ELSE tsh END,
+         CASE WHEN accept THEN act + nsh WHEN do_pop THEN act - fo.n ELSE act END,
+         allb
+  FROM (
+    SELECT *, is_edge AND is_buy AND NOT (ca1 < px * nsh) AS accept
+    FROM (
+      SELECT *,
+             CASE WHEN NOT (is_edge AND is_buy) THEN 0.0
+                  WHEN ca1 > 0 THEN floor(divq)
+                       + (CASE WHEN divq - floor(divq) > 0.5 THEN 1.0 ELSE 0.0 END)
+                  ELSE -1.0 END AS nsh
+      FROM (
+        SELECT *,
+               CASE WHEN is_edge AND is_buy AND ca1 > 0
+                    THEN (ca1 - fmod(ca1, px)) / px ELSE 0.0 END AS divq
+        FROM (
+          SELECT *,
+                 CASE WHEN is_edge AND is_buy
+                      THEN ca + ((0.0 + coalesce(list_reduce(list_prepend(0.0,
+                               list_transform(comp, o ->
+                                 ((ords[o].ea - ords[o].sa) * ords[o].n))),
+                               (a, b) -> a + b), 0.0))
+                             - coalesce(list_reduce(list_prepend(0.0,
+                               list_transform(dq, o ->
+                                 CASE WHEN ords[o].filled THEN ords[o].ea
+                                      ELSE ords[o].sa END)),
+                               (a, b) -> a + b), 0.0))
+                      ELSE ca END AS ca1,
+                 -- close (pop-front) action: a stop fire at a past bar
+                 -- or an executed sell at the edge bar
+                 (stop_fire OR (is_edge AND is_sell AND act > 0)) AND len(dq) > 0 AS do_pop,
+                 (stop_fire OR (is_edge AND is_sell AND act > 0)) AND len(dq) = 0 AS do_zero,
+                 CASE WHEN stop_fire THEN hit.d ELSE date END AS cd,
+                 CASE WHEN stop_fire THEN hit.c ELSE px END AS cp,
+                 CASE WHEN len(dq) > 0 THEN dq[1] ELSE 0 END AS front,
+                 CASE WHEN len(dq) > 0 THEN ords[dq[1]] END AS fo
+          FROM (
+            SELECT *,
+                   CASE WHEN top_elig AND len(swin) > 0 THEN true ELSE false END AS stop_fire,
+                   CASE WHEN top_elig AND len(swin) = 0 THEN true ELSE false END AS stop_discard,
+                   NOT (top_elig) AS is_edge,
+                   CASE WHEN top_elig AND len(swin) > 0 THEN swin[1] END AS hit
+            FROM (
+              SELECT *,
+                     CASE WHEN top_elig
+                          THEN list_filter(allb, bb -> bb.d >= ords[stops[1].oid].st
+                                                   AND bb.d < date
+                                                   AND bb.c <= stops[1].sl)
+                          ELSE CAST([] AS STRUCT(d DATE, c DOUBLE)[]) END AS swin
+              FROM (
+                SELECT s.ticker, e.i, e.close AS px, e.date,
+                       e.action = 'buy' AND e.close > 0 AS is_buy,
+                       e.action = 'sell' AS is_sell,
+                       NOT s.flushed
+                         AND ((e.action = 'buy' AND e.close > 0) OR e.action = 'sell')
+                         AND len(s.stops) > 0
+                         AND s.ords[s.stops[1].oid].st <= e.date AS top_elig,
+                       s.flushed, s.ca, s.ords, s.dq, s.comp, s.stops, s.ev,
+                       s.tsh, s.act, s.allb
+                FROM sim s
+                JOIN edges e ON e.ticker = s.ticker AND e.i = s.i + 1
+              )
+            )
+          )
+        )
+      )
+    )
+  )
+), finals AS (
+  SELECT ticker, ords, ev FROM sim
+  QUALIFY row_number() OVER (PARTITION BY ticker
+                             ORDER BY i DESC, len(ev) DESC) = 1
+), evrows AS (
+  SELECT f.ticker, u.e.q AS q, u.e.d AS date,
+         CASE WHEN u.e.b IS NOT NULL THEN f.ords[u.e.b].n END AS bshares,
+         u.e.sc AS sshares, u.e.tsh AS tsh
+  FROM finals f, unnest(f.ev) AS u(e)
+), evd AS (
+  -- dict semantics: last write per date wins
+  SELECT ticker, date,
+         max(bshares) AS bshares,
+         arg_max(sshares, q) FILTER (sshares IS NOT NULL) AS sshares,
+         arg_max(tsh, q) AS tsh
+  FROM evrows GROUP BY ticker, date
+), evx AS (
+  SELECT e.ticker, e.date,
+         coalesce(e.bshares, 0.0) * b.close AS cbt,
+         coalesce(e.sshares, 0.0) * b.close AS cst,
+         e.tsh
+  FROM evd e JOIN bars b ON b.ticker = e.ticker AND b.date = e.date
+), pertick AS (
+  SELECT ticker,
+         coalesce(list_reduce(list_prepend(0.0, list(cbt ORDER BY date)),
+                              (a, b) -> a + b), 0.0) AS cb,
+         coalesce(list_reduce(list_prepend(0.0, list(cst ORDER BY date)),
+                              (a, b) -> a + b), 0.0) AS cs,
+         arg_max(tsh, date) AS last_shares
+  FROM evx GROUP BY ticker
+), last_close AS (
+  SELECT ticker, arg_max(close, date) AS lc FROM bars GROUP BY ticker
+)
+SELECT ticker, run_id,
+       sign(nw) * floor((abs(nw) * 10000.0) + 0.5) / 10000.0 AS net_worth
+FROM (
+  SELECT lc.ticker, 0::BIGINT AS run_id,
+         (((coalesce(p.last_shares, 0.0) * lc.lc) - coalesce(p.cb, 0.0))
+          + coalesce(p.cs, 0.0)) + 10000.0 AS nw
+  FROM last_close lc
+  LEFT JOIN pertick p USING (ticker)
+)
+"""

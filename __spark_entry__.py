@@ -45,9 +45,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # (q40-q42, q45, q59, q64, q65, q71, and new q72), q58 (first-band-
 # wins dedup rewrite), q43 (new oracle) — plus q23 as a canary for the
 # dedup shared helpers (shingles/minhash hashing) and q63 for the
-# streaming-dedup path. Head is exactly 50 entries.
+# streaming-dedup path. Head is exactly 50 entries (catalog 73 −
+# tail 23).
 _SWEEP_TAIL = [
     "q02_regional_revenue",     # hash-match r01-r05 (q01 stays as canary)
+    "q33_rollup_revenue",       # hash-match r01-r05
     "q34_pivot_event_matrix",   # hash-match r01-r05
     "q38_multimodal_features",  # hash-match r05, untouched
     "q21_dedup_exact",          # hash-match r05

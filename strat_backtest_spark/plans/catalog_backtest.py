@@ -706,6 +706,34 @@ def q53_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q73_stream_late_arrival", oracle=_curve_sim_sql("ma_cross"))
+def q73_stream_late_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kernel's reorder buffer under GENUINE out-of-order arrival:
+    the two dates below chunk 1's max are delivered with chunk 2 —
+    late relative to an already-consumed newer bar — under a 30-day
+    lateness bound, with a punctuation chunk flushing the buffer at
+    end of replay. The oracle is the SAME per-bar kernel sim as
+    in-order q59: within-bound lateness must be invisible in the
+    result, and the gate hash proves it."""
+    from strat_backtest_spark.streaming.backtest_stream import (
+        bars_replay_stream,
+        drain_stream,
+        streaming_backtest_curve,
+    )
+
+    bars = _bars(spark, sf_dir)
+    curve = streaming_backtest_curve(
+        bars_replay_stream(
+            spark, bars, n_chunks=3, delay_last_of_first=2, punctuate=True
+        ),
+        fast=3,
+        lagging=8,
+        initial_amount=10_000.0,
+        allowed_lateness_days=30,
+    )
+    return _fmt_curve(drain_stream(spark, curve).orderBy("ticker", "date").limit(150))
+
+
 @query("q64_stream_band_kernel", oracle=_curve_sim_sql("band"))
 def q64_stream_band_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The band strategy (threshold re-anchoring to the last

@@ -908,7 +908,11 @@ def streaming_grid_curve(
 
 
 def bars_replay_stream(
-    spark: SparkSession, bars: DataFrame, n_chunks: int = 3
+    spark: SparkSession,
+    bars: DataFrame,
+    n_chunks: int = 3,
+    delay_last_of_first: int = 0,
+    punctuate: bool = False,
 ) -> DataFrame:
     """Replay a finite bars table as a file stream of ``n_chunks``
     date-range chunks (maxFilesPerTrigger=1 → one micro-batch per
@@ -925,7 +929,19 @@ def bars_replay_stream(
     the finished part-file into the watched directory. Replay order is
     pinned with explicit increasing mtimes (``os.utime``) — the file
     source triggers oldest-mtime-first, and wall-clock writes can tie
-    on filesystems with coarse mtime granularity."""
+    on filesystems with coarse mtime granularity.
+
+    ``delay_last_of_first`` > 0 makes the replay deterministically
+    OUT-OF-ORDER: the N distinct dates immediately BELOW chunk 1's max
+    date are withheld and delivered with chunk 2 instead — chunk 1's
+    max still arrives first, so the delayed bars are genuinely late
+    relative to an already-consumed newer bar, exercising the kernel's
+    reorder buffer (consumers must pass an ``allowed_lateness_days``
+    covering the displacement). ``punctuate`` appends a final chunk of
+    one null-close far-future row per ticker — the Flink-style
+    punctuation that advances the event-time frontier and flushes the
+    reorder buffer on a finite replay (no output rows; the kernel
+    consumes punctuation without emitting)."""
     import glob
     import os
     import shutil
@@ -940,6 +956,18 @@ def bars_replay_stream(
         .distinct()
         .withColumn("__chunk", F.ntile(n_chunks).over(Window.orderBy("date")))
     )
+    if delay_last_of_first > 0 and n_chunks >= 2:
+        wd = Window.partitionBy("__chunk").orderBy(F.col("date").desc())
+        rk = F.row_number().over(wd)
+        chunk_of = chunk_of.withColumn(
+            "__chunk",
+            F.when(
+                (F.col("__chunk") == 1)
+                & (rk >= 2)
+                & (rk <= delay_last_of_first + 1),
+                F.lit(2),
+            ).otherwise(F.col("__chunk")),
+        )
     # materialize ONCE: the per-chunk filter/write loop below would
     # otherwise re-run the full bars lineage (and the ntile window)
     # n_chunks times
@@ -961,6 +989,25 @@ def bars_replay_stream(
             dst = os.path.join(out_dir, f"{i:03d}.parquet")
             shutil.move(parts[0], dst)
             os.utime(dst, (base + i, base + i))
+        shutil.rmtree(stage)
+    if punctuate:
+        far = chunked.agg(F.date_add(F.max("date"), 60).alias("date"))
+        punct = (
+            chunked.select("ticker")
+            .distinct()
+            .crossJoin(F.broadcast(far))
+        )
+        for c in bars.columns:
+            if c not in ("ticker", "date"):
+                punct = punct.withColumn(
+                    c, F.lit(None).cast(dict(bars.dtypes)[c])
+                )
+        stage = os.path.join(out_dir, "_stage_punct")
+        punct.select(*bars.columns).coalesce(1).write.mode("overwrite").parquet(stage)
+        parts = glob.glob(os.path.join(stage, "part-*.parquet"))
+        dst = os.path.join(out_dir, f"{n_chunks + 1:03d}.parquet")
+        shutil.move(parts[0], dst)
+        os.utime(dst, (base + n_chunks + 1, base + n_chunks + 1))
         shutil.rmtree(stage)
     return (
         spark.readStream.schema(bars.schema)

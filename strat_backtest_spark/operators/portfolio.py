@@ -25,12 +25,14 @@ def build_portfolio(feed: DataFrame, trade_events: DataFrame, initial_amount: fl
       net_worth = shares_owned·close − Σ(buy·close) + Σ(sell·close) + init
 
     ``feed`` must carry (ticker, run_id, date, close); extra columns
-    pass through. The join key (ticker, run_id, date) matches the
-    kernel's output partitioning, and events are tiny relative to bars,
-    so Catalyst broadcast-joins them under AQE.
+    pass through. Trade events are edge-sparse (one row per signal
+    flip, orders of magnitude fewer than bars), so the join broadcasts
+    them EXPLICITLY — waiting for AQE to discover it costs a planned
+    shuffle of the bars-sized feed on the 3-column key, which then
+    repartitions again for the (ticker, run_id) windows below.
     """
     ev = trade_events.withColumnRenamed("shares_owned", "shares_owned_event")
-    df = feed.join(ev, ["ticker", "run_id", "date"], "left")
+    df = feed.join(F.broadcast(ev), ["ticker", "run_id", "date"], "left")
 
     w = _w()
     cum = w.rowsBetween(Window.unboundedPreceding, 0)

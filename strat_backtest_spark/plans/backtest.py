@@ -53,17 +53,38 @@ class MACrossStrategy:
             self.kernel_driver = "ma_cross_partial"
 
     def signal_feed(self, bars: DataFrame, run_id: int = 0) -> DataFrame:
-        signals = ma_cross_signals(bars, self.fast, self.lagging, run_id=run_id)
-        base = bars.select(
+        # Action computed INLINE over the same window pass instead of
+        # joining ma_cross_signals' edge rows back onto the bars: the
+        # join recomputed the bars lineage on both sides (two source
+        # scans + two aggregations) and added a 3-key shuffle, for a
+        # column that is a pure window expression of the feed itself.
+        # Same semantics as ma_cross_signals (operators/signals.py):
+        # null action off-edge, first row always an edge.
+        from strat_backtest_spark.functions.windows import (
+            rolling_mean,
+            ticker_window,
+        )
+
+        w = ticker_window()
+        cross = F.coalesce(
+            rolling_mean("close", self.fast, w)
+            > rolling_mean("close", self.lagging, w),
+            F.lit(False),
+        )
+        df = bars.select(
             "ticker",
             F.lit(run_id).cast("long").alias("run_id"),
             "date",
             "close",
+            cross.alias("__cross"),
         )
-        return base.join(
-            signals.select("ticker", "run_id", "date", "action"),
-            ["ticker", "run_id", "date"],
-            "left",
+        prev = F.lag("__cross").over(ticker_window())
+        action = F.when(
+            prev.isNull() | (F.col("__cross") != prev),
+            F.when(F.col("__cross"), F.lit("buy")).otherwise(F.lit("sell")),
+        )
+        return df.select(
+            "ticker", "run_id", "date", "close", action.alias("action")
         )
 
     def kernel_params(self) -> dict:

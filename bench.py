@@ -40,6 +40,8 @@ HEADLINE = [
     "q55_curation_pipeline",    # quality gate + dedup + sample composed
     "q40_backtest_networth",    # full backtest kernel path
     "q41_grid_search",          # 6-point param grid, one job
+    "q42_backtest_metrics",     # 18-stat suite: portfolio windows + Q6 attach
+    "q72_stoploss_networth",    # kernel with stop-loss heap + range scans
 ]
 
 

@@ -53,6 +53,23 @@ def test_kernel_feed_single_shuffle(spark):
     assert "hashpartitioning(ticker" in p
 
 
+def test_signal_feed_is_join_free(spark):
+    """The MA-cross signal feed computes the action column INLINE over
+    the bars window pass — the former edge-join recomputed the bars
+    lineage on both sides and shuffled the feed on a 3-column key. A
+    regression reintroducing a join doubles the source scans at any
+    scale."""
+    from strat_backtest_spark.plans.backtest import MACrossStrategy
+    from strat_backtest_spark.plans.catalog import _t
+    from strat_backtest_spark.sources.bars import bars_from_events
+
+    bars = bars_from_events(_t(spark, SF_MED, "events"))
+    feed = MACrossStrategy(fast=3, lagging=8).signal_feed(bars)
+    p = _formatted(feed)
+    assert "Join" not in p, "signal feed must not join"
+    assert p.count("Scan parquet") == 1, "bars lineage must be scanned once"
+
+
 def test_q12_no_single_partition_exchange(spark):
     """The trailing-period anchor must be a broadcast one-row aggregate,
     never a global window max — ``Exchange SinglePartition`` funnels the

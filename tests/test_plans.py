@@ -67,7 +67,10 @@ def test_signal_feed_is_join_free(spark):
     feed = MACrossStrategy(fast=3, lagging=8).signal_feed(bars)
     p = _formatted(feed)
     assert "Join" not in p, "signal feed must not join"
-    assert p.count("Scan parquet") == 1, "bars lineage must be scanned once"
+    # formatted explain mentions each node twice (tree + detail
+    # section): one source scan => exactly 2 mentions, a reintroduced
+    # self-join => 4
+    assert p.count("Scan parquet") <= 2, "bars lineage must be scanned once"
 
 
 def test_q12_no_single_partition_exchange(spark):

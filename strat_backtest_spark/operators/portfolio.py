@@ -26,13 +26,14 @@ def build_portfolio(feed: DataFrame, trade_events: DataFrame, initial_amount: fl
 
     ``feed`` must carry (ticker, run_id, date, close); extra columns
     pass through. Trade events are edge-sparse (one row per signal
-    flip, orders of magnitude fewer than bars), so the join broadcasts
-    them EXPLICITLY — waiting for AQE to discover it costs a planned
-    shuffle of the bars-sized feed on the 3-column key, which then
-    repartitions again for the (ticker, run_id) windows below.
+    flip, orders of magnitude fewer than bars) but they GROW WITH the
+    bars table, so the join deliberately has no broadcast hint: AQE
+    converts it to broadcast when the runtime size allows, and falls
+    back to a shuffled join when a 100 TB run's event stream is itself
+    too large for an executor — a forced F.broadcast would OOM there.
     """
     ev = trade_events.withColumnRenamed("shares_owned", "shares_owned_event")
-    df = feed.join(F.broadcast(ev), ["ticker", "run_id", "date"], "left")
+    df = feed.join(ev, ["ticker", "run_id", "date"], "left")
 
     w = _w()
     cum = w.rowsBetween(Window.unboundedPreceding, 0)

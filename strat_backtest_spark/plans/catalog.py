@@ -22,6 +22,11 @@ from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from strat_backtest_spark.functions.numeric import (
+    round_half_up_col,
+    round_half_up_sql,
+)
+
 
 @dataclass
 class QueryDef:
@@ -261,7 +266,7 @@ def q06_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q07_pct_change",
     oracle=f"""
     SELECT event_id, user_id,
-           round(value / lag(value) OVER ({_EVW}) - 1, 6) AS pct_change
+           {round_half_up_sql('value / lag(value) OVER (' + _EVW + ') - 1', 6)} AS pct_change
     FROM events
     """,
 )
@@ -275,9 +280,12 @@ def q07_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         # try_divide: a zero prior value must yield NULL (DuckDB's x/0),
         # not an ANSI DIVIDE_BY_ZERO error — surfaces only at sf0.1+
         # where zero-valued events exist
-        F.round(F.try_divide(F.col("value"), F.lag("value").over(w)) - 1, 6).alias(
-            "pct_change"
-        ),
+        # IEEE-stable rounding (functions/numeric.py): F.round's
+        # shortest-decimal BigDecimal path disagrees with DuckDB round
+        # at representation ties (one row in ~70k flips at sf0.1)
+        round_half_up_col(
+            F.try_divide(F.col("value"), F.lag("value").over(w)) - 1, 6
+        ).alias("pct_change"),
     )
 
 

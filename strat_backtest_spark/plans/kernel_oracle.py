@@ -26,7 +26,10 @@ def _ma_kernel_sim_sql(runs: list[tuple[int, int, int]], final_select: str) -> s
     arithmetic step mirrors the Python kernel's operation ORDER —
     ``ca + (ptot - Σopen)`` keeps order_worth's parenthesization
     (kernel.py:184-186), share counts replicate CPython's float
-    floordiv via fmod + the >0.5 correction (floatobject.c float_divmod
+    floordiv via mod + the >0.5 correction (DuckDB ``mod``/``%`` are C
+    fmod; DuckDB ``fmod()`` is a DIFFERENT, lower-precision routine —
+    10000.0 fmod 0.16 returns 0 where C fmod gives 0.1599…, flipping
+    share counts at near-multiple boundaries) (floatobject.c float_divmod
     semantics), and the cb/cs accumulators add in event-date order,
     matching Spark's in-partition-ordered partial aggregation over the
     kernel's date-sorted event emission. Verified bit-exact (0/150
@@ -115,8 +118,9 @@ def _ma_kernel_sim_sql(runs: list[tuple[int, int, int]], final_select: str) -> s
         SELECT *, is_buy AND NOT (ca1 < px * n) AS accept
         FROM (
           SELECT *,
-                 -- CPython float floordiv (shares = ca1 // px): fmod
-                 -- remainder, then the floor(+1 if frac > .5) repair
+                 -- CPython float floordiv (shares = ca1 // px): C-fmod
+                 -- remainder (DuckDB mod, NOT its fmod), then the
+                 -- floor(+1 if frac > .5) repair
                  CASE WHEN NOT is_buy THEN 0.0
                       WHEN ca1 > 0 THEN floor(divq)
                            + (CASE WHEN divq - floor(divq) > 0.5 THEN 1.0 ELSE 0.0 END)
@@ -124,7 +128,7 @@ def _ma_kernel_sim_sql(runs: list[tuple[int, int, int]], final_select: str) -> s
           FROM (
             SELECT *,
                    CASE WHEN is_buy AND ca1 > 0
-                        THEN (ca1 - fmod(ca1, px)) / px ELSE 0.0 END AS divq
+                        THEN (ca1 - mod(ca1, px)) / px ELSE 0.0 END AS divq
             FROM (
               SELECT *,
                      -- Q2: buying power re-adds completed profits and
@@ -270,7 +274,7 @@ def _curve_sim_sql(strategy: str) -> str:
           FROM (
             SELECT *,
                    CASE WHEN is_buy AND ca1 > 0
-                        THEN (ca1 - fmod(ca1, px)) / px ELSE 0.0 END AS divq
+                        THEN (ca1 - mod(ca1, px)) / px ELSE 0.0 END AS divq
             FROM (
               SELECT *,
                      CASE WHEN is_buy
@@ -421,7 +425,7 @@ WITH RECURSIVE bars AS (
       FROM (
         SELECT *,
                CASE WHEN is_buy AND ca1 > 0
-                    THEN (ca1 - fmod(ca1, px)) / px ELSE 0.0 END AS divq
+                    THEN (ca1 - mod(ca1, px)) / px ELSE 0.0 END AS divq
         FROM (
           SELECT *,
                  CASE WHEN is_buy
@@ -529,7 +533,8 @@ WITH RECURSIVE bars AS (
   -- (Welford) accumulation for r_s — the only stats where pow^255
   -- amplification makes ULP-level engine noise visible in the output
   SELECT ticker, 0::BIGINT AS j, 0.0::DOUBLE AS ss, 0.0::DOUBLE AS sc,
-         0.0::DOUBLE AS wn, 0.0::DOUBLE AS wm, 0.0::DOUBLE AS wm2
+         0.0::DOUBLE AS wn, 0.0::DOUBLE AS wm, 0.0::DOUBLE AS wm2,
+         0.0::DOUBLE AS ds, 0.0::DOUBLE AS dc
   FROM (SELECT DISTINCT ticker FROM prn)
   UNION ALL
   SELECT w.ticker, p.j,
@@ -540,7 +545,9 @@ WITH RECURSIVE bars AS (
               ELSE w.wm + ((p.r_s - w.wm) / (w.wn + 1.0)) END,
          CASE WHEN p.r_s IS NULL THEN w.wm2
               ELSE w.wm2 + ((p.r_s - w.wm)
-                    * ((p.r_s - w.wm) - ((p.r_s - w.wm) / (w.wn + 1.0)))) END
+                    * ((p.r_s - w.wm) - ((p.r_s - w.wm) / (w.wn + 1.0)))) END,
+         CASE WHEN p.drawdown IS NULL THEN w.ds ELSE w.ds + p.drawdown END,
+         CASE WHEN p.drawdown IS NULL THEN w.dc ELSE w.dc + 1.0 END
   FROM wrec w JOIN prn p ON p.ticker = w.ticker AND p.j = w.j + 1
 ), wfin AS (
   SELECT ticker,
@@ -548,7 +555,8 @@ WITH RECURSIVE bars AS (
          CASE WHEN wn >= 2 THEN wm2 / (wn - 1.0)
               WHEN wn = 1 THEN 'NaN'::DOUBLE END AS var_r_s,
          CASE WHEN wn >= 2 THEN sqrt(wm2 / (wn - 1.0))
-              WHEN wn = 1 THEN 'NaN'::DOUBLE END AS std_r_s
+              WHEN wn = 1 THEN 'NaN'::DOUBLE END AS std_r_s,
+         CASE WHEN dc > 0 THEN (ds / dc) * 100 END AS avg_drawdown_pct
   FROM wrec
   QUALIFY row_number() OVER (PARTITION BY ticker ORDER BY j DESC) = 1
 ), pr2 AS (
@@ -562,7 +570,7 @@ WITH RECURSIVE bars AS (
          max(p.nw_last) AS end_amount,
          max(p.nw_first) AS first_net_worth,
          min(p.drawdown) * 100 AS max_drawdown_pct,
-         avg(p.drawdown) * 100 AS avg_drawdown_pct,
+         any_value(w.avg_drawdown_pct) AS avg_drawdown_pct,
          any_value(w.mean_r_s) AS mean_r_s,
          any_value(w.std_r_s) AS std_r_s,
          any_value(w.var_r_s) AS var_r_s,
@@ -724,7 +732,7 @@ WITH RECURSIVE bars AS (
       FROM (
         SELECT *,
                CASE WHEN is_buy AND ca1 > 0
-                    THEN (ca1 - fmod(ca1, px)) / px ELSE 0.0 END AS divq
+                    THEN (ca1 - mod(ca1, px)) / px ELSE 0.0 END AS divq
         FROM (
           SELECT *,
                  CASE WHEN is_buy
@@ -904,7 +912,7 @@ WITH RECURSIVE bars AS (
       FROM (
         SELECT *,
                CASE WHEN is_edge AND is_buy AND ca1 > 0
-                    THEN (ca1 - fmod(ca1, px)) / px ELSE 0.0 END AS divq
+                    THEN (ca1 - mod(ca1, px)) / px ELSE 0.0 END AS divq
         FROM (
           SELECT *,
                  CASE WHEN is_edge AND is_buy

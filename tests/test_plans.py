@@ -63,6 +63,10 @@ def test_signal_feed_is_join_free(spark):
     from strat_backtest_spark.plans.catalog import _t
     from strat_backtest_spark.sources.bars import bars_from_events
 
+    # cached relations from earlier tests (Backtest.run persists its
+    # feed) splice InMemoryRelation plans - with their own scan
+    # mentions - into this plan string; assert on a cold plan
+    spark.catalog.clearCache()
     bars = bars_from_events(_t(spark, SF_MED, "events"))
     feed = MACrossStrategy(fast=3, lagging=8).signal_feed(bars)
     p = _formatted(feed)

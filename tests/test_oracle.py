@@ -30,6 +30,21 @@ def test_catalog_matches_duckdb_at_driver_sf(spark):
     assert not failures, "; ".join(f"{r['name']}: {r['detail'][:120]}" for r in failures)
 
 
+def test_catalog_matches_duckdb_at_sf_large(spark):
+    """10x the gate's scale. Boundary-coincidence bugs surface with
+    data volume, and each jump has found a fresh class: sf0.01 caught
+    round 5's q53 volume-floor flip that sf0.001 hid, and sf0.1 caught
+    DuckDB's broken fmod() in the share-sizing replication (plus two
+    rounding-tie flips) that sf0.01 hid. Worth its ~3 minutes."""
+    from conftest import SF_LARGE
+    from oracle_utils import run_catalog
+
+    results = run_catalog(spark, SF_LARGE, verbose=False)
+    assert results, "catalog is empty"
+    failures = [r for r in results if not r["ok"]]
+    assert not failures, "; ".join(f"{r['name']}: {r['detail'][:120]}" for r in failures)
+
+
 def test_entry_contract(spark):
     import __spark_entry__ as e
 

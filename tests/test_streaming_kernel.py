@@ -748,3 +748,84 @@ def test_streaming_partial_close_fuzz(spark, tmp_path):
             assert r["net_worth"] == pytest.approx(
                 want_net, rel=1e-12, abs=1e-9
             ), (seed, r["ticker"], r["date"])
+
+
+def test_streaming_kernel_state_survives_query_restart(spark, tmp_path):
+    """COLD restart, not just a micro-batch boundary: the first query
+    incarnation consumes two chunks and STOPS; a brand-new query with
+    the same checkpoint picks up the third chunk. The kernel's
+    per-ticker GroupState (order book + MA tail + cums) must restore
+    from the state store, the file source must not re-read consumed
+    chunks, and the combined durable-sink output must equal the batch
+    curve exactly — the recovery contract a production run relies on."""
+    import pandas as pd
+
+    from strat_backtest_spark.plans.backtest import Backtest, MACrossStrategy
+    from strat_backtest_spark.plans.catalog import _t
+    from strat_backtest_spark.sources.bars import bars_from_events
+    from strat_backtest_spark.streaming.backtest_stream import streaming_backtest_curve
+
+    ev = _t(spark, SF_SMALL, "events")
+    bars = bars_from_events(ev)
+    fast, lagging, init = 3, 8, 10_000.0
+
+    bt = Backtest(bars, init, MACrossStrategy(fast, lagging))
+    batch = {
+        (r["ticker"], str(r["date"])): (r["shares_owned"], r["net_worth"])
+        for r in bt.run().collect()
+    }
+    bt.release()
+
+    pdf = bars.toPandas().sort_values(["date", "ticker"]).reset_index(drop=True)
+    dates = sorted(pdf["date"].unique())
+    third = max(1, len(dates) // 3)
+    chunks = [
+        pdf[pdf["date"].isin(dates[:third])],
+        pdf[pdf["date"].isin(dates[third:2 * third])],
+        pdf[pdf["date"].isin(dates[2 * third:])],
+    ]
+    src = str(tmp_path / "restart_src")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    base = time.time()
+
+    def write_chunk(i):
+        p = os.path.join(src, f"{i:03d}.parquet")
+        chunks[i].to_parquet(p, index=False)
+        os.utime(p, (base + i, base + i))
+
+    def run_incarnation():
+        stream = (
+            spark.readStream.schema(bars.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        curve = streaming_backtest_curve(stream, fast, lagging, init)
+        q = (
+            curve.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    write_chunk(0)
+    write_chunk(1)
+    run_incarnation()  # consumes chunks 1-2, then the query DIES
+    mid_rows = spark.read.parquet(sink).count()
+    assert 0 < mid_rows < len(batch), "first incarnation must be partial"
+
+    write_chunk(2)
+    run_incarnation()  # fresh query object, same checkpoint: resume
+
+    got = spark.read.parquet(sink).collect()
+    assert len(got) == len(batch), f"row count {len(got)} != {len(batch)}"
+    for r in got:
+        shares, net = batch[(r["ticker"], str(r["date"]))]
+        assert r["shares_owned"] == shares, (r["ticker"], r["date"])
+        assert r["net_worth"] == net, (r["ticker"], r["date"])

@@ -750,17 +750,24 @@ def test_streaming_partial_close_fuzz(spark, tmp_path):
             ), (seed, r["ticker"], r["date"])
 
 
-def test_streaming_kernel_state_survives_query_restart(spark, tmp_path):
+@pytest.mark.parametrize("strategy", ["ma_cross", "band"])
+def test_streaming_kernel_state_survives_query_restart(spark, tmp_path, strategy):
     """COLD restart, not just a micro-batch boundary: the first query
     incarnation consumes two chunks and STOPS; a brand-new query with
     the same checkpoint picks up the third chunk. The kernel's
-    per-ticker GroupState (order book + MA tail + cums) must restore
-    from the state store, the file source must not re-read consumed
-    chunks, and the combined durable-sink output must equal the batch
-    curve exactly — the recovery contract a production run relies on."""
+    per-ticker GroupState (order book + MA tail + cums for ma_cross;
+    anchor/last-move + book for band — both state schemas) must
+    restore from the state store, the file source must not re-read
+    consumed chunks, and the combined durable-sink output must equal
+    the batch curve exactly — the recovery contract a production run
+    relies on."""
     import pandas as pd
 
-    from strat_backtest_spark.plans.backtest import Backtest, MACrossStrategy
+    from strat_backtest_spark.plans.backtest import (
+        Backtest,
+        BandStrategy,
+        MACrossStrategy,
+    )
     from strat_backtest_spark.plans.catalog import _t
     from strat_backtest_spark.sources.bars import bars_from_events
     from strat_backtest_spark.streaming.backtest_stream import streaming_backtest_curve
@@ -768,8 +775,11 @@ def test_streaming_kernel_state_survives_query_restart(spark, tmp_path):
     ev = _t(spark, SF_SMALL, "events")
     bars = bars_from_events(ev)
     fast, lagging, init = 3, 8, 10_000.0
+    strat = (
+        MACrossStrategy(fast, lagging) if strategy == "ma_cross" else BandStrategy()
+    )
 
-    bt = Backtest(bars, init, MACrossStrategy(fast, lagging))
+    bt = Backtest(bars, init, strat)
     batch = {
         (r["ticker"], str(r["date"])): (r["shares_owned"], r["net_worth"])
         for r in bt.run().collect()
@@ -801,7 +811,9 @@ def test_streaming_kernel_state_survives_query_restart(spark, tmp_path):
             .option("maxFilesPerTrigger", "1")
             .parquet(src)
         )
-        curve = streaming_backtest_curve(stream, fast, lagging, init)
+        curve = streaming_backtest_curve(
+            stream, fast, lagging, init, strategy=strategy
+        )
         q = (
             curve.writeStream.outputMode("append")
             .format("parquet")

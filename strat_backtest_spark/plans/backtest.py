@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, functions as F
 from strat_backtest_spark.operators.kernel import run_kernel, split_kernel_output
 from strat_backtest_spark.operators.metrics import compute_metrics
 from strat_backtest_spark.operators.portfolio import attach_benchmark, build_portfolio
-from strat_backtest_spark.operators.signals import band_signals, ma_cross_signals
+from strat_backtest_spark.operators.signals import band_signals
 
 
 @dataclass

@@ -7,6 +7,7 @@ DuckDB-oracle correctness gate.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -85,4 +86,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from strat_backtest_spark.plans.catalog import CATALOG
 
-    return {name: qd.oracle for name, qd in CATALOG.items() if qd.oracle is not None}
+    # The driver runs oracle SQL against sf0.01 views; data-dependent
+    # oracle_builders (q46) must be instantiated for that same data.
+    gate_sf = os.environ.get("SPARK_GRAFT_GATE_SF_DIR", "/root/testdata/sf0.01")
+    out = {}
+    for name, qd in CATALOG.items():
+        try:
+            sql = qd.oracle_for(gate_sf)
+        except Exception:
+            # a builder failure must not take down the whole gate —
+            # the entry degrades to the rows-only check
+            sql = None
+        if sql is not None:
+            out[name] = sql
+    return out

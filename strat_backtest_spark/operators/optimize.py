@@ -113,42 +113,24 @@ def grid_search(
     )
 
 
-def simulated_annealing(
-    bars: DataFrame,
-    initial_amount: float,
-    init_state: tuple[int, int] = (10, 50),
-    bounds: tuple[tuple[int, int], tuple[int, int]] = ((2, 60), (5, 250)),
-    T: float = 100.0,
-    iterations: int = 20,
-    neighbors_per_step: int = 8,
-    seed: int = 42,
+def sa_chain(
+    score,
+    init_state: tuple[int, int],
+    bounds: tuple[tuple[int, int], tuple[int, int]],
+    T: float,
+    iterations: int,
+    neighbors_per_step: int,
+    seed: int,
 ) -> dict:
-    """Metropolis SA with geometric cooling ×0.8 (reference
-    optimize.py:138-207, ported without quirks Q15): each step scores a
-    BATCH of clamped integer-step neighbors in one cluster job and
-    Metropolis-accepts against the incumbent. Single-ticker bars
-    expected (aggregate over tickers otherwise)."""
+    """The SA chain driver, parameterized by ``score(states) ->
+    list[float]``: the walk (neighbor draws, argmax, Metropolis
+    accepts) is fully determined by (seed, score values), so any
+    engine that reproduces the objective bit-for-bit reproduces the
+    walk. The q46 oracle exploits this: it replays this exact chain
+    with a DuckDB-backed score (plans/common_stock.py) and checks the
+    Spark walk visited the same states with the same objectives."""
     rng = np.random.default_rng(seed)
     pyrng = random.Random(seed)
-    spark = bars.sparkSession
-    # The chain re-consumes bars every step (and evaluate_params reads
-    # them in four plan branches): pin them once so the upstream DAG
-    # (scan + bar derivation + filters) doesn't re-run ~4x per
-    # iteration. Single-ticker bars are small by contract; a persist()
-    # would do at larger scale.
-    bars = bars.localCheckpoint(eager=True)
-
-    def score(states: list[tuple[int, int]]) -> list[float]:
-        rows = [(i, int(f), int(l)) for i, (f, l) in enumerate(states)]
-        params = spark.createDataFrame(rows, PARAMS_SCHEMA)
-        scored = evaluate_params(bars, params, initial_amount, materialize=False)
-        got = {
-            r["run_id"]: r["net_worth"]
-            for r in scored.groupBy("run_id")
-            .agg(F.avg("net_worth").alias("net_worth"))
-            .collect()
-        }
-        return [got.get(i, float("-inf")) for i in range(len(states))]
 
     def neighbors(state):
         out = []
@@ -181,3 +163,46 @@ def simulated_annealing(
         history.append((state, cur_cost))
         temp *= 0.8
     return {"best_state": best_state, "best_net_worth": best_cost, "history": history}
+
+
+def simulated_annealing(
+    bars: DataFrame,
+    initial_amount: float,
+    init_state: tuple[int, int] = (10, 50),
+    bounds: tuple[tuple[int, int], tuple[int, int]] = ((2, 60), (5, 250)),
+    T: float = 100.0,
+    iterations: int = 20,
+    neighbors_per_step: int = 8,
+    seed: int = 42,
+) -> dict:
+    """Metropolis SA with geometric cooling ×0.8 (reference
+    optimize.py:138-207, ported without quirks Q15): each step scores a
+    BATCH of clamped integer-step neighbors in one cluster job and
+    Metropolis-accepts against the incumbent. Single-ticker bars
+    expected (aggregate over tickers otherwise)."""
+    spark = bars.sparkSession
+    # The chain re-consumes bars every step (and evaluate_params reads
+    # them in four plan branches): pin them once so the upstream DAG
+    # (scan + bar derivation + filters) doesn't re-run ~4x per
+    # iteration. Single-ticker bars are small by contract; a persist()
+    # would do at larger scale.
+    bars = bars.localCheckpoint(eager=True)
+
+    from strat_backtest_spark.functions.numeric import round_half_up_col
+
+    def score(states: list[tuple[int, int]]) -> list[float]:
+        rows = [(i, int(f), int(l)) for i, (f, l) in enumerate(states)]
+        params = spark.createDataFrame(rows, PARAMS_SCHEMA)
+        scored = evaluate_params(bars, params, initial_amount, materialize=False)
+        got = {
+            r["run_id"]: r["net_worth"]
+            for r in scored.groupBy("run_id")
+            # round(4) like grid_search's output: the chain's accept
+            # decisions then run on the same doubles the DuckDB replay
+            # oracle computes (q46), instead of ULP-off unrounded sums
+            .agg(round_half_up_col(F.avg("net_worth"), 4).alias("net_worth"))
+            .collect()
+        }
+        return [got.get(i, float("-inf")) for i in range(len(states))]
+
+    return sa_chain(score, init_state, bounds, T, iterations, neighbors_per_step, seed)

@@ -32,14 +32,30 @@ from strat_backtest_spark.functions.numeric import (
 class QueryDef:
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: Optional[str]
+    # Data-dependent oracles (q46: the SA walk's visited states depend
+    # on the objective values, hence on the data): a callable taking
+    # the sf_dir and returning the oracle SQL for THAT data. The gate
+    # builds at the driver's sf0.01; local sweeps build per-sf.
+    oracle_builder: Optional[Callable[[str], str]] = None
+
+    def oracle_for(self, sf_dir: str) -> Optional[str]:
+        if self.oracle is not None:
+            return self.oracle
+        if self.oracle_builder is not None:
+            return self.oracle_builder(sf_dir)
+        return None
 
 
 CATALOG: dict[str, QueryDef] = {}
 
 
-def query(name: str, oracle: Optional[str] = None):
+def query(
+    name: str,
+    oracle: Optional[str] = None,
+    oracle_builder: Optional[Callable[[str], str]] = None,
+):
     def deco(fn):
-        CATALOG[name] = QueryDef(fn, oracle)
+        CATALOG[name] = QueryDef(fn, oracle, oracle_builder)
         return fn
 
     return deco

@@ -683,7 +683,10 @@ def q52_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(max(close), 6)           AS high,
            round(min(close), 6)           AS low,
            round(arg_max(close, date), 6) AS close,
-           sum(volume)                    AS volume
+           -- ::BIGINT: DuckDB sum(BIGINT) returns HUGEINT, which pandas
+           -- materializes as float64; Spark's sum(LongType) stays int64.
+           -- Equal values, different hash at the gate — cast it back.
+           sum(volume)::BIGINT            AS volume
     FROM bars GROUP BY ticker, date_trunc('week', date)
     """,
 )

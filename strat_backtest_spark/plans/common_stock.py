@@ -241,19 +241,94 @@ def q45_common_stock_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q46_simulated_annealing")  # kernel + stochastic: rows-only check
+_Q46_SA_KW = dict(
+    init_state=(3, 8), bounds=((2, 10), (5, 20)),
+    T=100.0, iterations=3, neighbors_per_step=4, seed=42,
+)
+
+
+def _q46_oracle_builder(sf_dir: str) -> str:
+    """Data-dependent oracle for the SA chain. The walk is NOT
+    seed-only deterministic — each argmax/Metropolis step consumes the
+    objective values — so the oracle REPLAYS the exact chain driver
+    (optimize.sa_chain: same RNG draws, same accepts) with a
+    **DuckDB-scored** objective: every candidate neighborhood is
+    evaluated by the recursive-CTE kernel sim (_ma_kernel_sim_sql),
+    never by Spark. The returned SQL then recomputes the visited
+    states' objectives in DuckDB at gate time. If the Spark kernel
+    diverged anywhere along the chain, the walks split and the gate
+    hash-mismatches — which is the point."""
+    import duckdb
+
+    from strat_backtest_spark.functions.numeric import round_half_up_sql
+    from strat_backtest_spark.operators.optimize import sa_chain
+    from strat_backtest_spark.plans.kernel_oracle import _ma_kernel_sim_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    where = "WHERE user_id = 0"  # Spark side: _bars(...).filter(ticker == '0')
+
+    def nw_final(runs: list[tuple[int, int, int]], select: str) -> str:
+        vals = ", ".join(f"({i}::BIGINT, {f}, {l})" for i, f, l in runs)
+        return f"""
+    , params(run_id, fast, lagging) AS (VALUES {vals})
+    , scored AS (
+      SELECT p.run_id, p.fast, p.lagging,
+             (((coalesce(f.tsh, 0.0) * lc.lc) - coalesce(f.cb, 0.0))
+              + coalesce(f.cs, 0.0)) + 10000.0 AS nw
+      FROM last_close lc
+      CROSS JOIN params p
+      LEFT JOIN finals f ON f.ticker = lc.ticker AND f.run_id = p.run_id
+    )
+    {select}"""
+
+    def score(states: list[tuple[int, int]]) -> list[float]:
+        runs = [(i, int(f), int(l)) for i, (f, l) in enumerate(states)]
+        sql = _ma_kernel_sim_sql(
+            runs,
+            nw_final(
+                runs,
+                f"SELECT run_id, {round_half_up_sql('nw', 4)} AS net_worth FROM scored",
+            ),
+            events_where=where,
+        )
+        got = {int(r[0]): float(r[1]) for r in con.sql(sql).fetchall()}
+        return [got.get(i, float("-inf")) for i in range(len(states))]
+
+    history = sa_chain(score, **_Q46_SA_KW)["history"]
+    distinct = sorted({(int(f), int(l)) for (f, l), _ in history})
+    run_of = {st: i for i, st in enumerate(distinct)}
+    runs = [(i, f, l) for (f, l), i in sorted(run_of.items(), key=lambda kv: kv[1])]
+    steps = ", ".join(
+        f"({step}, {run_of[(int(f), int(l))]}::BIGINT)"
+        for step, ((f, l), _) in enumerate(history)
+    )
+    final = nw_final(
+        runs,
+        f"""SELECT s.step, p.fast, p.lagging,
+           {round_half_up_sql('sc.nw', 4)} AS net_worth
+    FROM (VALUES {steps}) s(step, run_id)
+    JOIN scored sc ON sc.run_id = s.run_id
+    JOIN params p ON p.run_id = s.run_id""",
+    )
+    return _ma_kernel_sim_sql(runs, final, events_where=where)
+
+
+@query("q46_simulated_annealing", oracle_builder=_q46_oracle_builder)
 def q46_simulated_annealing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Simulated annealing (reference optimize.py:138-207) exercised
     through the gate: a short seeded chain on one synthetic ticker,
-    returning the accepted-state history as rows."""
+    returning the accepted-state history as rows. Oracled by a full
+    chain REPLAY with DuckDB-computed objectives (_q46_oracle_builder):
+    step order, visited states, and objective values all hash-gated."""
     from strat_backtest_spark.operators.optimize import simulated_annealing
     from strat_backtest_spark.plans.catalog_backtest import _bars
 
     bars = _bars(spark, sf_dir).filter(F.col("ticker") == "0")
-    out = simulated_annealing(
-        bars, 10_000.0, init_state=(3, 8), bounds=((2, 10), (5, 20)),
-        iterations=3, neighbors_per_step=4, seed=42,
-    )
+    out = simulated_annealing(bars, 10_000.0, **_Q46_SA_KW)
     rows = [
         (i, int(s[0]), int(s[1]), float(c))
         for i, (s, c) in enumerate(out["history"])

@@ -13,7 +13,11 @@ from strat_backtest_spark.functions.numeric import round_half_up_sql
 _GRID_RUNS = [(0, 3, 8), (1, 3, 13), (2, 5, 8), (3, 5, 13)]
 
 
-def _ma_kernel_sim_sql(runs: list[tuple[int, int, int]], final_select: str) -> str:
+def _ma_kernel_sim_sql(
+    runs: list[tuple[int, int, int]],
+    final_select: str,
+    events_where: str = "",
+) -> str:
     """DuckDB oracle for the SEQUENTIAL order kernel: a recursive CTE
     folds each (ticker, run_id) group's signal-edge stream through the
     exact TradingEngine recurrence (operators/kernel.py:166-244,
@@ -65,7 +69,7 @@ def _ma_kernel_sim_sql(runs: list[tuple[int, int, int]], final_select: str) -> s
         SELECT user_id::VARCHAR AS ticker, CAST(ts AS DATE) AS date, value AS close,
                row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
                                   ORDER BY ts, event_id) AS rn
-        FROM events
+        FROM events {events_where}
       ) WHERE rn = 1
     ), win AS (
       SELECT ticker, date, close,
@@ -552,10 +556,11 @@ WITH RECURSIVE bars AS (
 ), wfin AS (
   SELECT ticker,
          CASE WHEN sc > 0 THEN ss / sc END AS mean_r_s,
-         CASE WHEN wn >= 2 THEN wm2 / (wn - 1.0)
-              WHEN wn = 1 THEN 'NaN'::DOUBLE END AS var_r_s,
-         CASE WHEN wn >= 2 THEN sqrt(wm2 / (wn - 1.0))
-              WHEN wn = 1 THEN 'NaN'::DOUBLE END AS std_r_s,
+         -- wn = 1 falls through to the CASE's implicit NULL: Spark 4's
+         -- default var_samp/stddev_samp (legacy.statisticalAggregate=
+         -- false) returns NULL for a single sample, not NaN.
+         CASE WHEN wn >= 2 THEN wm2 / (wn - 1.0) END AS var_r_s,
+         CASE WHEN wn >= 2 THEN sqrt(wm2 / (wn - 1.0)) END AS std_r_s,
          CASE WHEN dc > 0 THEN (ds / dc) * 100 END AS avg_drawdown_pct
   FROM wrec
   QUALIFY row_number() OVER (PARTITION BY ticker ORDER BY j DESC) = 1

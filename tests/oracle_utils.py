@@ -33,6 +33,17 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
+def _dtype_kind(s: pd.Series) -> str:
+    """Coarse dtype class the driver's hash distinguishes."""
+    k = s.dtype.kind if hasattr(s.dtype, "kind") else "O"
+    return {
+        "i": "int", "u": "int",
+        "f": "float",
+        "b": "bool",
+        "M": "datetime", "m": "timedelta",
+    }.get(k, "object")
+
+
 def _values_equal(a, b) -> bool:
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
@@ -57,6 +68,16 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "?")
         return out
     g = _normalize(got)
     e = _normalize(exp)
+    # dtype-strict: the driver's value hash is dtype-sensitive (123 vs
+    # 123.0 hash differently), so Python == equality is not enough — a
+    # DuckDB HUGEINT landing as float64 against Spark's int64 must FAIL
+    # here too, or the local sweep stays green while the gate goes red
+    # (the q53 trap, rounds 5-6).
+    for c in g.columns:
+        gk, ek = _dtype_kind(g[c]), _dtype_kind(e[c])
+        if gk != ek:
+            out["detail"] = f"col {c} dtype kind differs: spark={g[c].dtype} ({gk}) vs oracle={e[c].dtype} ({ek})"
+            return out
     for c in g.columns:
         gv, ev = g[c].tolist(), e[c].tolist()
         for i, (x, y) in enumerate(zip(gv, ev)):
@@ -76,13 +97,14 @@ def run_catalog(spark, sf_dir: str, names=None, verbose=True) -> list[dict]:
         if names and name not in names:
             continue
         try:
-            if qd.oracle is None:
+            sql = qd.oracle_for(sf_dir)
+            if sql is None:
                 # collect, not count: the driver materializes VALUES, so a
                 # count() here would miss runtime errors Catalyst prunes away
                 n = len(qd.fn(spark, sf_dir).collect())
                 r = {"name": name, "rows": (n, None), "ok": n >= 0, "detail": "rows-only"}
             else:
-                r = compare(qd.fn(spark, sf_dir), con, qd.oracle, name)
+                r = compare(qd.fn(spark, sf_dir), con, sql, name)
         except Exception as exc:  # surface, don't abort the sweep
             r = {"name": name, "rows": (None, None), "ok": False, "detail": f"{type(exc).__name__}: {exc}"[:500]}
         results.append(r)

@@ -68,6 +68,7 @@ def test_generated_oracles_are_valid_duckdb_sql():
         _ma_kernel_sim_sql,
         _metrics_sim_sql,
         _partial_sim_sql,
+        _stoploss_sim_sql,
     )
 
     sqls = {
@@ -80,6 +81,7 @@ def test_generated_oracles_are_valid_duckdb_sql():
         "curve_band": _curve_sim_sql("band"),
         "metrics": _metrics_sim_sql(),
         "partial": _partial_sim_sql(),
+        "stoploss": _stoploss_sim_sql(),
     }
     con = duckdb.connect()
     con.execute(

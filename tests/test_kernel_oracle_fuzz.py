@@ -43,7 +43,10 @@ def _synth_events(seed: int, n_users: int = 6, n_days: int = 40) -> pd.DataFrame
                     {
                         "event_id": eid,
                         "user_id": u,
-                        "ts": base + pd.Timedelta(days=d, hours=int(rng.integers(0, 20))),
+                        # k == 0 pinned to hour 0 so the walk value is
+                        # always first-of-day (= the selected close);
+                        # filler events land strictly after it.
+                        "ts": base + pd.Timedelta(days=d, hours=0 if k == 0 else int(rng.integers(1, 20))),
                         "event_type": "trade",
                         "value": val if k == 0 else round(float(rng.uniform(-5, 5)), 2),
                     }

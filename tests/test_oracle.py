@@ -45,6 +45,30 @@ def test_catalog_matches_duckdb_at_sf_large(spark):
     assert not failures, "; ".join(f"{r['name']}: {r['detail'][:120]}" for r in failures)
 
 
+def test_comparator_is_dtype_strict():
+    """Regression for the q53 trap (rounds 5-6): DuckDB sum(BIGINT)
+    promotes to HUGEINT -> pandas float64, while Spark's sum(LongType)
+    stays int64. Python == calls 123 == 123.0 True, but the driver's
+    value hash is dtype-sensitive — the local comparator must flag the
+    kind mismatch or the sweep stays green while the gate goes red."""
+    import duckdb
+    import pandas as pd
+
+    from oracle_utils import _dtype_kind
+
+    con = duckdb.connect()
+    promoted = con.sql(
+        "SELECT sum(x) AS v FROM (VALUES (1::BIGINT), (2::BIGINT)) t(x)"
+    ).df()
+    assert _dtype_kind(promoted["v"]) == "float", "HUGEINT should land as float64"
+    spark_like = pd.Series([3], dtype="int64")
+    assert _dtype_kind(spark_like) != _dtype_kind(promoted["v"])
+    cast_back = con.sql(
+        "SELECT sum(x)::BIGINT AS v FROM (VALUES (1::BIGINT), (2::BIGINT)) t(x)"
+    ).df()
+    assert _dtype_kind(cast_back["v"]) == _dtype_kind(spark_like) == "int"
+
+
 def test_entry_contract(spark):
     import __spark_entry__ as e
 

@@ -36,23 +36,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The correctness sweep evaluates at most ~50 catalog entries in
 # registration order, so entries past the window never get a gate row.
-# The catalog (72 entries) is larger than the window; rotate which
-# entries sit past it. Round-6 rotation: the r5 tail (q03-q20, q26,
-# q27) returns to the window, and 22 entries that hash-matched in r5
-# AND are untouched by this round's changes move out. Every query this
-# round's rewrites touch stays IN the window — q53 (volume rounding),
-# q56/q68/q69 (star-contraction CC), q25/q47/q51 (HALF_UP rounding),
-# q48/q49/q63 (executor-side replay), the newly-oracled kernel family
-# (q40-q42, q45, q59, q64, q65, q71, and new q72), q58 (first-band-
-# wins dedup rewrite), q43 (new oracle) — plus q23 as a canary for the
-# dedup shared helpers (shingles/minhash hashing) and q63 for the
-# streaming-dedup path. Head is exactly 50 entries (catalog 73 −
-# tail 23).
+# The catalog (73 entries) is larger than the window; rotate which
+# entries sit past it. Round-7 rotation: the four longest-absent tail
+# entries (q02/q33/q34/q38, no gate row since r5) return to the
+# window; four entries green in r01-r06 and untouched by this round's
+# changes (q11/q12/q13/q20) move out. Everything round 7 touches
+# stays IN the window: q53 (oracle BIGINT cast), q46 (new replay
+# oracle), q42 (metrics-oracle wn=1 NULL branch), and the kernel
+# family q40/q41/q45/q59/q64/q65/q71/q72 as canaries for the
+# _ma_kernel_sim_sql signature change. Head is exactly 50 entries
+# (catalog 73 − tail 23).
 _SWEEP_TAIL = [
-    "q02_regional_revenue",     # hash-match r01-r05 (q01 stays as canary)
-    "q33_rollup_revenue",       # hash-match r01-r05
-    "q34_pivot_event_matrix",   # hash-match r01-r05
-    "q38_multimodal_features",  # hash-match r05, untouched
+    "q11_tail_n",               # hash-match r01-r06
+    "q12_trailing_period",      # hash-match r01-r06
+    "q13_first_last",           # hash-match r01-r06
+    "q20_json_props",           # hash-match r01-r06
     "q21_dedup_exact",          # hash-match r05
     "q22_minhash_signatures",   # hash-match r05
     "q24_simhash",              # hash-match r05

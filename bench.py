@@ -50,6 +50,25 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
+    # A stray Spark JVM from a killed run keeps burning CPU and has
+    # produced apparent 1.2-2x "regressions" across whole rounds.
+    # Detect (before our own session starts, so any hit is foreign)
+    # and record on stderr; don't kill — the process may not be ours.
+    import subprocess
+
+    try:
+        stray = subprocess.run(
+            ["pgrep", "-f", "SparkSubmit"], capture_output=True, text=True
+        ).stdout.split()
+        if stray:
+            print(
+                f"# WARNING: {len(stray)} pre-existing Spark JVM(s) "
+                f"(pids {stray}) — timings will be contended",
+                file=sys.stderr, flush=True,
+            )
+    except Exception:
+        pass
+
     from strat_backtest_spark.session import get_spark
     from strat_backtest_spark.plans.catalog import CATALOG
 
@@ -70,19 +89,24 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
 
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     for name in HEADLINE:
         qd = CATALOG[name]
         force(qd.fn(spark, sf_dir))  # warm-up: codegen + shuffle setup
-        best = float("inf")
+        runs: list[float] = []
         # best-of-3: this host's wall-clock jitters up to 2x between
-        # consecutive runs; the minimum is the least-contended sample
+        # consecutive runs; the minimum is the least-contended sample.
+        # ALL samples are recorded so a round-over-round drift can be
+        # attributed to contention (wide spread) vs regression (tight
+        # spread, shifted).
         for _ in range(3):
             isolate()
             t0 = time.time()
             force(qd.fn(spark, sf_dir))
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]}s", file=sys.stderr, flush=True)
+            runs.append(round(time.time() - t0, 3))
+        samples[name] = runs
+        timings[name] = min(runs)
+        print(f"# {name}: {timings[name]}s (samples: {runs})", file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -92,6 +116,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "samples": samples,
                 "sf": sf,
             }
         ),

@@ -162,3 +162,32 @@ def test_simhash_neardup_capped_bucket_parity(spark):
                 want[(a, b)] = ham
     assert any(bucket_sizes[k] > 6 for k in bucket_sizes), "cap never bit; weak test"
     assert got == want
+
+
+def test_minhash_arrow_jvm_parity(spark):
+    """The Arrow (mapInPandas + hashlib) and JVM (Column expressions)
+    minhash implementations must produce IDENTICAL signatures — the
+    Arrow path is the production default, the JVM path is what the
+    DuckDB oracle mirrors symbol-for-symbol. Covers null text, empty
+    text, <n tokens, exotic whitespace (Java \\s is ASCII-only), and
+    unicode content."""
+    from strat_backtest_spark.operators.dedup import minhash_signatures
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, None),
+        (2, ""),
+        (3, "one two"),                      # < 3 tokens -> null sigs
+        (4, "tabs\tand\nnewlines   spaced tokens here"),
+        (5, "unicode naïve café 文字 text tokens"),
+        (6, "a a a a a a a"),                # degenerate repeats
+        (7, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = minhash_signatures(df, k=8).orderBy("doc_id").collect()
+    b = minhash_signatures(df, k=8, impl="jvm").orderBy("doc_id").collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+    # dup docs agree; short/null docs are all-null
+    assert a[0].asDict() == {**a[7].asDict(), "doc_id": 0}
+    for i in (1, 2, 3):
+        assert all(v is None for k_, v in a[i].asDict().items() if k_ != "doc_id")

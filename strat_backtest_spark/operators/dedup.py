@@ -19,6 +19,9 @@ to the LLM-data-pipeline surface required by BASELINE.json.
 
 from __future__ import annotations
 
+import hashlib
+import re
+
 import numpy as np
 import pandas as pd
 
@@ -71,6 +74,32 @@ def shingle_hashes(
         " ", *[F.element_at(toks, i + j) for j in range(n)]
     )
     return F.array_distinct(F.transform(idx, lambda i: hasher(shingle(i))))
+
+
+# Java regex \s (F.split in shingle_hashes) is ASCII-only; Python's
+# default \s is unicode-wide — pin ASCII for token parity.
+_WS_ASCII = re.compile(r"\s+", re.ASCII)
+
+
+def _py_shingle_hashes(text, n: int) -> set:
+    """Python twin of :func:`shingle_hashes` — identical values
+    (verified by the cross-impl parity tests): ASCII-whitespace
+    tokens, word n-grams joined by single spaces, md5 60-bit prefix
+    mod P, distinct. hashlib's C md5 makes this the hot path for the
+    Arrow-batched dedup operators; the Column version's per-shingle
+    cost is interpreted-HOF evaluation, ~10× slower."""
+    if not isinstance(text, str):
+        return set()
+    toks = [t for t in _WS_ASCII.split(text) if t]
+    if len(toks) < n:
+        return set()
+    return {
+        int(
+            hashlib.md5(" ".join(toks[i:i + n]).encode("utf-8")).hexdigest()[:15],
+            16,
+        ) % P
+        for i in range(len(toks) - n + 1)
+    }
 
 
 def minhash_sig_array(
@@ -142,16 +171,10 @@ def minhash_signatures(
             ]
         )
 
-    import hashlib
-    import re
-
     id_type = df.schema[id_col].dataType.simpleString()
     schema = f"{id_col} {id_type}, " + ", ".join(f"sig_{i} long" for i in range(k))
     A = np.array([a for a, _ in perm_params(k)], dtype=np.int64)
     B = np.array([b for _, b in perm_params(k)], dtype=np.int64)
-    # Java regex \s (F.split in shingle_hashes) is ASCII-only; Python's
-    # default \s is unicode-wide — pin ASCII for token parity
-    ws = re.compile(r"\s+", re.ASCII)
     n = shingle_n
 
     def _sigs(batches):
@@ -160,20 +183,9 @@ def minhash_signatures(
             sig = np.empty((rows, k), dtype=np.int64)
             mask = np.zeros(rows, dtype=bool)
             for r, text in enumerate(pdf[text_col].tolist()):
-                if not isinstance(text, str):
+                hs = _py_shingle_hashes(text, n)
+                if not hs:
                     continue
-                toks = [t for t in ws.split(text) if t]
-                if len(toks) < n:
-                    continue
-                hs = {
-                    int(
-                        hashlib.md5(
-                            " ".join(toks[i:i + n]).encode("utf-8")
-                        ).hexdigest()[:15],
-                        16,
-                    ) % P
-                    for i in range(len(toks) - n + 1)
-                }
                 x = np.fromiter(hs, dtype=np.int64, count=len(hs))
                 sig[r] = ((x[:, None] * A[None, :] + B[None, :]) % P).min(axis=0)
                 mask[r] = True
@@ -324,10 +336,31 @@ def ngram_jaccard_pairs(
     array_intersect/array_union re-walked both shingle arrays for
     every pair (~2.5x faster at sf0.1); one shuffle on the blocking
     keys either way, and shingle hashes — never text — are what
-    shuffles."""
-    sh = shingle_hashes(text_col, n)
-    base = df.select(*group_cols, F.col(id_col).alias("id"), sh.alias("sh"))
+    shuffles (the arrays are built in an Arrow map stage BEFORE the
+    exchange, via the same hashlib path as minhash — the interpreted
+    shingle_hashes Column version is the slow path, see
+    _py_shingle_hashes)."""
     id_type = df.schema[id_col].dataType.simpleString()
+    group_types = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in group_cols
+    )
+    base_schema = f"{group_types}, id {id_type}, sh array<long>"
+
+    def _shingle_stage(batches):
+        for pdf in batches:
+            out = pdf[list(group_cols)].copy()
+            out["id"] = pdf[id_col].to_numpy()
+            out["sh"] = [
+                np.fromiter(hs, dtype=np.int64, count=len(hs))
+                if (hs := _py_shingle_hashes(t, n))
+                else np.empty(0, dtype=np.int64)
+                for t in pdf[text_col].tolist()
+            ]
+            yield out
+
+    base = df.select(*group_cols, id_col, text_col).mapInPandas(
+        _shingle_stage, base_schema
+    )
     out_schema = f"id_a {id_type}, id_b {id_type}, jaccard double"
     thr = float(min_jaccard)
 
@@ -639,28 +672,55 @@ def decontaminate(
 
     Scale shape: the benchmark side is an EVAL set — thousands of
     documents against a 100 TB corpus — so its distinct shingle-hash
-    set is collected small and broadcast; the corpus side is one scan
-    + explode + broadcast-semi count. No shuffle touches document
-    text, and the corpus aggregation is map-side combining on doc_id.
-    Docs with zero shingles (shorter than n tokens) cannot be
-    contaminated and are omitted, matching the SQL mirror."""
-    sh = shingle_hashes(text_col, n)
-    docs = df.select(F.col(id_col), F.explode(sh).alias("h"))
-    bench = (
-        benchmark.select(F.explode(shingle_hashes(text_col, n)).alias("h"))
+    set rides an explicit SparkContext broadcast into the Python
+    workers, and the corpus side is ONE map-only Arrow pass: per doc,
+    shingle in hashlib (C md5, see _py_shingle_hashes) and intersect
+    against the broadcast set. NO exchange anywhere — the previous
+    explode + broadcast-semi-join + two groupBys shuffled (doc_id, h)
+    rows twice and re-ran the interpreted shingle pipeline per
+    consumer. Final rounding stays a Column op so the engine-side
+    round semantics are unchanged. Docs with zero shingles (shorter
+    than n tokens) cannot be contaminated and are omitted, matching
+    the SQL mirror."""
+    spark = df.sparkSession
+
+    def _bench_rows(batches):
+        for pdf in batches:
+            hs = set()
+            for t in pdf[text_col].tolist():
+                hs |= _py_shingle_hashes(t, n)
+            yield pd.DataFrame({"h": np.fromiter(hs, dtype=np.int64, count=len(hs))})
+
+    bench_set = frozenset(
+        r.h
+        for r in benchmark.select(text_col)
+        .mapInPandas(_bench_rows, "h long")
         .distinct()
+        .collect()
     )
-    tot = docs.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
-    hits = (
-        docs.join(F.broadcast(bench), "h")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("__nh"))
+    bcast = spark.sparkContext.broadcast(bench_set)
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def _contam(batches):
+        b = bcast.value
+        for pdf in batches:
+            ids, ns, nhs = [], [], []
+            for i, t in zip(pdf[id_col].tolist(), pdf[text_col].tolist()):
+                hs = _py_shingle_hashes(t, n)
+                if not hs:
+                    continue
+                ids.append(i)
+                ns.append(len(hs))
+                nhs.append(len(hs & b))
+            yield pd.DataFrame(
+                {id_col: ids, "__n": ns, "__nh": nhs},
+                columns=[id_col, "__n", "__nh"],
+            )
+
+    counted = df.select(id_col, text_col).mapInPandas(
+        _contam, f"{id_col} {id_type}, __n long, __nh long"
     )
-    contamination = F.round(
-        F.coalesce(F.col("__nh"), F.lit(0)) / F.col("__n"), 6
-    )
-    return (
-        tot.join(hits, id_col, "left")
-        .select(F.col(id_col), contamination.alias("contamination"))
-        .filter(F.col("contamination") >= threshold)
-    )
+    return counted.select(
+        F.col(id_col),
+        F.round(F.col("__nh") / F.col("__n"), 6).alias("contamination"),
+    ).filter(F.col("contamination") >= threshold)

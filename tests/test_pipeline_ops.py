@@ -191,3 +191,31 @@ def test_minhash_arrow_jvm_parity(spark):
     assert a[0].asDict() == {**a[7].asDict(), "doc_id": 0}
     for i in (1, 2, 3):
         assert all(v is None for k_, v in a[i].asDict().items() if k_ != "doc_id")
+
+
+def test_bpe_tokenizer_through_injection_point(spark):
+    """A real subword tokenizer (self-contained BPE, Sennrich 2016)
+    exercising with_token_counts' Arrow-batched injection path on the
+    documents corpus: merges are deterministic, encoding round-trips
+    the word text, and subword counts land between the word-count
+    floor and the character-count ceiling."""
+    from strat_backtest_spark.functions.bpe import BpeTokenizer, learn_bpe, pretokenize
+    from strat_backtest_spark.operators.text_analysis import with_token_counts
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sample = [r.text for r in docs.limit(200).collect()]
+    merges = learn_bpe(sample, num_merges=150)
+    assert merges == learn_bpe(sample, num_merges=150), "BPE learn must be deterministic"
+    tok = BpeTokenizer(merges)
+
+    # encoding is lossless on the pre-token stream (modulo the </w>
+    # end-of-word markers merges absorb into tokens)
+    t = sample[0]
+    assert "".join(tok.encode(t)).replace("</w>", "") == "".join(pretokenize(t))
+
+    out = with_token_counts(docs.limit(50), tokenizer=tok.count).collect()
+    for r in out:
+        pre = pretokenize(r.text)
+        n_chars = sum(len(w) for w in pre)
+        assert len(pre) <= r.n_bpe_tokens <= max(n_chars, 1), (
+            r.n_bpe_tokens, len(pre), n_chars)

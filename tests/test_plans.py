@@ -183,3 +183,48 @@ def test_q58_no_pair_dedup_shuffle(spark):
             assert not ("id_a" in line and "id_b" in line), (
                 "pair-keyed dedup aggregation is back:\n" + line
             )
+
+
+def _distinct_exchanges(p: str) -> set:
+    import re
+
+    return set(re.findall(r"Exchange \(\d+\)", p))
+
+
+def test_q42_metrics_plan_shape(spark):
+    """q42 (18-stat suite) is the most expensive headline query; its
+    scale properties, ratcheted so a refactor cannot silently regress:
+    every wide exchange partitions on ticker (or a per-ticker grouping
+    key) — no Exchange SinglePartition funnel — and the exchange/scan
+    counts stay at or below the audited round-7 plan (15 exchanges
+    incl. reuses, 8 scan mentions: one window-prep pass feeding 4
+    frame specs over ONE (ticker, run) partitioning + the kernel feed
+    + broadcast benchmark attach)."""
+    import re
+
+    from strat_backtest_spark.plans.catalog import CATALOG
+
+    spark.catalog.clearCache()
+    p = _formatted(CATALOG["q42_backtest_metrics"].fn(spark, SF_MED))
+    assert "Exchange SinglePartition" not in p, "global funnel leaked into q42"
+    keys = set(re.findall(r"hashpartitioning\((\w+)", p))
+    assert keys <= {"ticker", "_groupingexpression"}, f"unexpected shuffle keys: {keys}"
+    assert len(_distinct_exchanges(p)) <= 15, "q42 gained exchanges"
+    assert p.count("Scan parquet") <= 8, "q42 gained source scans"
+
+
+def test_q72_stoploss_plan_shape(spark):
+    """q72's kernel feed shuffles on ticker only; stop-loss scans live
+    INSIDE the kernel walker (numpy searchsorted), so the stop logic
+    must add no exchange over the stop-free q40 shape."""
+    import re
+
+    from strat_backtest_spark.plans.catalog import CATALOG
+
+    spark.catalog.clearCache()
+    p = _formatted(CATALOG["q72_stoploss_networth"].fn(spark, SF_MED))
+    assert "Exchange SinglePartition" not in p, "global funnel leaked into q72"
+    keys = set(re.findall(r"hashpartitioning\((\w+)", p))
+    assert keys <= {"ticker", "_groupingexpression"}, f"unexpected shuffle keys: {keys}"
+    assert len(_distinct_exchanges(p)) <= 10, "q72 gained exchanges"
+    assert p.count("Scan parquet") <= 6, "q72 gained source scans"

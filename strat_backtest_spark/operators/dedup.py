@@ -280,36 +280,86 @@ def lsh_candidate_pairs(
 # ---------------------------------------------------------------------------
 
 def simhash(
-    df: DataFrame, bits: int = 32, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, bits: int = 32, text_col: str = "text", id_col: str = "doc_id",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Per-document SimHash: token char-hashes vote ±1 per bit; bit j
     set when strictly more tokens have bit j set than clear. Map-only;
-    near-dup detection is then Hamming distance on one long."""
-    toks = whitespace_tokens(text_col)
-    hashes = F.transform(toks, lambda t: md5_hash(t))
+    near-dup detection is then Hamming distance on one long.
 
-    # Tokenization + md5 stay JVM-side (engine-portable, oracle-exact);
-    # only the per-bit MAJORITY VOTE moves to an Arrow-batched UDF: the
-    # expression form was `bits` separate HOF filter passes over the
-    # hash array per document, where numpy does one (tokens x bits)
-    # bit-matrix sum per doc. Bit parity: h in [0, P) is non-negative,
-    # so `shiftright(h, j) % 2` == `(h >> j) & 1`.
+    Two value-identical implementations (cross-checked in
+    tests/test_pipeline_ops.py), same split as ``minhash_signatures``:
+
+    - ``impl="arrow"`` (default): ONE mapInPandas stage — ASCII-ws
+      tokenization + hashlib md5 (60-bit prefix mod P, the exact
+      ``md5_hash`` value) + the bit-matrix majority vote, all per
+      Arrow batch. Measured NOTE: unlike minhash, the JVM per-token
+      expression here is a shallow tree (md5 → conv → mod, no shingle
+      concat, no min-fold), so interpreted eval is NOT the dominant
+      cost — the win is folding tokenize+hash+vote into one pass and
+      dropping the (id, array<long>) Arrow transfer the pandas-UDF
+      vote needed: full q58 at the 500k-doc rung 6.6 → 5.5 s (~1.2×),
+      not minhash's 4-5×. Beware measuring the stages apart: a bare
+      ``count()`` on the JVM plan prunes the hash projection entirely
+      (md5 never runs), while mapInPandas always executes.
+    - ``impl="jvm"``: tokens + md5 as Column expressions, vote in a
+      pandas UDF — no Python tokenization, kept for parity testing.
+    """
     powers = (1 << np.arange(bits)).astype(np.int64)
     shifts = np.arange(bits)
 
-    @F.pandas_udf("long")
-    def _vote(hs: pd.Series) -> pd.Series:
-        out = np.zeros(len(hs), dtype=np.int64)
-        for k, arr in enumerate(hs):
-            a = np.asarray(arr, dtype=np.int64)
-            n = len(a)
-            if n == 0:
-                continue  # no tokens: no bit wins a majority -> 0
-            cnt = ((a[:, None] >> shifts) & 1).sum(axis=0)
-            out[k] = int(((cnt * 2 > n) * powers).sum())
-        return pd.Series(out)
+    if impl == "jvm":
+        toks = whitespace_tokens(text_col)
+        hashes = F.transform(toks, lambda t: md5_hash(t))
 
-    return df.select(F.col(id_col), _vote(hashes).alias("simhash"))
+        # Bit parity: h in [0, P) is non-negative, so
+        # `shiftright(h, j) % 2` == `(h >> j) & 1`.
+        @F.pandas_udf("long")
+        def _vote(hs: pd.Series) -> pd.Series:
+            out = np.zeros(len(hs), dtype=np.int64)
+            for k, arr in enumerate(hs):
+                if arr is None:
+                    continue  # null text: no tokens -> 0
+                a = np.asarray(arr, dtype=np.int64)
+                n = len(a)
+                if n == 0:
+                    continue  # no tokens: no bit wins a majority -> 0
+                cnt = ((a[:, None] >> shifts) & 1).sum(axis=0)
+                out[k] = int(((cnt * 2 > n) * powers).sum())
+            return pd.Series(out)
+
+        return df.select(F.col(id_col), _vote(hashes).alias("simhash"))
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, simhash long"
+
+    def _sim(batches):
+        # md5 memo shared across the partition: token vocabulary is
+        # Zipfian, so most occurrences hit the cache
+        memo: dict = {}
+
+        def _h(t: str) -> int:
+            v = memo.get(t)
+            if v is None:
+                v = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16) % P
+                memo[t] = v
+            return v
+
+        for pdf in batches:
+            out = np.zeros(len(pdf), dtype=np.int64)
+            for r, text in enumerate(pdf[text_col].tolist()):
+                if not isinstance(text, str):
+                    continue  # null text: no tokens -> 0, as on the JVM path
+                toks = [t for t in _WS_ASCII.split(text) if t]
+                n = len(toks)
+                if n == 0:
+                    continue
+                a = np.fromiter(map(_h, toks), dtype=np.int64, count=n)
+                cnt = ((a[:, None] >> shifts) & 1).sum(axis=0)
+                out[r] = int(((cnt * 2 > n) * powers).sum())
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "simhash": out})
+
+    return df.select(id_col, text_col).mapInPandas(_sim, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -561,6 +611,7 @@ def simhash_neardup_pairs(
     max_bucket_size: int = 2000,
     text_col: str = "text",
     id_col: str = "doc_id",
+    impl: str = "arrow",
 ) -> DataFrame:
     """SimHash near-dup pairs: (id_a < id_b, hamming ≤ ``max_hamming``).
 
@@ -579,7 +630,7 @@ def simhash_neardup_pairs(
     """
     width = bits // bands
     mask = (1 << width) - 1
-    sh = simhash(df, bits, text_col, id_col).localCheckpoint()
+    sh = simhash(df, bits, text_col, id_col, impl=impl).localCheckpoint()
     banded = sh.select(
         F.col(id_col).alias("id"),
         "simhash",

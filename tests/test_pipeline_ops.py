@@ -193,6 +193,33 @@ def test_minhash_arrow_jvm_parity(spark):
         assert all(v is None for k_, v in a[i].asDict().items() if k_ != "doc_id")
 
 
+def test_simhash_arrow_jvm_parity(spark):
+    """Arrow (single mapInPandas: tokenize + hashlib md5 + vote) and
+    JVM (Column tokens + md5_hash, pandas-UDF vote) simhash must agree
+    bit-for-bit — the Arrow path is the production default, the JVM
+    path mirrors the DuckDB oracle. Same adversarial inputs as the
+    minhash parity test."""
+    from strat_backtest_spark.operators.dedup import simhash
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, None),
+        (2, ""),
+        (3, "one two"),
+        (4, "tabs\tand\nnewlines   spaced tokens here"),
+        (5, "unicode naïve café 文字 text tokens"),
+        (6, "a a a a a a a"),
+        (7, "the quick brown fox jumps over the lazy dog"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = simhash(df, bits=32).orderBy("doc_id").collect()
+    b = simhash(df, bits=32, impl="jvm").orderBy("doc_id").collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+    assert a[0].simhash == a[7].simhash          # exact dups agree
+    assert a[1].simhash == 0 and a[2].simhash == 0  # null/empty -> 0
+    assert a[0].simhash != 0
+
+
 def test_bpe_tokenizer_through_injection_point(spark):
     """A real subword tokenizer (self-contained BPE, Sennrich 2016)
     exercising with_token_counts' Arrow-batched injection path on the

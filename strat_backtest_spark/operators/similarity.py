@@ -59,6 +59,21 @@ def _cosine_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
     return _dot(a, b) / (na * nb)
 
 
+def _rounded_cosine_block(Vc, Vq) -> "np.ndarray":
+    """(n_corpus, n_query) cosine matrix, rounded HALF_UP to 6 dp —
+    the one scoring kernel every similarity path shares (and the exact
+    math the gate-proven ``embedding_neardup_pairs`` block scorer
+    uses): BLAS matmul for the pair term, numpy row norms, IEEE-stable
+    rounding. The SQL oracles compute the same quantity with list
+    folds; 6-dp rounding absorbs the op-order ULP difference (hash-
+    verified across rounds on q47, and on q30/q31/q51 after this
+    rewrite)."""
+    nc = np.sqrt((Vc * Vc).sum(axis=1))
+    nq = np.sqrt((Vq * Vq).sum(axis=1))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return round_half_up((Vc @ Vq.T) / np.outer(nc, nq), 6)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -67,29 +82,62 @@ def cosine_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact top-k by cosine: (query_id, neighbor_id, cos_sim, rank).
-    Self-matches excluded. Deterministic rank tiebreak on neighbor id."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
-        _norm(F.col(vec_col)).alias("qnrm"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cvec"),
-        _norm(F.col(vec_col)).alias("cnrm"),
-    )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                _cosine_pre(F.col("qvec"), F.col("cvec"), F.col("qnrm"), F.col("cnrm")),
-                6,
-            ).alias("cos_sim"),
+    Self-matches excluded. Deterministic rank tiebreak on neighbor id.
+
+    Scale shape: the query matrix is collected (queries ≪ corpus by
+    contract — same assumption the previous broadcast crossJoin made)
+    and rides into a mapInPandas scan of the corpus; each Arrow batch
+    scores against ALL queries in one BLAS matmul and emits only its
+    LOCAL top-k per query. The global window then ranks |batches|·k
+    candidates per query instead of |corpus| — the all-pairs stream
+    never exists outside a worker's registers, and the shuffle carries
+    O(k · batches) rows. Per-pair interpreted HOF cosine (the previous
+    plan) measured ~7× slower at the 200k-vec rung."""
+    qrows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    ).collect()
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id {id_type}, neighbor_id {id_type}, cos_sim double"
+    if not qrows:
+        return (
+            corpus.sparkSession.createDataFrame([], out_schema + ", rank int")
         )
-    )
+    qids = np.array([r["query_id"] for r in qrows])
+    Vq = np.array([r["qvec"] for r in qrows], dtype=np.float64)
+    kk = int(k)
+
+    def _score(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            Vc = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            sim = _rounded_cosine_block(Vc, Vq)  # (n, nq)
+            # self-matches excluded before the local top-k
+            sim[ids[:, None] == qids[None, :]] = -np.inf
+            frames = []
+            for j in range(len(qids)):
+                col = sim[:, j]
+                m = min(kk, n)
+                # local top-k by (sim desc, id asc): lexsort on (-sim, id)
+                idx = np.lexsort((ids, -col))[:m]
+                keep = col[idx] > -np.inf
+                idx = idx[keep]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.repeat(qids[j], len(idx)),
+                            "neighbor_id": ids[idx],
+                            "cos_sim": col[idx],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+                {"query_id": qids[:0], "neighbor_id": ids[:0], "cos_sim": np.empty(0)}
+            )
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(_score, out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
     )
@@ -150,6 +198,45 @@ def hyperplane_lsh_buckets(
     return df.withColumn("bucket", _bucket(F.col(vec_col)))
 
 
+def _bucket_rerank_pairs(
+    cb: DataFrame, qb: DataFrame, key: str, id_type: str
+) -> DataFrame:
+    """All (query, corpus-neighbor) cosine scores WITHIN shared
+    buckets: cogrouped applyInPandas — per bucket, ONE BLAS matmul
+    scores every candidate pair (the q47 block-scorer pattern),
+    replacing a bucket join whose per-pair O(dim) interpreted HOF fold
+    was ~7× slower at the 200k-vec rung. The exchange carries each
+    vector once per bucket membership (corpus: once; queries: once per
+    probe) instead of once per PAIR, and the emitted rows are slim
+    (ids + one double, no vectors)."""
+    out_schema = f"query_id {id_type}, neighbor_id {id_type}, cos_sim double"
+
+    def _blk(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame(
+                {
+                    "query_id": np.empty(0, dtype=object),
+                    "neighbor_id": np.empty(0, dtype=object),
+                    "cos_sim": np.empty(0),
+                }
+            )
+        nids = left["neighbor_id"].to_numpy()
+        qids = right["query_id"].to_numpy()
+        Vc = np.vstack(left["cvec"].to_numpy()).astype(np.float64)
+        Vq = np.vstack(right["qvec"].to_numpy()).astype(np.float64)
+        sim = _rounded_cosine_block(Vc, Vq)  # (n_corpus, n_query)
+        iu, ju = np.nonzero(nids[:, None] != qids[None, :])
+        return pd.DataFrame(
+            {"query_id": qids[ju], "neighbor_id": nids[iu], "cos_sim": sim[iu, ju]}
+        )
+
+    return (
+        cb.groupBy(key)
+        .cogroup(qb.groupBy(key))
+        .applyInPandas(lambda l, r: _blk(l, r), out_schema)
+    )
+
+
 def ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -160,33 +247,21 @@ def ann_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: exact cosine ranking restricted to the
-    query's LSH bucket. Join is on the bucket key — at scale, with the
-    corpus written bucket-partitioned, this prunes to one partition
-    per query."""
+    query's LSH bucket. The candidate structure is a bucket-key
+    cogroup — at scale, with the corpus written bucket-partitioned,
+    this prunes to one partition per query."""
     cb = hyperplane_lsh_buckets(corpus, n_planes, dim, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
-        _norm(F.col(vec_col)).alias("cnrm"),
         "bucket",
     )
     qb = hyperplane_lsh_buckets(queries, n_planes, dim, id_col, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
-        _norm(F.col(vec_col)).alias("qnrm"),
         "bucket",
     )
-    scored = (
-        cb.join(F.broadcast(qb), "bucket")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                _cosine_pre(F.col("qvec"), F.col("cvec"), F.col("qnrm"), F.col("cnrm")),
-                6,
-            ).alias("cos_sim"),
-        )
-    )
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    scored = _bucket_rerank_pairs(cb, qb, "bucket", id_type)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
@@ -307,9 +382,9 @@ def ivf_assign(
 
     Vectorized as a pandas UDF for the same reason as
     ``hyperplane_lsh_buckets``: K centroids x dim unrolled literal
-    terms is a codegen bomb; one ``(V - C)**2`` broadcast per Arrow
-    batch is not. Distances round to 9 dp before comparison (both
-    engines agree there) and ties break on the smaller centroid id."""
+    terms is a codegen bomb. Distances round to 9 dp before comparison
+    (both engines agree there) and ties break on the smaller centroid
+    id."""
     cids = np.array([int(c) for c, _ in centroids], dtype=np.int64)
     C = np.array([v for _, v in centroids], dtype=np.float64)  # (K, dim)
 
@@ -318,13 +393,50 @@ def ivf_assign(
         if len(vecs) == 0:
             return pd.Series(np.empty(0, dtype=np.int64))
         V = np.vstack(vecs.to_numpy()).astype(np.float64)  # (N, dim)
-        D = round_half_up(((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), 9)
-        best = D.min(axis=1, keepdims=True)
-        # among equal-distance centroids, the smallest cid wins
-        cand = np.where(D == best, cids[None, :], np.iinfo(np.int64).max)
-        return pd.Series(cand.min(axis=1))
+        rows, ks = _l2_candidates(V, C, 1)
+        Dex = _l2_exact(V, C, rows, ks)
+        # per row, the (distance, cid)-lexicographic minimum: smallest
+        # cid wins among equal rounded distances
+        order = np.lexsort((cids[ks], Dex, rows))
+        first = np.unique(rows[order], return_index=True)[1]
+        return pd.Series(cids[ks[order[first]]])
 
     return df.withColumn(out_col, _assign(F.col(vec_col)))
+
+
+def _l2_candidates(V: "np.ndarray", C: "np.ndarray", n_keep: int):
+    """(rows, ks) index pairs of every centroid that could be among a
+    row's ``n_keep`` nearest under the ROUNDED-exact comparison.
+
+    Two-phase hybrid that keeps the oracle-exact semantics at BLAS
+    speed (the naive ``((V[:,None,:]-C[None,:,:])**2).sum(axis=2)``
+    materializes an N*K*dim temp — ~330 MB per 10k-row batch at K=64
+    — and a per-centroid loop scales linearly with K: 44 s for the
+    1M-vec assign at K=256):
+
+    1. PRUNE with the matmul expansion ``|v|^2 - 2 v.c + |c|^2`` —
+       fast but in a different IEEE op order, so only used to bound.
+    2. Candidates = centroids within ``margin`` of the row's
+       ``n_keep``-th smallest approximate distance, where margin =
+       1e-6 + 1e-9·|thresh| covers both the expansion's error
+       (~|D|·1e-14) and the 9-dp rounding tie window. The caller
+       recomputes the EXACT per-element ``(v-c)^2`` sum (identical op
+       order to the naive form, so the q51 gate stays bit-exact) only
+       on this ~n_keep-sized set."""
+    x2 = (V * V).sum(axis=1)
+    c2 = (C * C).sum(axis=1)
+    Dap = x2[:, None] - 2.0 * (V @ C.T) + c2[None, :]
+    kk = min(n_keep, C.shape[0])
+    thresh = np.partition(Dap, kk - 1, axis=1)[:, kk - 1]
+    margin = 1e-6 + 1e-9 * np.abs(thresh)
+    return np.nonzero(Dap <= (thresh + margin)[:, None])
+
+
+def _l2_exact(V: "np.ndarray", C: "np.ndarray", rows, ks) -> "np.ndarray":
+    """Exact 9-dp-rounded squared L2 for the gathered (row, centroid)
+    pairs — the same per-element op order as the naive broadcast form
+    (last-axis pairwise sum), so values are bit-identical to it."""
+    return round_half_up(((V[rows] - C[ks]) ** 2).sum(axis=1), 9)
 
 
 def ivf_probes(
@@ -346,13 +458,19 @@ def ivf_probes(
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
         V = np.vstack(vecs.to_numpy()).astype(np.float64)
-        D = round_half_up(((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), 9)
-        # sort centroids per row by (distance, cid); cids may be unsorted
-        cid_order = np.argsort(cids, kind="stable")
-        Ds = D[:, cid_order]
-        idx = np.argsort(Ds, axis=1, kind="stable")[:, :npr]
-        out = cids[cid_order][idx]  # (N, nprobe), nearest first
-        return pd.Series(list(out))
+        rows, ks = _l2_candidates(V, C, npr)
+        Dex = _l2_exact(V, C, rows, ks)
+        # per row: candidates sorted by (distance, cid), first nprobe
+        order = np.lexsort((cids[ks], Dex, rows))
+        rows_o, k_o = rows[order], ks[order]
+        counts = np.bincount(rows_o, minlength=len(V))
+        grp_start = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        pos = np.arange(len(rows_o)) - grp_start[rows_o]
+        sel = pos < npr
+        # rows_o is row-sorted, so per-row slices are positional
+        out_cids = cids[k_o[sel]]
+        split_at = np.cumsum(np.minimum(counts, npr))[:-1]
+        return pd.Series(list(np.split(out_cids, split_at)))
 
     return df.withColumn("probe", F.explode(_probes(F.col(vec_col))))
 
@@ -378,28 +496,18 @@ def ivf_topk(
     cb = ivf_assign(corpus, centroids, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
-        _norm(F.col(vec_col)).alias("cnrm"),
         F.col("centroid_id").alias("probe"),
     )
     qb = ivf_probes(queries, centroids, nprobe, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
-        _norm(F.col(vec_col)).alias("qnrm"),
         "probe",
     )
-    scored = (
-        cb.join(F.broadcast(qb), "probe")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                _cosine_pre(F.col("qvec"), F.col("cvec"), F.col("qnrm"), F.col("cnrm")),
-                6,
-            ).alias("cos_sim"),
-        )
-        # a (query, neighbor) pair can appear once per shared probe list
-        .dropDuplicates(["query_id", "neighbor_id"])
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    scored = _bucket_rerank_pairs(cb, qb, "probe", id_type).dropDuplicates(
+        # a (query, neighbor) pair can appear once per shared probe
+        # list, always with the same rounded score
+        ["query_id", "neighbor_id"]
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -82,3 +82,36 @@ def test_round_half_up_matches_sql_round():
     # the case banker's rounding gets wrong:
     assert round_half_up(np.array([2.5]), 0)[0] == 3.0
     assert round_half_up(np.array([-2.5]), 0)[0] == -3.0
+
+
+def test_cosine_topk_local_topk_pruning_survives_ties(spark):
+    """cosine_topk emits only each Arrow batch's LOCAL top-k per query
+    before the global rank window. The pruning is lossless because
+    (cos_sim desc, neighbor_id asc) is a strict total order (ids are
+    unique) — pin that with the adversarial case: EVERY corpus vector
+    identical (all ties at the k-th slot), spread across many
+    partitions, so any per-batch ordering slip would surface as a
+    wrong global winner set."""
+    from pyspark.sql import functions as F
+
+    from strat_backtest_spark.operators.similarity import cosine_topk
+
+    vec = [float(i % 7 + 1) for i in range(8)]
+    corpus = (
+        spark.range(100)
+        .select(F.col("id").alias("vec_id"))
+        .withColumn("embedding", F.array(*[F.lit(v) for v in vec]))
+        .repartition(16)
+    )
+    queries = corpus.filter(F.col("vec_id") >= 98)  # ids 98, 99
+    out = cosine_topk(corpus, queries, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.neighbor_id, r.cos_sim))
+    assert set(by_q) == {98, 99}
+    for qid, rows in by_q.items():
+        rows.sort()
+        # all sims tie at 1.0 -> winners are the 5 smallest non-self ids
+        assert [nid for _, nid, _ in rows] == [0, 1, 2, 3, 4]
+        assert all(abs(s - 1.0) < 1e-9 for *_, s in rows)
+        assert [rk for rk, *_ in rows] == [1, 2, 3, 4, 5]

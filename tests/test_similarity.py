@@ -115,3 +115,56 @@ def test_cosine_topk_local_topk_pruning_survives_ties(spark):
         assert [nid for _, nid, _ in rows] == [0, 1, 2, 3, 4]
         assert all(abs(s - 1.0) < 1e-9 for *_, s in rows)
         assert [rk for rk, *_ in rows] == [1, 2, 3, 4, 5]
+
+
+def test_ivf_hybrid_prune_matches_naive_distance_order():
+    """The IVF assign/probe hybrid (matmul candidate prune + exact
+    recompute on a margin) must reproduce the naive broadcast
+    formula's rounded (distance, cid) order EXACTLY — including
+    duplicate-centroid ties, unsorted cids, and nprobe > K. Pure-numpy
+    differential; a margin regression here would silently corrupt the
+    q51 gate."""
+    import numpy as np
+
+    from strat_backtest_spark.functions.numeric import round_half_up
+    from strat_backtest_spark.operators.similarity import (
+        _l2_candidates,
+        _l2_exact,
+    )
+
+    rng = np.random.default_rng(0)
+    for trial in range(20):
+        N, K, d = 200, int(rng.integers(2, 40)), 16
+        V = rng.normal(0, 1, (N, d))
+        C = rng.normal(0, 1, (K, d))
+        if trial % 3 == 0:
+            C[1] = C[0]  # exact tie
+        cids = np.arange(K)[::-1].copy()  # unsorted
+        D = round_half_up(((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), 9)
+
+        # assign
+        best = D.min(axis=1, keepdims=True)
+        cand = np.where(D == best, cids[None, :], np.iinfo(np.int64).max)
+        ref_assign = cand.min(axis=1)
+        rows, ks = _l2_candidates(V, C, 1)
+        Dex = _l2_exact(V, C, rows, ks)
+        order = np.lexsort((cids[ks], Dex, rows))
+        first = np.unique(rows[order], return_index=True)[1]
+        assert (ref_assign == cids[ks[order[first]]]).all(), trial
+
+        # probes (nprobe may exceed K)
+        npr = int(rng.integers(1, K + 2))
+        cid_order = np.argsort(cids, kind="stable")
+        idx = np.argsort(D[:, cid_order], axis=1, kind="stable")[:, :npr]
+        ref_probes = cids[cid_order][idx]
+        rows, ks = _l2_candidates(V, C, npr)
+        Dex = _l2_exact(V, C, rows, ks)
+        order = np.lexsort((cids[ks], Dex, rows))
+        rows_o, k_o = rows[order], ks[order]
+        counts = np.bincount(rows_o, minlength=N)
+        grp_start = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        pos = np.arange(len(rows_o)) - grp_start[rows_o]
+        out_cids = cids[k_o[pos < npr]]
+        got = np.split(out_cids, np.cumsum(np.minimum(counts, npr))[:-1])
+        for r in range(N):
+            assert (ref_probes[r] == got[r]).all(), (trial, r)

@@ -206,6 +206,7 @@ def lsh_candidate_pairs(
     bands: int = 4,
     id_col: str = "doc_id",
     max_bucket_size: int = 2000,
+    dedup: str = "first_band",
 ) -> DataFrame:
     """LSH banding: docs sharing any band of r = k/bands consecutive
     signature slots become a candidate pair. Returns (id_a, id_b,
@@ -217,7 +218,26 @@ def lsh_candidate_pairs(
     shuffle) → drop degenerate buckets larger than
     ``max_bucket_size`` (at 100 TB one hot band_key — boilerplate
     text, empty docs — is a quadratic bomb; real near-dup groups are
-    orders of magnitude smaller) → pairs within buckets → distinct.
+    orders of magnitude smaller) → pairs within buckets → cross-band
+    dedup.
+
+    ``dedup="first_band"`` (default) is the q58 trick: a pair is kept
+    only in the FIRST band where both band keys match and that bucket
+    survived the cap — a JVM predicate over the signature arrays
+    already in the row, replacing a ``distinct()`` exchange over the
+    full pair stream (the dominant stage at the 5M-doc rung: 48 of
+    ~80 s post-signature). Unlike ``simhash_neardup_pairs`` (whose
+    capped set collects driver-side), the capped-bucket lookup here is
+    a BROADCAST LEFT JOIN per earlier band against the hot-key
+    aggregate, so everything stays in ONE job — a driver collect of
+    the hot set would run the (expensive) signature lineage a second
+    time, which at the 5M rung cost more than the distinct it saved.
+    ``dedup="distinct"`` keeps the old shuffle (parity-tested
+    identical).
+
+    est_jaccard is an UNROLLED k-term coalesce-compare (null slots
+    count unequal, matching the HOF filter's null-drop) — the
+    ``zip_with`` fold ran interpreted and measured 2× slower per pair.
     """
     r = k // bands
     band_structs = F.array(
@@ -240,9 +260,28 @@ def lsh_candidate_pairs(
         .repartition("band", "band_key")
     )
     bucket = Window.partitionBy("band", "band_key")
-    exploded = exploded.withColumn(
-        "__bucket_n", F.count(F.lit(1)).over(bucket)
-    ).filter(F.col("__bucket_n") <= max_bucket_size)
+    # ONE materialization of the signature→band→shuffle→bucket-count
+    # lineage. Exchange reuse does NOT fire across consumers here —
+    # plans containing PythonUDF (the Arrow signature stage) fail
+    # exchange-reuse canonicalization, and this subtree has FIVE
+    # consumers (both self-join sides, the hot set, and each hot
+    # broadcast); measured at the 5M-doc rung the un-checkpointed plan
+    # ran the signature stage five times. The lazy localCheckpoint
+    # stores the window-partitioned rows once, PRESERVING the
+    # (band, band_key) hash partitioning, so the self-join below adds
+    # no further shuffle.
+    ann = (
+        exploded.withColumn("__bucket_n", F.count(F.lit(1)).over(bucket))
+        .localCheckpoint(eager=False)
+    )
+    exploded = ann.filter(F.col("__bucket_n") <= max_bucket_size)
+
+    # capped (band, band_key) keys — tiny, read from the checkpoint
+    hot = (
+        ann.filter(F.col("__bucket_n") > max_bucket_size)
+        .select(F.concat_ws("|", "band", "band_key").alias("__hot_tag"))
+        .distinct()
+    )
 
     a = exploded.select(
         F.col("band"), F.col("band_key"),
@@ -252,27 +291,49 @@ def lsh_candidate_pairs(
         F.col("band"), F.col("band_key"),
         F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"),
     )
-    pairs = (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a", "id_b",
-            F.round(
-                F.size(
-                    F.filter(
-                        F.zip_with(
-                            "sig_a", "sig_b", lambda x, y: (x == y).cast("int")
-                        ),
-                        lambda v: v == 1,
-                    )
-                )
-                / F.lit(float(k)),
-                6,
-            ).alias("est_jaccard"),
+    est = F.round(
+        sum(
+            F.coalesce(
+                (F.col("sig_a").getItem(i) == F.col("sig_b").getItem(i)).cast("int"),
+                F.lit(0),
+            )
+            for i in range(k)
         )
-        .distinct()
+        / F.lit(float(k)),
+        6,
     )
-    return pairs
+    joined = a.join(b, ["band", "band_key"]).filter(F.col("id_a") < F.col("id_b"))
+    if dedup != "first_band":
+        return joined.select(
+            "id_a", "id_b", est.alias("est_jaccard")
+        ).distinct()
+
+    # first-surviving-band-wins: band keys for EARLIER bands rebuild
+    # from the sig arrays with the same concat_ws (null-skipping)
+    # expression the join key used, so the match test is exact. A
+    # bucket that was CAPPED in an earlier band emitted nothing there,
+    # so a match in it must not suppress this row — the broadcast
+    # left-join flags (__hot_<b>) encode exactly that. Only bands
+    # 0..bands-2 need flags: the chain stops at the row's own band.
+    def _key(col: str, band: int) -> Column:
+        return F.concat_ws(
+            "_", *[F.col(col).getItem(band * r + j) for j in range(r)]
+        )
+
+    for bnd in range(bands - 1):
+        hb = hot.select(F.col("__hot_tag").alias(f"__hot_{bnd}"))
+        tag = F.concat_ws("|", F.lit(str(bnd)), _key("sig_a", bnd))
+        joined = joined.join(F.broadcast(hb), tag == F.col(f"__hot_{bnd}"), "left")
+
+    chain = None
+    for bnd in range(bands):
+        m = _key("sig_a", bnd) == _key("sig_b", bnd)
+        if bnd < bands - 1:
+            m = m & F.col(f"__hot_{bnd}").isNull()
+        chain = F.when(m, F.lit(bnd)) if chain is None else chain.when(m, F.lit(bnd))
+    return joined.filter(chain == F.col("band")).select(
+        "id_a", "id_b", est.alias("est_jaccard")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -246,3 +246,31 @@ def test_bpe_tokenizer_through_injection_point(spark):
         n_chars = sum(len(w) for w in pre)
         assert len(pre) <= r.n_bpe_tokens <= max(n_chars, 1), (
             r.n_bpe_tokens, len(pre), n_chars)
+
+
+def test_lsh_first_band_wins_respects_capped_earlier_band(spark):
+    """first_band dedup must NOT treat a match in a CAPPED earlier
+    band as 'already emitted' — that band emitted nothing. Docs 0/1
+    collide in band 0 (hot, 30 members > cap 10) AND in band 1 (just
+    the two of them): the pair must surface via band 1. Also pins
+    first_band == distinct on the same input."""
+    from strat_backtest_spark.operators.dedup import lsh_candidate_pairs
+
+    rows = []
+    for i in range(30):
+        # band 0 = (sig_0, sig_1): identical for everyone -> hot
+        # band 1 = (sig_2, sig_3): shared only by docs 0 and 1
+        # bands 2-3: unique per doc
+        shared23 = 777 if i < 2 else 1000 + i
+        rows.append((i, 1, 2, shared23, shared23, 50 + i, 60 + i, 70 + i, 80 + i))
+    sigs = spark.createDataFrame(
+        rows, "doc_id long, " + ", ".join(f"sig_{j} long" for j in range(8))
+    )
+    got = lsh_candidate_pairs(sigs, k=8, bands=4, max_bucket_size=10).collect()
+    assert [(r.id_a, r.id_b) for r in got] == [(0, 1)]
+    # 4/8 slots equal (the global sig_0/sig_1 plus shared sig_2/sig_3)
+    assert abs(got[0].est_jaccard - 0.5) < 1e-12
+    ref = lsh_candidate_pairs(
+        sigs, k=8, bands=4, max_bucket_size=10, dedup="distinct"
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, ref))

@@ -25,6 +25,7 @@ import re
 import numpy as np
 import pandas as pd
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from pyspark.sql.types import StructField, StructType
@@ -270,9 +271,14 @@ def lsh_candidate_pairs(
     # stores the window-partitioned rows once, PRESERVING the
     # (band, band_key) hash partitioning, so the self-join below adds
     # no further shuffle.
+    # DISK_ONLY: this is a bulk intermediate (docs × bands rows). The
+    # default MEMORY_AND_DISK level competed with the downstream
+    # join/CC stages for heap at the 5M-doc rung (GCLocker retry
+    # crashes at 16g); reading ~2 GB back from local disk is noise
+    # next to the stages it feeds.
     ann = (
         exploded.withColumn("__bucket_n", F.count(F.lit(1)).over(bucket))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     exploded = ann.filter(F.col("__bucket_n") <= max_bucket_size)
 
@@ -492,10 +498,21 @@ def ngram_jaccard_pairs(
             flat = np.concatenate([np.asarray(s, dtype=np.int64) for s in shingles])
         _, inv = np.unique(flat, return_inverse=True)
         u = int(inv.max()) + 1 if len(inv) else 0
-        M = np.zeros((m, u), dtype=np.int32)
         rows = np.repeat(np.arange(m), lens)
-        M[rows, inv] = 1
-        inter = M @ M.T
+        # Incidence matmul CHUNKED over the shingle axis: a dense
+        # (docs x unique-shingles) matrix is unbounded when a block's
+        # shingle sets barely overlap (2000 docs x 400k shingles would
+        # be GBs); chunks cap the live matrix at ~64 MB while the
+        # m x m intersection accumulator stays exact (float64 holds
+        # counts exactly below 2^53) and every chunk is one BLAS gemm.
+        inter = np.zeros((m, m), dtype=np.float64)
+        chunk = max(1, (64 << 20) // (8 * m))
+        for lo in range(0, u, chunk):
+            width = min(chunk, u - lo)
+            sel = (inv >= lo) & (inv < lo + width)
+            Mc = np.zeros((m, width), dtype=np.float64)
+            Mc[rows[sel], inv[sel] - lo] = 1.0
+            inter += Mc @ Mc.T
         union = lens[:, None] + lens[None, :] - inter
         with np.errstate(divide="ignore", invalid="ignore"):
             jac = np.where(union > 0, inter / union, 0.0)
@@ -580,10 +597,12 @@ def connected_components(
     Output: (id, component) for every node appearing in ``pairs``.
     """
     # ONE materialization of the candidate-pair lineage (LSH banding
-    # etc. is expensive); nodes/edges both derive from it.
+    # etc. is expensive); nodes/edges both derive from it. DISK_ONLY:
+    # the edge set is bulk (88M rows at the 5M-doc rung) and the
+    # iterative star rounds need the heap.
     p = pairs.select(
         F.col(id_a).alias("u"), F.col(id_b).alias("v")
-    ).localCheckpoint()
+    ).localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
     if p.count() <= local_threshold:
         return _union_find_local(p)
     nodes = (

@@ -67,8 +67,13 @@ def evaluate_params(
     base = bars.select("ticker", "date", "close").crossJoin(
         F.broadcast(params.select("run_id"))
     )
+    # edge-sparse signals are usually broadcast-sized, but their row
+    # count is |tickers|×|runs|×edges — it GROWS with the fleet, so the
+    # strategy is left to AQE instead of a hint that would force an
+    # OOM-scale broadcast on a 1000-executor grid (AQE converts to
+    # broadcast at runtime whenever the built side is actually small)
     feed = base.join(
-        F.broadcast(signals.select("ticker", "run_id", "date", "action")),
+        signals.select("ticker", "run_id", "date", "action"),
         ["ticker", "run_id", "date"],
         "left",
     )

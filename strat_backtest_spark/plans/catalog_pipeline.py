@@ -776,7 +776,10 @@ def q68_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("doc_id")
     )
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    return docs.join(F.broadcast(removed), "doc_id", "left_anti")
+    # no broadcast hint: the removed set is CORPUS-PROPORTIONAL (every
+    # non-canonical duplicate), so forcing a broadcast would OOM at
+    # scale — AQE still picks broadcast while it is actually small
+    return docs.join(removed, "doc_id", "left_anti")
 
 
 @query(
@@ -835,10 +838,12 @@ def q69_curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     removed = cc.filter(F.col("component") != F.col("id")).select(
         F.col("id").alias("doc_id")
     )
-    surv = docs.join(F.broadcast(removed), "doc_id", "left_anti")
+    # no broadcast hints: removed/contaminated are corpus-proportional
+    # (see q68) — AQE broadcasts them while they are genuinely small
+    surv = docs.join(removed, "doc_id", "left_anti")
     bench = docs.filter(F.col("doc_id") % 20 == 0)
     contaminated = decontaminate(docs, bench, n=3, threshold=0.5).select("doc_id")
-    kept = surv.join(F.broadcast(contaminated), "doc_id", "left_anti")
+    kept = surv.join(contaminated, "doc_id", "left_anti")
     return chunk_documents(kept, chunk_tokens=64, overlap=16).select(
         "doc_id", "chunk_id", "n_tokens"
     )

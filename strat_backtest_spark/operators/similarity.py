@@ -22,11 +22,14 @@ from strat_backtest_spark.functions.numeric import round_half_up
 
 
 def _dot(a: Column, b: Column) -> Column:
-    # HOF fold, deliberately: an unrolled 64-term element_at expression
-    # was measured 2.7x SLOWER (the generated method blows past JIT
-    # limits and falls back to interpreted expression eval per term,
-    # with 64 per-element null checks); the lambda path is one tight
-    # interpreted loop over the array
+    # Column-expression dot product for PER-VECTOR / low-volume
+    # contexts (e.g. the avg_norm aggregate). NOT for pair streams:
+    # the fold runs on the interpreted expression path, and every
+    # per-PAIR hot path now scores via block BLAS matmul instead
+    # (_rounded_cosine_block / _bucket_rerank_pairs below). Within
+    # Column-land the fold is still the right form — an unrolled
+    # 64-term element_at expression measured 2.7x slower (generated
+    # method blows past JIT limits).
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),

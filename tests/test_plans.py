@@ -228,3 +228,24 @@ def test_q72_stoploss_plan_shape(spark):
     assert keys <= {"ticker", "_groupingexpression"}, f"unexpected shuffle keys: {keys}"
     assert len(_distinct_exchanges(p)) <= 10, "q72 gained exchanges"
     assert p.count("Scan parquet") <= 6, "q72 gained source scans"
+
+
+def test_q23_signature_stage_evaluates_once(spark):
+    """Exchange reuse does NOT fire across consumers of PythonUDF-
+    bearing subtrees (canonicalization fails), and q23's banded rows
+    feed five consumers — without the internal localCheckpoint the
+    signature mapInPandas silently ran FIVE times (measured at the 5M
+    rung). Ratchet: the consumer plan must contain NO MapInPandas or
+    parquet scan (they live behind the checkpoint's ExistingRDD), and
+    no pair-stream distinct aggregate (first-band-wins replaced it)."""
+    from strat_backtest_spark.plans.catalog import CATALOG
+
+    df = CATALOG["q23_minhash_lsh_pairs"].fn(spark, SF_MED)
+    df.count()  # materialize: the checkpoint exists only at runtime
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in p, "signature stage leaked past the checkpoint"
+    assert "Scan parquet" not in p, "corpus re-scan leaked past the checkpoint"
+    assert "ExistingRDD" in p
+    # the old cross-band dedup was a HashAggregate over (id_a, id_b,
+    # est_jaccard) — its signature is a shuffle on those keys
+    assert "hashpartitioning(id_a" not in p, "pair-stream distinct came back"

@@ -10,6 +10,10 @@ documents and every intermediate is columnar.
 
 from __future__ import annotations
 
+import hashlib
+
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from strat_backtest_spark.functions.text import whitespace_tokens
@@ -147,6 +151,68 @@ def predict_language(df: DataFrame, col: str = "text") -> DataFrame:
     for lang in langs:
         out = out.withColumn(f"score_{lang}", sc[lang])
     return out.withColumn("pred_lang", pred).drop("__scores")
+
+
+def document_fingerprint(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    impl: str = "arrow",
+) -> DataFrame:
+    """Document fingerprint: lexicographic min of md5 hex over word
+    ``n``-gram shingles (a 1-permutation MinHash on a cryptographic
+    hash). Docs with < n tokens fingerprint as NULL.
+
+    ``impl="arrow"`` (default) builds and hashes shingles in hashlib
+    per Arrow batch — the Column form runs the md5 inside an
+    interpreted higher-order ``transform`` (~19 µs/shingle, the
+    minhash disease: 503 s vs 20 s at the 5M-doc rung). Values are
+    identical: same ASCII-whitespace tokens, same utf-8 md5 hex, and
+    lexicographic min over [0-9a-f] strings agrees between Python
+    ``min`` and Spark's array_min. ``impl="jvm"`` keeps the Column
+    expression (what the DuckDB oracle mirrors) for parity testing."""
+    if impl == "jvm":
+        toks = whitespace_tokens(text_col)
+        idx = F.when(
+            F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        shingle = lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        )
+        fp = F.array_min(F.transform(idx, lambda i: F.md5(shingle(i).cast("binary"))))
+        return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+    import re
+
+    ws = re.compile(r"\s+", re.ASCII)  # Java \s parity (ASCII-only)
+    id_type = df.schema[id_col].dataType.simpleString()
+    nn = n
+
+    def _fp(batches):
+        for pdf in batches:
+            out = []
+            for text in pdf[text_col].tolist():
+                if not isinstance(text, str):
+                    out.append(None)
+                    continue
+                toks = [t for t in ws.split(text) if t]
+                if len(toks) < nn:
+                    out.append(None)
+                    continue
+                out.append(
+                    min(
+                        hashlib.md5(
+                            " ".join(toks[i:i + nn]).encode("utf-8")
+                        ).hexdigest()
+                        for i in range(len(toks) - nn + 1)
+                    )
+                )
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "fingerprint": out})
+
+    return df.select(id_col, text_col).mapInPandas(
+        _fp, f"{id_col} {id_type}, fingerprint string"
+    )
 
 
 def repetition_score(df: DataFrame, n: int = 2, col: str = "text") -> DataFrame:

@@ -274,3 +274,26 @@ def test_lsh_first_band_wins_respects_capped_earlier_band(spark):
         sigs, k=8, bands=4, max_bucket_size=10, dedup="distinct"
     ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, ref))
+
+
+def test_fingerprint_arrow_jvm_parity(spark):
+    """Arrow (hashlib) and JVM (Column md5-in-transform) document
+    fingerprints must agree exactly — min over md5 HEX strings, null
+    for <n-token/null docs, ASCII-whitespace tokenization."""
+    from strat_backtest_spark.operators.text_analysis import document_fingerprint
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, None),
+        (2, ""),
+        (3, "one two"),
+        (4, "tabs\tand\nnewlines   spaced tokens here"),
+        (5, "unicode naïve café 文字 text tokens"),
+        (6, "a a a a a a a"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = document_fingerprint(df).orderBy("doc_id").collect()
+    b = document_fingerprint(df, impl="jvm").orderBy("doc_id").collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+    assert a[1].fingerprint is None and a[3].fingerprint is None
+    assert a[0].fingerprint is not None

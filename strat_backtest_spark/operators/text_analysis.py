@@ -215,25 +215,70 @@ def document_fingerprint(
     )
 
 
-def repetition_score(df: DataFrame, n: int = 2, col: str = "text") -> DataFrame:
+def repetition_score(
+    df: DataFrame, n: int = 2, col: str = "text", impl: str = "arrow"
+) -> DataFrame:
     """Within-document repetition: 1 − |distinct n-grams| / |n-grams|
     (0 = no repeats). The duplicate-n-gram-fraction quality rule used
     by web-corpus curation pipelines; heavily repetitive documents are
-    boilerplate/spam candidates. Map-only: both counts come from one
-    tokens pass, no shuffle."""
-    toks = tokens_col(col)
-    grams = F.when(
-        F.size(toks) >= n, F.size(toks) - F.lit(n - 1)
-    ).otherwise(F.lit(0))
-    idx = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    gram = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
-    distinct = F.size(F.array_distinct(F.transform(idx, gram)))
-    score = F.when(
-        grams > 0, F.round(F.lit(1.0) - distinct / grams, 6)
-    ).otherwise(F.lit(0.0))
-    return df.select("doc_id", score.alias("repetition"))
+    boilerplate/spam candidates. Map-only, no shuffle.
+
+    ``impl="arrow"`` (default): n-gram building + set-distinct in
+    Python per Arrow batch — the Column form concat_ws'd every gram
+    inside an interpreted ``transform`` (422 s vs 14.6 s at the 5M-doc
+    rung). Identical values: tokens cannot contain whitespace, so
+    tuple-distinct ≡ joined-string-distinct, and the final
+    ``1 - d/g`` rounds HALF_UP on both paths. ``impl="jvm"`` keeps
+    the oracle-mirror Column expression for parity testing."""
+    if impl == "jvm":
+        toks = tokens_col(col)
+        grams = F.when(
+            F.size(toks) >= n, F.size(toks) - F.lit(n - 1)
+        ).otherwise(F.lit(0))
+        idx = F.when(
+            F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        gram = lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        )
+        distinct = F.size(F.array_distinct(F.transform(idx, gram)))
+        score = F.when(
+            grams > 0, F.round(F.lit(1.0) - distinct / grams, 6)
+        ).otherwise(F.lit(0.0))
+        return df.select("doc_id", score.alias("repetition"))
+
+    import re
+
+    import numpy as np
+
+    from strat_backtest_spark.functions.numeric import round_half_up
+
+    ws = re.compile(r"\s+", re.ASCII)
+    id_type = df.schema["doc_id"].dataType.simpleString()
+    nn = n
+
+    def _rep(batches):
+        for pdf in batches:
+            out = np.zeros(len(pdf), dtype=np.float64)
+            for r, text in enumerate(pdf[col].tolist()):
+                if not isinstance(text, str):
+                    continue  # null text -> 0.0, as on the JVM path
+                toks = [t for t in ws.split(text) if t]
+                g = len(toks) - nn + 1
+                if g <= 0:
+                    continue
+                d = len({tuple(toks[i:i + nn]) for i in range(g)})
+                out[r] = 1.0 - d / g
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "repetition": round_half_up(out, 6),
+                }
+            )
+
+    return df.select("doc_id", col).mapInPandas(
+        _rep, f"doc_id {id_type}, repetition double"
+    )
 
 
 def chunk_documents(

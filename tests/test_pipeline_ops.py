@@ -297,3 +297,26 @@ def test_fingerprint_arrow_jvm_parity(spark):
     assert [r.asDict() for r in a] == [r.asDict() for r in b]
     assert a[1].fingerprint is None and a[3].fingerprint is None
     assert a[0].fingerprint is not None
+
+
+def test_repetition_arrow_jvm_parity(spark):
+    """Arrow and JVM repetition scores must agree bit-for-bit —
+    HALF_UP rounding of 1 - distinct/grams, 0.0 for null/short docs,
+    heavy-repeat and unicode cases included."""
+    from strat_backtest_spark.operators.text_analysis import repetition_score
+
+    rows = [
+        (0, "a b a b a b a b"),            # heavy 2-gram repetition
+        (1, None),
+        (2, ""),
+        (3, "one"),                        # < n tokens
+        (4, "x y z w v u t s"),            # all distinct
+        (5, "naïve café naïve café naïve"),
+        (6, "a a a a a a a"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = repetition_score(df).orderBy("doc_id").collect()
+    b = repetition_score(df, impl="jvm").orderBy("doc_id").collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+    assert a[6].repetition > 0.8 and a[4].repetition == 0.0
+    assert a[1].repetition == 0.0 and a[3].repetition == 0.0

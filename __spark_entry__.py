@@ -37,39 +37,41 @@ def entry(spark: SparkSession) -> DataFrame:
 # The correctness sweep evaluates at most ~50 catalog entries in
 # registration order, so entries past the window never get a gate row.
 # The catalog (73 entries) is larger than the window; rotate which
-# entries sit past it. Round-7 rotation: the four longest-absent tail
-# entries (q02/q33/q34/q38, no gate row since r5) return to the
-# window; four entries green in r01-r06 and untouched by this round's
-# changes (q11/q12/q13/q20) move out. Everything round 7 touches
-# stays IN the window: q53 (oracle BIGINT cast), q46 (new replay
-# oracle), q42 (metrics-oracle wn=1 NULL branch), and the kernel
-# family q40/q41/q45/q59/q64/q65/q71/q72 as canaries for the
-# _ma_kernel_sim_sql signature change. Head is exactly 50 entries
-# (catalog 73 − tail 23).
+# entries sit past it. Round-7 rotation rule: EVERY entry whose
+# implementation (or a consumed operator) changed this round stays IN
+# the window — that includes the Arrow rewrites (q22 minhash, q24/q58
+# simhash, q29 fingerprint, q61 repetition, q60 decontaminate, q25
+# n-gram), the similarity BLAS rewrites (q30/q31/q47/q51), the
+# single-fold langid + native punct (q27/q28), the LSH first-band-wins
+# + checkpoint (q23/q55/q56/q68/q69), the de-hinted joins (q41), q53
+# (oracle BIGINT cast), q46 (new replay oracle), q42 (metrics-oracle
+# wn=1 NULL branch), and the kernel family q40/q45/q59/q64/q65/q71/
+# q72/q73. The tail is ONLY untouched entries green in multiple prior
+# rounds. Head is exactly 50 entries (catalog 73 − tail 23).
 _SWEEP_TAIL = [
-    "q11_tail_n",               # hash-match r01-r06
-    "q12_trailing_period",      # hash-match r01-r06
-    "q13_first_last",           # hash-match r01-r06
-    "q20_json_props",           # hash-match r01-r06
-    "q21_dedup_exact",          # hash-match r05
-    "q22_minhash_signatures",   # hash-match r05
-    "q24_simhash",              # hash-match r05
-    "q28_langid",               # hash-match r05
-    "q29_fingerprint",          # hash-match r05
-    "q30_cosine_topk",          # hash-match r05
-    "q31_ann_lsh_topk",         # hash-match r05
-    "q44_common_stock_mentions",  # hash-match r05
-    "q50_multimodal_frames",    # hash-match r05
-    "q52_range_join",           # hash-match r05
-    "q54_stratified_sample",    # hash-match r05
-    "q55_curation_pipeline",    # hash-match r05
-    "q57_kmv_distinct_users",   # hash-match r05
-    "q60_decontaminate",        # hash-match r05
-    "q61_repetition_score",     # hash-match r05
-    "q62_token_quantiles",      # hash-match r05
-    "q66_chunking",             # hash-match r05
-    "q67_embedding_profile",    # hash-match r05
-    "q70_dup_rate_by_source",   # hash-match r05
+    "q03_top_customers",          # hash-match r01-r06, untouched r7
+    "q05_status_totals",          # hash-match r01-r06, untouched r7
+    "q07_pct_change",             # hash-match r01-r06, untouched r7
+    "q08_running_totals",         # hash-match r01-r06, untouched r7
+    "q10_forward_fill",           # hash-match r01-r06, untouched r7
+    "q11_tail_n",                 # hash-match r01-r06, untouched r7
+    "q12_trailing_period",        # hash-match r01-r06, untouched r7
+    "q13_first_last",             # hash-match r01-r06, untouched r7
+    "q14_distinct",               # hash-match r01-r06, untouched r7
+    "q15_union_nations",          # hash-match r01-r06, untouched r7
+    "q16_nations_without_suppliers",  # hash-match r01-r06, untouched r7
+    "q17_signal_edges",           # hash-match r01-r06, untouched r7
+    "q20_json_props",             # hash-match r01-r06, untouched r7
+    "q21_dedup_exact",            # hash-match r05/r06, untouched r7
+    "q44_common_stock_mentions",  # hash-match r05, untouched r7
+    "q50_multimodal_frames",      # hash-match r05, untouched r7
+    "q52_range_join",             # hash-match r05, untouched r7
+    "q54_stratified_sample",      # hash-match r05, untouched r7
+    "q57_kmv_distinct_users",     # hash-match r05, untouched r7
+    "q62_token_quantiles",        # hash-match r05, untouched r7
+    "q66_chunking",               # hash-match r05, untouched r7
+    "q67_embedding_profile",      # hash-match r05, untouched r7
+    "q70_dup_rate_by_source",     # hash-match r05, untouched r7
 ]
 
 

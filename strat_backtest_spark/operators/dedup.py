@@ -822,27 +822,36 @@ def decontaminate(
                 hs |= _py_shingle_hashes(t, n)
             yield pd.DataFrame({"h": np.fromiter(hs, dtype=np.int64, count=len(hs))})
 
-    bench_set = frozenset(
-        r.h
-        for r in benchmark.select(text_col)
-        .mapInPandas(_bench_rows, "h long")
-        .distinct()
-        .collect()
-    )
-    bcast = spark.sparkContext.broadcast(bench_set)
+    # sorted int64 array + searchsorted membership, NOT a Python
+    # frozenset: at a probe where the benchmark was 5% of a 5M-doc
+    # corpus (~31M distinct shingles) the set cost GBs of driver
+    # memory and minutes of insert time; the array is 8 bytes/element,
+    # lands via Arrow (toPandas), and per-doc membership is a
+    # vectorized O(|doc| log |bench|) searchsorted. Identical
+    # semantics (exact hash membership).
+    bench_pdf = (
+        benchmark.select(text_col).mapInPandas(_bench_rows, "h long").distinct()
+    ).toPandas()
+    bench_arr = np.sort(bench_pdf["h"].to_numpy(dtype=np.int64))
+    bcast = spark.sparkContext.broadcast(bench_arr)
     id_type = df.schema[id_col].dataType.simpleString()
 
     def _contam(batches):
-        b = bcast.value
+        S = bcast.value
+        m = len(S)
         for pdf in batches:
             ids, ns, nhs = [], [], []
             for i, t in zip(pdf[id_col].tolist(), pdf[text_col].tolist()):
                 hs = _py_shingle_hashes(t, n)
                 if not hs:
                     continue
+                x = np.fromiter(hs, dtype=np.int64, count=len(hs))
+                idx = np.searchsorted(S, x)
+                idx[idx >= m] = m - 1 if m else 0
+                hits = int((S[idx] == x).sum()) if m else 0
                 ids.append(i)
                 ns.append(len(hs))
-                nhs.append(len(hs & b))
+                nhs.append(hits)
             yield pd.DataFrame(
                 {id_col: ids, "__n": ns, "__nh": nhs},
                 columns=[id_col, "__n", "__nh"],

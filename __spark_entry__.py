@@ -37,41 +37,48 @@ def entry(spark: SparkSession) -> DataFrame:
 # The correctness sweep evaluates at most ~50 catalog entries in
 # registration order, so entries past the window never get a gate row.
 # The catalog (73 entries) is larger than the window; rotate which
-# entries sit past it. Round-7 rotation rule: EVERY entry whose
-# implementation (or a consumed operator) changed this round stays IN
-# the window — that includes the Arrow rewrites (q22 minhash, q24/q58
-# simhash, q29 fingerprint, q61 repetition, q60 decontaminate, q25
-# n-gram), the similarity BLAS rewrites (q30/q31/q47/q51), the
-# single-fold langid + native punct (q27/q28), the LSH first-band-wins
-# + checkpoint (q23/q55/q56/q68/q69), the de-hinted joins (q41), q53
-# (oracle BIGINT cast), q46 (new replay oracle), q42 (metrics-oracle
-# wn=1 NULL branch), and the kernel family q40/q45/q59/q64/q65/q71/
-# q72/q73. The tail is ONLY untouched entries green in multiple prior
-# rounds. Head is exactly 50 entries (catalog 73 − tail 23).
+# entries sit past it. Rotation policy (codified round 8):
+#   1. EVERY entry whose implementation (or a consumed operator)
+#      changed this round stays IN the window.
+#   2. NO entry goes more than 2 rounds ungated: an entry whose last
+#      driver gate row is round N must be back in the window by
+#      round N+3 at the latest.
+#   3. The tail holds ONLY untouched entries whose latest gate row is
+#      the immediately previous round (i.e. at most 1 round stale
+#      when the tail is formed). Head is exactly 50 (catalog 73 −
+#      tail 23).
+# Round-8 application: the nine entries last gated in r05 (q44, q50,
+# q52, q54, q57, q62, q66, q67, q70) and the fourteen last gated in
+# r06 (q03, q05, q07, q08, q10-q17, q20, q21) ALL return to the
+# window, as do the entries touched this round: the similarity family
+# (q30/q31/q47/q51 — margin + NaN-policy + bucket-cap fixes), the
+# dedup family consumers of decontaminate/connected-components
+# (q55/q56/q60/q68/q69), and q26 (BPE tokenizer scale run). The tail
+# is 23 untouched entries, every one hash-green in r07.
 _SWEEP_TAIL = [
-    "q03_top_customers",          # hash-match r01-r06, untouched r7
-    "q05_status_totals",          # hash-match r01-r06, untouched r7
-    "q07_pct_change",             # hash-match r01-r06, untouched r7
-    "q08_running_totals",         # hash-match r01-r06, untouched r7
-    "q10_forward_fill",           # hash-match r01-r06, untouched r7
-    "q11_tail_n",                 # hash-match r01-r06, untouched r7
-    "q12_trailing_period",        # hash-match r01-r06, untouched r7
-    "q13_first_last",             # hash-match r01-r06, untouched r7
-    "q14_distinct",               # hash-match r01-r06, untouched r7
-    "q15_union_nations",          # hash-match r01-r06, untouched r7
-    "q16_nations_without_suppliers",  # hash-match r01-r06, untouched r7
-    "q17_signal_edges",           # hash-match r01-r06, untouched r7
-    "q20_json_props",             # hash-match r01-r06, untouched r7
-    "q21_dedup_exact",            # hash-match r05/r06, untouched r7
-    "q44_common_stock_mentions",  # hash-match r05, untouched r7
-    "q50_multimodal_frames",      # hash-match r05, untouched r7
-    "q52_range_join",             # hash-match r05, untouched r7
-    "q54_stratified_sample",      # hash-match r05, untouched r7
-    "q57_kmv_distinct_users",     # hash-match r05, untouched r7
-    "q62_token_quantiles",        # hash-match r05, untouched r7
-    "q66_chunking",               # hash-match r05, untouched r7
-    "q67_embedding_profile",      # hash-match r05, untouched r7
-    "q70_dup_rate_by_source",     # hash-match r05, untouched r7
+    "q01_pricing_summary",        # hash-match r01-r07, untouched r8
+    "q02_regional_revenue",       # hash-match r01-r07, untouched r8
+    "q04_orders_with_bigticket_items",  # hash-match r01-r07, untouched r8
+    "q06_rolling_mean",           # hash-match r01-r07, untouched r8
+    "q09_cumprod",                # hash-match r01-r07, untouched r8
+    "q18_compound_range_predicate",  # hash-match r01-r07, untouched r8
+    "q19_string_predicates",      # hash-match r01-r07, untouched r8
+    "q22_minhash_signatures",     # hash-match r07 (Arrow rewrite), untouched r8
+    "q23_minhash_lsh_pairs",      # hash-match r07 (first-band-wins), untouched r8
+    "q24_simhash",                # hash-match r07 (Arrow rewrite), untouched r8
+    "q25_ngram_jaccard",          # hash-match r07, untouched r8
+    "q27_quality_score",          # hash-match r07 (native punct), untouched r8
+    "q28_langid",                 # hash-match r07 (single-fold), untouched r8
+    "q29_fingerprint",            # hash-match r07 (Arrow rewrite), untouched r8
+    "q32_asof_join",              # hash-match r02-r07, untouched r8
+    "q33_rollup_revenue",         # hash-match r02-r07, untouched r8
+    "q34_pivot_event_matrix",     # hash-match r02-r07, untouched r8
+    "q35_sessionization",         # hash-match r02-r07, untouched r8
+    "q36_token_topk",             # hash-match r02-r07, untouched r8
+    "q37_ticker_mentions",        # hash-match r02-r07, untouched r8
+    "q38_multimodal_features",    # hash-match r02-r07, untouched r8
+    "q53_resample_ohlc",          # hash-match r07 (oracle BIGINT fix), untouched r8
+    "q61_repetition_score",       # hash-match r07 (Arrow rewrite), untouched r8
 ]
 
 
@@ -93,9 +100,20 @@ def oracle_sql() -> dict[str, str]:
     for name, qd in CATALOG.items():
         try:
             sql = qd.oracle_for(gate_sf)
-        except Exception:
-            # a builder failure must not take down the whole gate —
-            # the entry degrades to the rows-only check
+        except Exception as exc:  # noqa: BLE001
+            # A builder failure must not take down the whole gate —
+            # the entry degrades to the rows-only check — but a
+            # silently degraded oracle is invisible in gate logs, so
+            # shout about it on stderr (ADVICE r7).
+            import sys
+            import traceback
+
+            print(
+                f"[oracle_sql] WARNING: oracle builder for {name!r} raised "
+                f"{type(exc).__name__}: {exc} — entry degrades to rows-only check",
+                file=sys.stderr,
+            )
+            traceback.print_exc(file=sys.stderr)
             sql = None
         if sql is not None:
             out[name] = sql

@@ -794,6 +794,7 @@ def decontaminate(
     threshold: float = 0.2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_broadcast_shingles: int = 50_000_000,
 ) -> DataFrame:
     """Flag training documents whose distinct word n-gram shingles
     overlap an evaluation/benchmark corpus above ``threshold``
@@ -801,15 +802,36 @@ def decontaminate(
     where contamination = |doc shingles ∩ benchmark shingles| /
     |doc shingles|.
 
+    EAGER at construction (ADVICE r7): this runs one Spark job over
+    ``benchmark`` BEFORE returning — to count its distinct shingles
+    and, on the broadcast path, to collect them — so it does not
+    compose lazily the way most operators here do. The collected
+    array's SparkContext broadcast stays referenced by the returned
+    plan's closures; once the caller drops the DataFrame the Python
+    Broadcast object becomes unreachable and Spark's ContextCleaner
+    reclaims the executor blocks. Sweeps that construct many of these
+    should release the DataFrames between iterations.
+
     Scale shape: the benchmark side is an EVAL set — thousands of
-    documents against a 100 TB corpus — so its distinct shingle-hash
-    set rides an explicit SparkContext broadcast into the Python
-    workers, and the corpus side is ONE map-only Arrow pass: per doc,
-    shingle in hashlib (C md5, see _py_shingle_hashes) and intersect
-    against the broadcast set. NO exchange anywhere — the previous
-    explode + broadcast-semi-join + two groupBys shuffled (doc_id, h)
-    rows twice and re-ran the interpreted shingle pipeline per
-    consumer. Final rounding stays a Column op so the engine-side
+    documents against a 100 TB corpus. Two physical paths, identical
+    semantics, chosen by the benchmark's distinct-shingle count:
+
+    * ``≤ max_broadcast_shingles`` (default 50M ≈ 400 MB): the hash
+      set rides a SparkContext broadcast as a SORTED int64 array
+      (8 B/element via Arrow; a Python frozenset at a 31M-shingle
+      probe cost GBs and minutes) and the corpus side is ONE map-only
+      Arrow pass — per doc, shingle in hashlib (C md5, see
+      _py_shingle_hashes) and a vectorized
+      O(|doc| log |bench|) searchsorted. NO exchange anywhere.
+    * above the gate (VERDICT r7 #4): broadcasting would OOM the
+      driver, so degrade to a DISTRIBUTED semi-join on shingle
+      HASHES — the corpus Arrow pass emits slim (doc_id, h) rows, a
+      left join against the distinct benchmark hashes marks hits
+      (AQE picks broadcast vs shuffle), and one groupBy(doc_id)
+      rebuilds (n, hits). Document TEXT still never shuffles; only
+      8-byte hashes do.
+
+    Final rounding stays a Column op on both paths so the engine-side
     round semantics are unchanged. Docs with zero shingles (shorter
     than n tokens) cannot be contaminated and are omitted, matching
     the SQL mirror."""
@@ -822,19 +844,24 @@ def decontaminate(
                 hs |= _py_shingle_hashes(t, n)
             yield pd.DataFrame({"h": np.fromiter(hs, dtype=np.int64, count=len(hs))})
 
-    # sorted int64 array + searchsorted membership, NOT a Python
-    # frozenset: at a probe where the benchmark was 5% of a 5M-doc
-    # corpus (~31M distinct shingles) the set cost GBs of driver
-    # memory and minutes of insert time; the array is 8 bytes/element,
-    # lands via Arrow (toPandas), and per-doc membership is a
-    # vectorized O(|doc| log |bench|) searchsorted. Identical
-    # semantics (exact hash membership).
-    bench_pdf = (
+    id_type = df.schema[id_col].dataType.simpleString()
+    bench_hashes = (
         benchmark.select(text_col).mapInPandas(_bench_rows, "h long").distinct()
-    ).toPandas()
+    )
+    # The gate costs one count() job over the (small) benchmark side;
+    # whichever path wins re-evaluates that pipeline once more
+    # (toPandas here, the join there). Deliberately NOT persisted:
+    # under the eval ≪ corpus contract the second pass is cheap, and
+    # leaving cached blocks behind is the exact lingering-state
+    # complaint this gate exists to fix.
+    n_bench = bench_hashes.count()
+    if n_bench > int(max_broadcast_shingles):
+        return _decontaminate_semijoin(
+            df, bench_hashes, n, threshold, text_col, id_col, id_type
+        )
+    bench_pdf = bench_hashes.toPandas()
     bench_arr = np.sort(bench_pdf["h"].to_numpy(dtype=np.int64))
     bcast = spark.sparkContext.broadcast(bench_arr)
-    id_type = df.schema[id_col].dataType.simpleString()
 
     def _contam(batches):
         S = bcast.value
@@ -861,6 +888,55 @@ def decontaminate(
         _contam, f"{id_col} {id_type}, __n long, __nh long"
     )
     return counted.select(
+        F.col(id_col),
+        F.round(F.col("__nh") / F.col("__n"), 6).alias("contamination"),
+    ).filter(F.col("contamination") >= threshold)
+
+
+def _decontaminate_semijoin(
+    df: DataFrame,
+    bench_hashes: DataFrame,
+    n: int,
+    threshold: float,
+    text_col: str,
+    id_col: str,
+    id_type: str,
+) -> DataFrame:
+    """``decontaminate``'s over-the-broadcast-gate path: the benchmark
+    shingle set stays DISTRIBUTED and contamination is a join on
+    shingle hashes. One corpus Arrow pass shingles each doc (same
+    hashlib kernel as the broadcast path) and emits slim (doc_id, h)
+    rows — distinct within a doc by construction since
+    _py_shingle_hashes returns a set — a left join against the
+    benchmark hashes marks hits (AQE chooses broadcast vs shuffle by
+    actual size), and one groupBy(doc_id) rebuilds (n_shingles, hits)
+    exactly as the broadcast path counts them. Value-identical
+    (exercised by tests/test_pipeline_ops.py's equivalence test):
+    same rounding Column, same zero-shingle-doc omission. Document
+    text never shuffles; the exchange carries 8-byte hashes."""
+
+    def _pairs(batches):
+        for pdf in batches:
+            ids, hs_all = [], []
+            for i, t in zip(pdf[id_col].tolist(), pdf[text_col].tolist()):
+                hs = _py_shingle_hashes(t, n)
+                if not hs:
+                    continue
+                ids.extend([i] * len(hs))
+                hs_all.extend(hs)
+            yield pd.DataFrame({id_col: ids, "h": np.array(hs_all, dtype=np.int64)})
+
+    pairs = df.select(id_col, text_col).mapInPandas(
+        _pairs, f"{id_col} {id_type}, h long"
+    )
+    joined = pairs.join(
+        bench_hashes.withColumn("__hit", F.lit(1)), on="h", how="left"
+    )
+    agg = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("__nh"),
+    )
+    return agg.select(
         F.col(id_col),
         F.round(F.col("__nh") / F.col("__n"), 6).alias("contamination"),
     ).filter(F.col("contamination") >= threshold)

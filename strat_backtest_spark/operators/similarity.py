@@ -95,7 +95,12 @@ def cosine_topk(
     candidates per query instead of |corpus| — the all-pairs stream
     never exists outside a worker's registers, and the shuffle carries
     O(k · batches) rows. Per-pair interpreted HOF cosine (the previous
-    plan) measured ~7× slower at the 200k-vec rung."""
+    plan) measured ~7× slower at the 200k-vec rung.
+
+    NaN policy (uniform across cosine_topk / ann_topk / ivf_topk):
+    zero-norm vectors have undefined cosine; NaN-scored pairs are
+    DROPPED (the ``> -inf`` mask below is False for NaN), never
+    emitted or ranked."""
     qrows = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     ).collect()
@@ -202,7 +207,7 @@ def hyperplane_lsh_buckets(
 
 
 def _bucket_rerank_pairs(
-    cb: DataFrame, qb: DataFrame, key: str, id_type: str
+    cb: DataFrame, qb: DataFrame, key: str, id_type: str, n_chunks: int = 1
 ) -> DataFrame:
     """All (query, corpus-neighbor) cosine scores WITHIN shared
     buckets: cogrouped applyInPandas — per bucket, ONE BLAS matmul
@@ -211,7 +216,20 @@ def _bucket_rerank_pairs(
     was ~7× slower at the 200k-vec rung. The exchange carries each
     vector once per bucket membership (corpus: once; queries: once per
     probe) instead of once per PAIR, and the emitted rows are slim
-    (ids + one double, no vectors)."""
+    (ids + one double, no vectors).
+
+    ``n_chunks`` bounds the corpus-side group a degenerate bucket can
+    materialize on one executor (ADVICE r7: boilerplate/zero-ish
+    vectors all hashing to one bucket OOM'd where the old broadcast
+    join streamed): corpus rows are salted into
+    ``pmod(hash(neighbor_id), n_chunks)`` sub-groups and the (small)
+    query side is replicated to every chunk, so each cogroup holds at
+    most ~|bucket|/n_chunks corpus vectors while every in-bucket pair
+    is still scored exactly once — value-identical to n_chunks=1.
+
+    NaN policy (uniform across cosine_topk / ann_topk / ivf_topk,
+    ADVICE r7): zero-norm vectors have undefined cosine; NaN-scored
+    pairs are DROPPED, never emitted or ranked."""
     out_schema = f"query_id {id_type}, neighbor_id {id_type}, cos_sim double"
 
     def _blk(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
@@ -228,16 +246,42 @@ def _bucket_rerank_pairs(
         Vc = np.vstack(left["cvec"].to_numpy()).astype(np.float64)
         Vq = np.vstack(right["qvec"].to_numpy()).astype(np.float64)
         sim = _rounded_cosine_block(Vc, Vq)  # (n_corpus, n_query)
-        iu, ju = np.nonzero(nids[:, None] != qids[None, :])
+        iu, ju = np.nonzero(
+            (nids[:, None] != qids[None, :]) & ~np.isnan(sim)
+        )
         return pd.DataFrame(
             {"query_id": qids[ju], "neighbor_id": nids[iu], "cos_sim": sim[iu, ju]}
         )
 
+    nch = max(1, int(n_chunks))
+    if nch == 1:
+        return (
+            cb.groupBy(key)
+            .cogroup(qb.groupBy(key))
+            .applyInPandas(lambda l, r: _blk(l, r), out_schema)
+        )
+    cbc = cb.withColumn("_chunk", F.pmod(F.xxhash64("neighbor_id"), F.lit(nch)))
+    qbc = qb.withColumn(
+        "_chunk", F.explode(F.sequence(F.lit(0), F.lit(nch - 1)).cast("array<long>"))
+    )
     return (
-        cb.groupBy(key)
-        .cogroup(qb.groupBy(key))
+        cbc.groupBy(key, "_chunk")
+        .cogroup(qbc.groupBy(key, "_chunk"))
         .applyInPandas(lambda l, r: _blk(l, r), out_schema)
     )
+
+
+def _derive_chunks(corpus: DataFrame, max_chunk_rows: int | None) -> int:
+    """Chunk count for ``_bucket_rerank_pairs``' degenerate-bucket
+    guard: enough hash-salt chunks that even a bucket holding the
+    ENTIRE corpus averages ≤ ``max_chunk_rows`` per cogroup. Costs one
+    eager ``count()`` on the raw corpus (metadata-cheap on parquet,
+    runs before any UDF column exists); pass ``None`` to skip both the
+    count and the chunking."""
+    if max_chunk_rows is None:
+        return 1
+    n = corpus.count()
+    return max(1, -(-n // int(max_chunk_rows)))
 
 
 def ann_topk(
@@ -248,11 +292,14 @@ def ann_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_chunk_rows: int | None = 200_000,
 ) -> DataFrame:
     """Approximate top-k: exact cosine ranking restricted to the
     query's LSH bucket. The candidate structure is a bucket-key
     cogroup — at scale, with the corpus written bucket-partitioned,
-    this prunes to one partition per query."""
+    this prunes to one partition per query. ``max_chunk_rows`` bounds
+    what one degenerate bucket can materialize per executor (see
+    ``_bucket_rerank_pairs``); results are chunking-invariant."""
     cb = hyperplane_lsh_buckets(corpus, n_planes, dim, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
@@ -264,7 +311,9 @@ def ann_topk(
         "bucket",
     )
     id_type = corpus.schema[id_col].dataType.simpleString()
-    scored = _bucket_rerank_pairs(cb, qb, "bucket", id_type)
+    scored = _bucket_rerank_pairs(
+        cb, qb, "bucket", id_type, n_chunks=_derive_chunks(corpus, max_chunk_rows)
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
@@ -420,9 +469,16 @@ def _l2_candidates(V: "np.ndarray", C: "np.ndarray", n_keep: int):
     1. PRUNE with the matmul expansion ``|v|^2 - 2 v.c + |c|^2`` —
        fast but in a different IEEE op order, so only used to bound.
     2. Candidates = centroids within ``margin`` of the row's
-       ``n_keep``-th smallest approximate distance, where margin =
-       1e-6 + 1e-9·|thresh| covers both the expansion's error
-       (~|D|·1e-14) and the 9-dp rounding tie window. The caller
+       ``n_keep``-th smallest approximate distance. The margin has
+       three terms: 1e-6 covers the 9-dp rounding tie window,
+       1e-9·|thresh| covers relative error proportional to the
+       distance itself, and 8·eps·(|v|² + max|c|²) covers the
+       expansion's CANCELLATION error — for nearly-identical
+       large-magnitude vectors the true distance is tiny while the
+       matmul expansion subtracts huge intermediates, so its absolute
+       error scales with the operand magnitudes, not the distance
+       (ADVICE r7: without this term, coordinates ~1e5+ near a
+       centroid could prune the true nearest list). The caller
        recomputes the EXACT per-element ``(v-c)^2`` sum (identical op
        order to the naive form, so the q51 gate stays bit-exact) only
        on this ~n_keep-sized set."""
@@ -431,7 +487,8 @@ def _l2_candidates(V: "np.ndarray", C: "np.ndarray", n_keep: int):
     Dap = x2[:, None] - 2.0 * (V @ C.T) + c2[None, :]
     kk = min(n_keep, C.shape[0])
     thresh = np.partition(Dap, kk - 1, axis=1)[:, kk - 1]
-    margin = 1e-6 + 1e-9 * np.abs(thresh)
+    eps = np.finfo(np.float64).eps
+    margin = 1e-6 + 1e-9 * np.abs(thresh) + 8.0 * eps * (x2 + (c2.max() if len(c2) else 0.0))
     return np.nonzero(Dap <= (thresh + margin)[:, None])
 
 
@@ -486,6 +543,7 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_chunk_rows: int | None = 200_000,
 ) -> DataFrame:
     """IVF-flat ANN: coarse-quantize the corpus into inverted lists,
     probe the query's ``nprobe`` nearest lists, exact cosine rerank
@@ -507,7 +565,9 @@ def ivf_topk(
         "probe",
     )
     id_type = corpus.schema[id_col].dataType.simpleString()
-    scored = _bucket_rerank_pairs(cb, qb, "probe", id_type).dropDuplicates(
+    scored = _bucket_rerank_pairs(
+        cb, qb, "probe", id_type, n_chunks=_derive_chunks(corpus, max_chunk_rows)
+    ).dropDuplicates(
         # a (query, neighbor) pair can appear once per shared probe
         # list, always with the same rounded score
         ["query_id", "neighbor_id"]

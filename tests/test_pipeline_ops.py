@@ -320,3 +320,43 @@ def test_repetition_arrow_jvm_parity(spark):
     assert [r.asDict() for r in a] == [r.asDict() for r in b]
     assert a[6].repetition > 0.8 and a[4].repetition == 0.0
     assert a[1].repetition == 0.0 and a[3].repetition == 0.0
+
+
+def test_decontaminate_semijoin_matches_broadcast(spark):
+    """VERDICT r7 #4: above the broadcast size gate decontaminate must
+    degrade to the distributed hash semi-join — value-identically.
+    Force the fallback with max_broadcast_shingles=0 and compare both
+    paths row-for-row, including threshold<=0 (zero-contamination docs
+    with ≥1 shingle must appear on BOTH paths) and zero-shingle docs
+    (omitted on both)."""
+    from strat_backtest_spark.operators.dedup import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox sat still all day long"),
+            (3, "completely unrelated text about spark partitions here"),
+            (4, "too short"),  # < n tokens: no shingles, omitted
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(1, "the quick brown fox jumps high")], "doc_id long, text string"
+    )
+    for thr in (0.2, 0.0):
+        b = sorted(
+            (r["doc_id"], r["contamination"])
+            for r in decontaminate(docs, bench, threshold=thr).collect()
+        )
+        s = sorted(
+            (r["doc_id"], r["contamination"])
+            for r in decontaminate(
+                docs, bench, threshold=thr, max_broadcast_shingles=0
+            ).collect()
+        )
+        assert b == s, (thr, b, s)
+        if thr == 0.0:
+            assert [d for d, _ in b] == [1, 2, 3]  # 4,5 shingle-less
+        else:
+            assert all(c >= thr for _, c in b) and len(b) >= 1

@@ -168,3 +168,93 @@ def test_ivf_hybrid_prune_matches_naive_distance_order():
         got = np.split(out_cids, np.cumsum(np.minimum(counts, npr))[:-1])
         for r in range(N):
             assert (ref_probes[r] == got[r]).all(), (trial, r)
+
+def test_ivf_prune_margin_large_magnitude():
+    """ADVICE r7 (medium): the matmul expansion's CANCELLATION error
+    scales with |v|²+|c|², not with the distance — for un-normalized
+    ~1e5-magnitude vectors sitting near a centroid the old
+    distance-scaled margin could prune the true nearest list. The
+    margin now carries an 8·eps·(|v|²+max|c|²) term; pin it with
+    adversarial trials: huge-magnitude clusters with vectors a tiny
+    perturbation away from their centroid."""
+    import numpy as np
+
+    from strat_backtest_spark.functions.numeric import round_half_up
+    from strat_backtest_spark.operators.similarity import _l2_candidates, _l2_exact
+
+    rng = np.random.default_rng(42)
+    for trial in range(10):
+        K, d = 8, 16
+        scale = 10.0 ** rng.integers(4, 7)  # 1e4..1e6 coordinates
+        C = rng.normal(0, scale, (K, d))
+        # each vector = a centroid + a perturbation ~12 orders smaller
+        picks = rng.integers(0, K, 300)
+        V = C[picks] + rng.normal(0, scale * 1e-12, (300, d))
+        cids = np.arange(K)
+        D = round_half_up(((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), 9)
+        best = D.min(axis=1, keepdims=True)
+        cand = np.where(D == best, cids[None, :], np.iinfo(np.int64).max)
+        ref_assign = cand.min(axis=1)
+        rows, ks = _l2_candidates(V, C, 1)
+        Dex = _l2_exact(V, C, rows, ks)
+        order = np.lexsort((cids[ks], Dex, rows))
+        first = np.unique(rows[order], return_index=True)[1]
+        got = cids[ks[order[first]]]
+        assert (ref_assign == got).all(), (trial, scale)
+
+
+def test_bucket_rerank_chunking_invariance(spark):
+    """The degenerate-bucket guard (hash-salt chunking of the corpus
+    side of the rerank cogroup) must be value-invariant: forcing many
+    tiny chunks produces byte-identical top-k to the unchunked plan,
+    for both the LSH and IVF paths."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from strat_backtest_spark.operators.similarity import ann_topk, ivf_topk
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(size=64)]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") < 4)
+
+    def key(r):
+        return (r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"])
+
+    base = sorted(map(key, ann_topk(df, q, k=5, max_chunk_rows=None).collect()))
+    chunked = sorted(map(key, ann_topk(df, q, k=5, max_chunk_rows=20).collect()))
+    assert base == chunked and len(base) > 0
+
+    codebook = [(c, [float(x) for x in rng.normal(size=64)]) for c in range(4)]
+    base = sorted(map(key, ivf_topk(df, q, codebook, k=5, nprobe=2, max_chunk_rows=None).collect()))
+    chunked = sorted(map(key, ivf_topk(df, q, codebook, k=5, nprobe=2, max_chunk_rows=20).collect()))
+    assert base == chunked and len(base) > 0
+
+
+def test_zero_norm_nan_policy_uniform(spark):
+    """ADVICE r7: one NaN policy for all three scorers — zero-norm
+    vectors (undefined cosine) are DROPPED, never emitted or ranked.
+    A zero corpus vector must appear in nobody's neighbor list; a zero
+    QUERY vector must yield zero rows for that query."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from strat_backtest_spark.operators.similarity import ann_topk, cosine_topk, ivf_topk
+
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(40)]
+    rows.append((99, [0.0] * 8))  # zero-norm corpus vector
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id").isin(0, 1, 99))  # 99 is a zero-norm QUERY too
+    codebook = [(c, [float(x) for x in rng.normal(size=8)]) for c in range(3)]
+
+    for out in (
+        cosine_topk(df, q, k=40),
+        ann_topk(df, q, k=40, n_planes=2, dim=8, max_chunk_rows=None),
+        ivf_topk(df, q, codebook, k=40, nprobe=3, max_chunk_rows=None),
+    ):
+        got = out.collect()
+        assert all(r["neighbor_id"] != 99 for r in got)
+        assert all(r["query_id"] != 99 for r in got)
+        assert all(not np.isnan(r["cos_sim"]) for r in got)
+        assert any(r["query_id"] == 0 for r in got)  # normal queries still served

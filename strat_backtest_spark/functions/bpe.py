@@ -77,6 +77,11 @@ class BpeTokenizer:
 
     def __init__(self, merges: list[tuple[str, str]]):
         self.ranks = {pair: i for i, pair in enumerate(merges)}
+        # per-worker memo of word -> token count: corpora repeat words
+        # massively, and the greedy merge loop is the hot cost. Bounded
+        # so a pathological all-unique-words corpus cannot grow it
+        # without limit. Starts empty after pickling (ships no state).
+        self._wcache: dict[str, int] = {}
 
     def encode_word(self, word: str) -> list[str]:
         parts = list(word) + [_END]
@@ -100,7 +105,21 @@ class BpeTokenizer:
             out.extend(self.encode_word(w))
         return out
 
+    def _count_word(self, w: str) -> int:
+        n = self._wcache.get(w)
+        if n is None:
+            n = len(self.encode_word(w))
+            if len(self._wcache) < 5_000_000:
+                self._wcache[w] = n
+        return n
+
     def count(self, texts: pd.Series) -> pd.Series:
         """Batch token counter with the ``fn(pd.Series[str]) ->
-        pd.Series[int]`` contract of the injection point."""
-        return texts.map(lambda t: len(self.encode(t)) if isinstance(t, str) else 0)
+        pd.Series[int]`` contract of the injection point. Counts via
+        the per-word memo — identical to ``len(self.encode(t))``
+        (encode concatenates per-word encodings, so lengths add)."""
+        return texts.map(
+            lambda t: sum(self._count_word(w) for w in pretokenize(t))
+            if isinstance(t, str)
+            else 0
+        )

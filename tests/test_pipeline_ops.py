@@ -360,3 +360,40 @@ def test_decontaminate_semijoin_matches_broadcast(spark):
             assert [d for d, _ in b] == [1, 2, 3]  # 4,5 shingle-less
         else:
             assert all(c >= thr for _, c in b) and len(b) >= 1
+
+
+def test_connected_components_precontract_invariance(spark):
+    """The partition-local contraction is a connectivity certificate:
+    labels must be byte-identical with and without it, for any
+    partitioning — including partitions that slice components apart
+    (random repartition) and a worst case where every partition holds
+    a disjoint slice of one long chain."""
+    import random
+
+    from strat_backtest_spark.operators.dedup import connected_components
+
+    rng = random.Random(13)
+    edges = [(i + 1, i) for i in range(0, 120)]  # one long chain
+    edges += [(rng.randrange(200, 260), rng.randrange(200, 260)) for _ in range(150)]
+    edges += [(500, 500), (601, 600)]
+    rng.shuffle(edges)
+    for parts in (1, 7, 32):
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long").repartition(parts)
+        base = {
+            r["id"]: r["component"]
+            for r in connected_components(
+                pairs, local_threshold=0, precontract=False
+            ).collect()
+        }
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(
+                pairs, local_threshold=0, precontract=True
+            ).collect()
+        }
+        ref = {
+            r["id"]: r["component"]
+            for r in connected_components(pairs).collect()  # driver union-find
+        }
+        assert got == base == ref, parts
+        assert all(got[i] == 0 for i in range(0, 121))

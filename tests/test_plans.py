@@ -249,3 +249,52 @@ def test_q23_signature_stage_evaluates_once(spark):
     # the old cross-band dedup was a HashAggregate over (id_a, id_b,
     # est_jaccard) — its signature is a shuffle on those keys
     assert "hashpartitioning(id_a" not in p, "pair-stream distinct came back"
+
+
+def test_q68_dedup_apply_plan_shape(spark):
+    """q68 emits the deduplicated corpus via an ids-only anti-join:
+    every exchange keys on doc_id, the documents scan for the join
+    side prunes to doc_id alone (no text column read, let alone
+    shuffled), and the plan holds at the audited round-8 shape
+    (≤3 exchanges, ≤2 scans, no Python stage)."""
+    import re
+
+    from strat_backtest_spark.plans.catalog import CATALOG
+
+    spark.catalog.clearCache()
+    p = _formatted(CATALOG["q68_dedup_apply"].fn(spark, SF_MED))
+    assert "Exchange SinglePartition" not in p, "global funnel leaked into q68"
+    keys = set(re.findall(r"hashpartitioning\((\w+)", p))
+    assert keys <= {"doc_id"}, f"unexpected shuffle keys: {keys}"
+    assert len(_distinct_exchanges(p)) <= 3, "q68 gained exchanges"
+    assert p.count("Scan parquet") <= 2, "q68 gained source scans"
+    assert "MapInPandas" not in p
+    for line in p.splitlines():
+        if "ReadSchema" in line:
+            assert "text" not in line, "q68 reads document text:\n" + line
+        if "Exchange" in line:
+            assert "text" not in line, "document text shuffles in q68:\n" + line
+
+
+def test_q69_curation_plan_shape(spark):
+    """q69 composes dedup-apply → decontaminate → chunk as ONE Catalyst
+    plan. Ratchet the scale properties: all exchanges key on doc_id,
+    document text appears in map-side scans/Python stages but NEVER in
+    an exchange, and the plan holds at the audited round-8 shape
+    (≤5 exchanges, ≤4 scans, ≤2 Arrow stages: decontaminate's corpus
+    pass + chunking)."""
+    import re
+
+    from strat_backtest_spark.plans.catalog import CATALOG
+
+    spark.catalog.clearCache()
+    p = _formatted(CATALOG["q69_curation_end_to_end"].fn(spark, SF_MED))
+    assert "Exchange SinglePartition" not in p, "global funnel leaked into q69"
+    keys = set(re.findall(r"hashpartitioning\((\w+)", p))
+    assert keys <= {"doc_id"}, f"unexpected shuffle keys: {keys}"
+    assert len(_distinct_exchanges(p)) <= 5, "q69 gained exchanges"
+    assert p.count("Scan parquet") <= 4, "q69 gained source scans"
+    assert p.count("MapInPandas") <= 2, "q69 gained Python stages"
+    for line in p.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line, "document text shuffles in q69:\n" + line

@@ -53,8 +53,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # window, as do the entries touched this round: the similarity family
 # (q30/q31/q47/q51 — margin + NaN-policy + bucket-cap fixes), the
 # dedup family consumers of decontaminate/connected-components
-# (q55/q56/q60/q68/q69), and q26 (BPE tokenizer scale run). The tail
-# is 23 untouched entries, every one hash-green in r07.
+# (q55/q56/q60/q68/q69), q26 (BPE tokenizer scale run), and the three
+# NEW round-8 entries (q74 PII scrub, q75 dup-n-gram fraction, q76
+# semantic dedup apply — never gated, must be in the window). Catalog
+# is now 76 entries; the tail is 26 untouched entries, every one
+# hash-green in r07, keeping the head at exactly 50.
 _SWEEP_TAIL = [
     "q01_pricing_summary",        # hash-match r01-r07, untouched r8
     "q02_regional_revenue",       # hash-match r01-r07, untouched r8
@@ -79,6 +82,9 @@ _SWEEP_TAIL = [
     "q38_multimodal_features",    # hash-match r02-r07, untouched r8
     "q53_resample_ohlc",          # hash-match r07 (oracle BIGINT fix), untouched r8
     "q61_repetition_score",       # hash-match r07 (Arrow rewrite), untouched r8
+    "q39_ma_cross_signals",       # hash-match r02-r07, untouched r8
+    "q43_stream_windowed_agg",    # hash-match r02-r07, untouched r8
+    "q48_stream_sessionize",      # hash-match r02-r07, untouched r8
 ]
 
 

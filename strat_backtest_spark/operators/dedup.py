@@ -898,18 +898,24 @@ def decontaminate(
     bench_hashes = (
         benchmark.select(text_col).mapInPandas(_bench_rows, "h long").distinct()
     )
-    # The gate costs one count() job over the (small) benchmark side;
-    # whichever path wins re-evaluates that pipeline once more
-    # (toPandas here, the join there). Deliberately NOT persisted:
-    # under the eval ≪ corpus contract the second pass is cheap, and
-    # leaving cached blocks behind is the exact lingering-state
-    # complaint this gate exists to fix.
-    n_bench = bench_hashes.count()
-    if n_bench > int(max_broadcast_shingles):
-        return _decontaminate_semijoin(
-            df, bench_hashes, n, threshold, text_col, id_col, id_type
-        )
-    bench_pdf = bench_hashes.toPandas()
+    # The gate needs one count() job over the benchmark side. Persist
+    # around it so the winning broadcast path's toPandas reads the
+    # cached hashes instead of re-shingling the benchmark (at a
+    # 250k-doc benchmark the extra pass is ~minutes), then drop the
+    # cache IMMEDIATELY once the path is chosen — no lingering blocks
+    # either way. The (rare, oversized) semi-join path recomputes the
+    # bench pipeline lazily inside its join: one extra pass over the
+    # small side is the price of leaving no cached state behind.
+    bench_hashes.persist(StorageLevel.DISK_ONLY)
+    try:
+        n_bench = bench_hashes.count()
+        if n_bench > int(max_broadcast_shingles):
+            return _decontaminate_semijoin(
+                df, bench_hashes, n, threshold, text_col, id_col, id_type
+            )
+        bench_pdf = bench_hashes.toPandas()
+    finally:
+        bench_hashes.unpersist()
     bench_arr = np.sort(bench_pdf["h"].to_numpy(dtype=np.int64))
     bcast = spark.sparkContext.broadcast(bench_arr)
 
@@ -964,6 +970,28 @@ def _decontaminate_semijoin(
     (exercised by tests/test_pipeline_ops.py's equivalence test):
     same rounding Column, same zero-shingle-doc omission. Document
     text never shuffles; the exchange carries 8-byte hashes."""
+    pairs = shingle_hash_pairs(df, n, text_col, id_col, id_type)
+    joined = pairs.join(
+        bench_hashes.withColumn("__hit", F.lit(1)), on="h", how="left"
+    )
+    agg = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("__nh"),
+    )
+    return agg.select(
+        F.col(id_col),
+        F.round(F.col("__nh") / F.col("__n"), 6).alias("contamination"),
+    ).filter(F.col("contamination") >= threshold)
+
+
+def shingle_hash_pairs(
+    df: DataFrame, n: int, text_col: str, id_col: str, id_type: str
+) -> DataFrame:
+    """Slim (id, shingle-hash) rows, one per DISTINCT shingle per doc
+    (``_py_shingle_hashes`` returns a set): the shared Arrow pass
+    behind the distributed decontaminate path and ``dup_ngram_stats``.
+    Zero-shingle docs (shorter than ``n`` tokens) emit nothing. Text
+    stays in the map stage; only 8-byte hashes ever shuffle."""
 
     def _pairs(batches):
         for pdf in batches:
@@ -976,17 +1004,40 @@ def _decontaminate_semijoin(
                 hs_all.extend(hs)
             yield pd.DataFrame({id_col: ids, "h": np.array(hs_all, dtype=np.int64)})
 
-    pairs = df.select(id_col, text_col).mapInPandas(
+    return df.select(id_col, text_col).mapInPandas(
         _pairs, f"{id_col} {id_type}, h long"
     )
-    joined = pairs.join(
-        bench_hashes.withColumn("__hit", F.lit(1)), on="h", how="left"
-    )
+
+
+def dup_ngram_stats(
+    df: DataFrame,
+    n: int = 3,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide duplicated-n-gram profile per document (the C4-style
+    boilerplate signal): (doc_id, n_shingles, dup_fraction) where
+    dup_fraction = fraction of the doc's DISTINCT shingles that occur
+    in at least ``min_docs`` distinct documents corpus-wide.
+
+    Scale shape: one Arrow shingle pass emits slim (doc_id, h) rows;
+    a groupBy(h) counts containing docs (rows are per-doc distinct, so
+    count(*) IS the doc count — map-side partial aggregation applies);
+    the join back and the groupBy(doc_id) both carry only ids, hashes
+    and two longs. Document text never shuffles. Docs shorter than
+    ``n`` tokens emit nothing (no shingles — consistent with
+    ``decontaminate``)."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    pairs = shingle_hash_pairs(df, n, text_col, id_col, id_type)
+    freq = pairs.groupBy("h").agg(F.count(F.lit(1)).alias("__nd"))
+    joined = pairs.join(freq, "h")
     agg = joined.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("__n"),
-        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("__nh"),
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum((F.col("__nd") >= min_docs).cast("long")).alias("__ndup"),
     )
     return agg.select(
         F.col(id_col),
-        F.round(F.col("__nh") / F.col("__n"), 6).alias("contamination"),
-    ).filter(F.col("contamination") >= threshold)
+        F.col("n_shingles"),
+        F.round(F.col("__ndup") / F.col("n_shingles"), 6).alias("dup_fraction"),
+    )

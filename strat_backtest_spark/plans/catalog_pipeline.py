@@ -866,3 +866,159 @@ def q70_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dup_rate"),
     )
+
+
+# ===========================================================================
+# Round-8 additions: PII scrub, corpus-wide dup-n-gram profile,
+# semantic dedup apply
+# ===========================================================================
+
+# Deterministic PII augmentation shared by the Spark entry and its
+# mirror: the synthetic documents carry no PII, so every third doc gets
+# an email + phone + IPv4 appended — derived from doc_id on BOTH
+# engines — and the scrub operator is exercised against text that
+# actually contains each pattern class (and against untouched docs,
+# which must pass through byte-identical).
+_PII_AUG_SQL = """
+    CASE WHEN doc_id % 3 = 0 THEN
+      text || ' contact user' || doc_id::VARCHAR || '@example.com'
+           || ' call 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-1234'
+           || ' host 10.0.' || (doc_id % 256)::VARCHAR || '.7'
+    ELSE text END
+"""
+
+
+@query(
+    "q74_pii_scrub",
+    oracle=f"""
+    WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS text FROM documents),
+    s1 AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_emails,
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g') AS text
+      FROM aug
+    ), s2 AS (
+      SELECT doc_id, n_emails,
+             len(regexp_extract_all(text, '\\d{{3}}-\\d{{3}}-\\d{{4}}')) AS n_phones,
+             regexp_replace(text, '\\d{{3}}-\\d{{3}}-\\d{{4}}', '<PHONE>', 'g') AS text
+      FROM s1
+    )
+    SELECT doc_id, n_emails, n_phones,
+           len(regexp_extract_all(text, '\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}')) AS n_ips,
+           md5(regexp_replace(text, '\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}', '<IP>', 'g')) AS scrub_hash
+    FROM s2
+    """,
+)
+def q74_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction as a pure-codegen map stage (operators/pii.py):
+    emails → phones → IPv4 scrubbed sequentially with per-class
+    counts; result proven by the md5 of the fully scrubbed text. The
+    patterns are restricted to the Java/RE2-identical regex subset so
+    the DuckDB mirror is verbatim."""
+    from strat_backtest_spark.operators.pii import pii_scrub
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com"),
+                F.lit(" call 555-"), F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"), F.lit("-1234"),
+                F.lit(" host 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    scrubbed = pii_scrub(aug)
+    return scrubbed.select(
+        "doc_id", "n_emails", "n_phones", "n_ips",
+        F.md5(F.col("text").cast("binary")).alias("scrub_hash"),
+    )
+
+
+@query(
+    "q75_dup_ngram_fraction",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_shingle_hashes_sql(3)} AS sh FROM tok),
+    docs_h AS (SELECT doc_id, unnest(sh) AS h FROM sh),
+    freq AS (SELECT h, count(*) AS nd FROM docs_h GROUP BY h)
+    SELECT doc_id, count(*) AS n_shingles,
+           round(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) / count(*), 6) AS dup_fraction
+    FROM docs_h JOIN freq USING (h)
+    GROUP BY doc_id
+    """,
+)
+def q75_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicated-3-gram fraction per doc (the C4-style
+    boilerplate signal): one Arrow shingle pass, hash-keyed frequency
+    agg, ids/hashes-only join back — document text never shuffles
+    (operators/dedup.dup_ngram_stats)."""
+    from strat_backtest_spark.operators.dedup import dup_ngram_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return dup_ngram_stats(docs, n=3, min_docs=2)
+
+
+def _q76_pairs_sql(threshold: float) -> str:
+    """q47's three-table capped-bucket near-dup pair SQL at an
+    arbitrary cosine threshold (q47 pins 0.18; semantic dedup wants a
+    tighter 0.35 so components stay dedup-sized)."""
+    return f"""
+    WITH cb AS (
+      SELECT 0 AS tbl, a.vec_id, a.embedding, {_bucket_sql('a', plane_offset=0)} AS bucket FROM embeddings a
+      UNION ALL
+      SELECT 1 AS tbl, a.vec_id, a.embedding, {_bucket_sql('a', plane_offset=6)} AS bucket FROM embeddings a
+      UNION ALL
+      SELECT 2 AS tbl, a.vec_id, a.embedding, {_bucket_sql('a', plane_offset=12)} AS bucket FROM embeddings a
+    ), capped AS (
+      SELECT * FROM cb QUALIFY count(*) OVER (PARTITION BY tbl, bucket) <= 2000
+    )
+    SELECT DISTINCT id_a, id_b FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round({_DOT} / ({_NORM_A} * {_NORM_B}), 6) AS cos_sim
+      FROM capped a JOIN capped b ON a.tbl = b.tbl AND a.bucket = b.bucket
+      WHERE a.vec_id < b.vec_id
+    ) WHERE cos_sim >= {threshold}
+    """
+
+
+@query(
+    "q76_semantic_dedup_apply",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_q76_pairs_sql(0.35)}),
+    und AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT src, src FROM und
+      UNION
+      SELECT src, dst FROM und
+      UNION
+      SELECT reach.id, und.dst FROM reach JOIN und ON reach.r = und.src
+    ),
+    cc AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+    SELECT e.vec_id FROM embeddings e
+    LEFT JOIN cc ON e.vec_id = cc.id AND cc.id <> cc.component
+    WHERE cc.id IS NULL
+    """,
+)
+def q76_semantic_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication applied to the corpus:
+    embedding-cosine near-dup pairs (three LSH tables, capped buckets,
+    cos ≥ 0.35) → connected components → keep each component's
+    smallest vec_id plus every untouched vector. Ids only past the
+    pair stage; embeddings never shuffle after bucketing."""
+    from strat_backtest_spark.operators.dedup import connected_components
+    from strat_backtest_spark.operators.similarity import embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_pairs(emb, threshold=0.35, n_tables=3)
+    cc = connected_components(pairs)
+    removed = cc.filter(F.col("component") != F.col("id")).select(
+        F.col("id").alias("vec_id")
+    )
+    return emb.select("vec_id").join(removed, "vec_id", "left_anti")

@@ -397,3 +397,85 @@ def test_connected_components_precontract_invariance(spark):
         }
         assert got == base == ref, parts
         assert all(got[i] == 0 for i in range(0, 121))
+
+
+def test_pii_scrub_sequential_counts(spark):
+    """pii_scrub semantics: emails scrubbed before phones before IPs,
+    each counted on the text as left by the previous stage; docs
+    without PII pass through byte-identical with zero counts."""
+    from strat_backtest_spark.operators.pii import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.com and c.d-e@sub.domain.org call 555-123-4567 ip 10.0.0.1"),
+            (2, "no pii here just words"),
+            (3, "ips 1.2.3.4 and 255.255.255.255 only"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    r1 = got[1]
+    assert (r1["n_emails"], r1["n_phones"], r1["n_ips"]) == (2, 1, 1)
+    assert "<EMAIL>" in r1["text"] and "<PHONE>" in r1["text"] and "<IP>" in r1["text"]
+    assert "a@b.com" not in r1["text"] and "555-123-4567" not in r1["text"]
+    r2 = got[2]
+    assert (r2["n_emails"], r2["n_phones"], r2["n_ips"]) == (0, 0, 0)
+    assert r2["text"] == "no pii here just words"
+    assert (got[3]["n_emails"], got[3]["n_phones"], got[3]["n_ips"]) == (0, 0, 2)
+    assert got[4]["text"] is None
+
+
+def test_dup_ngram_stats_known_fractions(spark):
+    """Two docs sharing their full 3-gram set → dup_fraction 1.0 for
+    both; a unique doc → 0.0; partitioning-invariant; short docs
+    (< n tokens) omitted."""
+    from strat_backtest_spark.operators.dedup import dup_ngram_stats
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta"),
+        (3, "completely different words entirely here"),
+        (4, "too short"),
+    ]
+    for parts in (1, 8):
+        df = spark.createDataFrame(rows, "doc_id long, text string").repartition(parts)
+        got = {r["doc_id"]: r for r in dup_ngram_stats(df).collect()}
+        assert set(got) == {1, 2, 3}
+        assert got[1]["n_shingles"] == 2 and got[1]["dup_fraction"] == 1.0
+        assert got[2]["dup_fraction"] == 1.0
+        assert got[3]["dup_fraction"] == 0.0 and got[3]["n_shingles"] == 3
+
+
+def test_semantic_dedup_keeps_component_minimum(spark):
+    """q76's apply step: within each near-dup component exactly the
+    smallest vec_id survives, and vectors in no component all
+    survive."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from strat_backtest_spark.operators.dedup import connected_components
+    from strat_backtest_spark.operators.similarity import embedding_neardup_pairs
+
+    rng = np.random.default_rng(21)
+    rows = []
+    for g in range(10):  # 10 clusters of 3 near-identical vectors
+        base = rng.normal(size=64)
+        for j in range(3):
+            v = base + rng.normal(scale=0.01, size=64)
+            rows.append((g * 10 + j, [float(x) for x in v]))
+    rows.append((990, [float(x) for x in rng.normal(size=64)]))  # loner
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = embedding_neardup_pairs(emb, threshold=0.9, n_tables=3)
+    cc = connected_components(pairs)
+    removed = cc.filter(F.col("component") != F.col("id")).select(
+        F.col("id").alias("vec_id")
+    )
+    kept = {r["vec_id"] for r in emb.select("vec_id").join(removed, "vec_id", "left_anti").collect()}
+    comp = {}
+    for r in cc.collect():
+        comp.setdefault(r["component"], []).append(r["id"])
+    for c, members in comp.items():
+        assert min(members) == c
+        assert set(members) & kept == {c}, (c, members, kept)
+    assert 990 in kept

@@ -54,10 +54,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # (q30/q31/q47/q51 — margin + NaN-policy + bucket-cap fixes), the
 # dedup family consumers of decontaminate/connected-components
 # (q55/q56/q60/q68/q69), q26 (BPE tokenizer scale run), and the three
-# NEW round-8 entries (q74 PII scrub, q75 dup-n-gram fraction, q76
-# semantic dedup apply — never gated, must be in the window). Catalog
-# is now 76 entries; the tail is 26 untouched entries, every one
-# hash-green in r07, keeping the head at exactly 50.
+# FOUR new round-8 entries (q74 PII scrub, q75 dup-n-gram fraction,
+# q76 semantic dedup apply, q77 line-level dedup — never gated, must
+# be in the window). Catalog is now 77 entries; the tail is 27
+# untouched entries, every one hash-green in r07, keeping the head at
+# exactly 50.
 _SWEEP_TAIL = [
     "q01_pricing_summary",        # hash-match r01-r07, untouched r8
     "q02_regional_revenue",       # hash-match r01-r07, untouched r8
@@ -85,6 +86,7 @@ _SWEEP_TAIL = [
     "q39_ma_cross_signals",       # hash-match r02-r07, untouched r8
     "q43_stream_windowed_agg",    # hash-match r02-r07, untouched r8
     "q48_stream_sessionize",      # hash-match r02-r07, untouched r8
+    "q49_stream_signal_edges",    # hash-match r02-r07, untouched r8
 ]
 
 

@@ -37,12 +37,36 @@ def pii_scrub(
 ) -> DataFrame:
     """Redact PII in ``text_col``: returns the input plus one count
     column per rule (n_emails, n_phones, n_ips) and the scrubbed text
-    in ``out_col`` (default: replace ``text_col`` in place)."""
+    in ``out_col`` (default: replace ``text_col`` in place).
+
+    Each stage's (count, scrubbed text) pair is materialized behind a
+    Generate (explode of a one-element struct array) before the next
+    stage reads it — the same barrier as ``predict_language``. Without
+    it CollapseProject inlines the replace chain into every consumer
+    and the email regex runs 4× per row, phone 3×, IP 2× (visible in
+    the collapsed plan's Project). Generate is codegen-capable, so the
+    scrub stays one map-only whole-stage-codegen pass with no Python
+    worker and no shuffle (plan-ratcheted in tests/test_plans.py)."""
     out_col = out_col or text_col
-    cur: Column = F.col(text_col)
-    counts = []
-    for pat, placeholder, cnt_name in PII_RULES:
-        counts.append(F.regexp_count(cur, F.lit(pat)).alias(cnt_name))
-        cur = F.regexp_replace(cur, pat, placeholder)
     keep = [c for c in df.columns if c != out_col]
-    return df.select(*keep, *counts, cur.alias(out_col))
+    done: list[str] = []
+    cur = df
+    cur_text: Column = F.col(text_col)
+    last = len(PII_RULES) - 1
+    for i, (pat, placeholder, cnt_name) in enumerate(PII_RULES):
+        stage = F.struct(
+            F.regexp_count(cur_text, F.lit(pat)).alias("n"),
+            F.regexp_replace(cur_text, pat, placeholder).alias("t"),
+        )
+        text_alias = out_col if i == last else "__pii_text"
+        cur = cur.select(
+            *keep, *done, F.explode(F.array(stage)).alias("__pii")
+        ).select(
+            *keep,
+            *done,
+            F.col("__pii.n").alias(cnt_name),
+            F.col("__pii.t").alias(text_alias),
+        )
+        done.append(cnt_name)
+        cur_text = F.col(text_alias)
+    return cur

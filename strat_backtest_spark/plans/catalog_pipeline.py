@@ -1022,3 +1022,66 @@ def q76_semantic_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("vec_id")
     )
     return emb.select("vec_id").join(removed, "vec_id", "left_anti")
+
+
+@query(
+    "q77_line_dedup",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 2 = 0
+                          THEN chr(10) || 'subscribe to our newsletter today'
+                          ELSE '' END
+                  || chr(10) || 'ref-' || doc_id::VARCHAR AS text
+      FROM documents
+    ),
+    l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM aug),
+    lines AS (
+      SELECT doc_id, unnest(range(len(ls))) AS idx, unnest(ls) AS line FROM l
+    ),
+    dl AS (SELECT DISTINCT doc_id, line FROM lines),
+    freq AS (SELECT line, count(*) AS nd FROM dl GROUP BY line),
+    marked AS (
+      SELECT doc_id, idx, line,
+             line IN (SELECT line FROM freq WHERE nd >= 2) AS bad
+      FROM lines
+    )
+    SELECT doc_id,
+      sum(CASE WHEN NOT bad THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+      sum(CASE WHEN bad THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+      md5(coalesce(string_agg(CASE WHEN NOT bad THEN line END, chr(10) ORDER BY idx), '')) AS new_text_hash
+    FROM marked GROUP BY doc_id
+    """,
+)
+def q77_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level dedup (operators/dedup.line_dedup): every
+    line occurring in ≥2 distinct documents corpus-wide is deleted,
+    survivors keep their order. The synthetic docs are single-line, so
+    both engines deterministically append a shared boilerplate line to
+    every even doc (must die) and a per-doc unique ref line (must
+    survive); the original first line dies exactly when the document
+    text is an exact corpus duplicate. Proven by the md5 of the
+    rebuilt text. Line text never shuffles — only xxhash64 values and
+    (id, idx) ints (plan-ratcheted)."""
+    from strat_backtest_spark.operators.dedup import line_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.lit("\nsubscribe to our newsletter today"),
+            ).otherwise(F.lit("")),
+            F.lit("\nref-"),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    out = line_dedup(aug, min_docs=2)
+    return out.select(
+        "doc_id",
+        "n_kept",
+        "n_removed",
+        F.md5(F.col("text").cast("binary")).alias("new_text_hash"),
+    )

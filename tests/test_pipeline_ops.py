@@ -479,3 +479,29 @@ def test_semantic_dedup_keeps_component_minimum(spark):
         assert min(members) == c
         assert set(members) & kept == {c}, (c, members, kept)
     assert 990 in kept
+
+
+def test_line_dedup_known_lines(spark):
+    """Lines in >=2 distinct docs die (even when repeated within one
+    doc — within-doc repeats don't count toward the threshold by
+    themselves); unique lines survive in order; a doc losing every
+    line keeps an empty string; partitioning-invariant."""
+    from strat_backtest_spark.operators.dedup import line_dedup
+
+    rows = [
+        (1, "keep me one\nshared banner\nkeep me two"),
+        (2, "shared banner\nunique middle\nshared banner"),
+        (3, "solo doc line"),
+        (4, "shared banner"),
+        (5, "twin\ntwin"),  # within-doc repeat only: must SURVIVE
+    ]
+    for parts in (1, 8):
+        df = spark.createDataFrame(rows, "doc_id long, text string").repartition(parts)
+        got = {r["doc_id"]: r for r in line_dedup(df, min_docs=2).collect()}
+        assert got[1]["text"] == "keep me one\nkeep me two"
+        assert (got[1]["n_kept"], got[1]["n_removed"]) == (2, 1)
+        assert got[2]["text"] == "unique middle"
+        assert (got[2]["n_kept"], got[2]["n_removed"]) == (1, 2)
+        assert got[3]["text"] == "solo doc line"
+        assert got[4]["text"] == "" and got[4]["n_kept"] == 0
+        assert got[5]["text"] == "twin\ntwin" and got[5]["n_removed"] == 0

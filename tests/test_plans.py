@@ -298,3 +298,58 @@ def test_q69_curation_plan_shape(spark):
     for line in p.splitlines():
         if "Exchange" in line:
             assert "text" not in line, "document text shuffles in q69:\n" + line
+
+
+def test_q74_pii_scrub_is_map_only(spark):
+    """PII scrub is a pure-codegen projection: no Python stage, no
+    exchange — it must ride the scan like any other map-only op, so a
+    100 TB scrub is exactly one pass with zero shuffle."""
+    from strat_backtest_spark.plans.catalog import CATALOG
+
+    p = _formatted(CATALOG["q74_pii_scrub"].fn(spark, SF_MED))
+    # only the tiny-SF round-robin repartition from _t — no key shuffle
+    assert "hashpartitioning" not in p and "SinglePartition" not in p, p
+    assert "MapInPandas" not in p and "BatchEvalPython" not in p, (
+        "PII scrub left codegen for a Python stage"
+    )
+    # the Generate barriers hold: each rule's replace evaluates exactly
+    # once per row (CollapseProject would inline them 4x/3x/2x)
+    assert p.count("regexp_replace") == 3, p.count("regexp_replace")
+    assert p.count("Generate (") == 3  # tree section: one barrier per rule
+
+
+def test_q75_shingle_pass_evaluates_once(spark):
+    """dup_ngram_stats' (id, h) rows feed the frequency agg AND the
+    join back; exchange reuse does not fire across PythonUDF subtrees
+    (q23's lesson), so without the internal localCheckpoint the Arrow
+    shingle pass re-read and re-hashed every document's text twice.
+    Ratchet: after materialization the consumer plan has NO Python
+    stage and NO parquet scan (both live behind the checkpoint), and
+    every exchange keys on the shingle hash or doc_id — text never
+    shuffles."""
+    import re
+
+    from strat_backtest_spark.plans.catalog import CATALOG
+
+    df = CATALOG["q75_dup_ngram_fraction"].fn(spark, SF_MED)
+    df.count()  # materialize: the checkpoint exists only at runtime
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in p, "shingle pass leaked past the checkpoint"
+    assert "Scan parquet" not in p, "corpus re-scan leaked past the checkpoint"
+    assert "ExistingRDD" in p
+    keys = set(re.findall(r"hashpartitioning\((\w+)", p))
+    assert keys <= {"h", "doc_id"}, f"unexpected shuffle keys: {keys}"
+
+
+def test_q77_line_text_never_shuffles(spark):
+    """line_dedup's wide stages carry only xxhash64 values, (id, idx)
+    ints, and the banned-positions arrays — the document text column
+    must never appear in an exchange, and no Python stage exists."""
+    from strat_backtest_spark.plans.catalog import CATALOG
+
+    p = _formatted(CATALOG["q77_line_dedup"].fn(spark, SF_MED))
+    assert "MapInPandas" not in p and "BatchEvalPython" not in p
+    assert "Exchange SinglePartition" not in p
+    for line in p.splitlines():
+        if "Exchange" in line and "hashpartitioning" in line:
+            assert "text" not in line, "document text shuffles in q77:\n" + line

@@ -1060,27 +1060,55 @@ def dup_ngram_stats(
     in at least ``min_docs`` distinct documents corpus-wide.
 
     Scale shape: one Arrow shingle pass emits slim (doc_id, h) rows;
-    a groupBy(h) counts containing docs (rows are per-doc distinct, so
-    count(*) IS the doc count — map-side partial aggregation applies);
-    the join back and the groupBy(doc_id) both carry only ids, hashes
-    and two longs. Document text never shuffles. Docs shorter than
-    ``n`` tokens emit nothing (no shingles — consistent with
-    ``decontaminate``)."""
+    ONE exchange hash-partitions them on h, and a second Arrow stage
+    counts each hash partition-locally (colocated ⇒ local count = the
+    global distinct-doc count), flags rows, and pre-aggregates per-doc
+    partials, so the final groupBy(doc_id) carries only (id, 2 longs)
+    partials — the shingle stream crosses the wire exactly once and
+    document text never shuffles. Docs shorter than ``n`` tokens emit
+    nothing (no shingles — consistent with ``decontaminate``)."""
     id_type = df.schema[id_col].dataType.simpleString()
-    # The slim (id, h) rows feed BOTH the frequency agg and the join
-    # back, and exchange reuse never fires across PythonUDF subtrees
-    # (same failure as the minhash signature stage above) — without
-    # this lazy checkpoint the Arrow shingle pass re-reads and
-    # re-hashes every document's text twice. DISK_ONLY for the same
-    # heap-pressure reason as the LSH checkpoint.
-    pairs = shingle_hash_pairs(df, n, text_col, id_col, id_type).localCheckpoint(
-        eager=False, storageLevel=StorageLevel.DISK_ONLY
-    )
-    freq = pairs.groupBy("h").agg(F.count(F.lit(1)).alias("__nd"))
-    joined = pairs.join(freq, "h")
-    agg = joined.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_shingles"),
-        F.sum((F.col("__nd") >= min_docs).cast("long")).alias("__ndup"),
+    # ONE consumption of the shingle stream, ONE exchange on h, no
+    # frequency table, no join. Repartitioning on h colocates EVERY
+    # occurrence of a hash in one partition, so a partition-local
+    # count IS the global distinct-doc count (rows are per-doc
+    # distinct by construction); the Arrow stage flags each row and
+    # emits per-doc PARTIAL (n, ndup) sums, so the final doc_id
+    # exchange carries ≤ |distinct docs per partition| rows instead of
+    # the full shingle stream. The previous shape — checkpoint feeding
+    # a groupBy(h) AND a join back — measured 296 s at the 266M-
+    # shingle rung because a single job containing both consumers
+    # re-evaluates the lazy checkpoint (exchange/cache reuse never
+    # fires across PythonUDF subtrees); this one-pass shape needs no
+    # checkpoint at all.
+    pairs = shingle_hash_pairs(df, n, text_col, id_col, id_type)
+    rep = pairs.repartition(F.col("h"))
+    md = int(min_docs)
+
+    def _flag(batches):
+        ids_parts, hs_parts = [], []
+        for pdf in batches:
+            if len(pdf):
+                ids_parts.append(pdf[id_col].to_numpy())
+                hs_parts.append(pdf["h"].to_numpy(dtype=np.int64))
+        if not ids_parts:
+            return
+        ids = np.concatenate(ids_parts)
+        hs = np.concatenate(hs_parts)
+        _, inv, cnt = np.unique(hs, return_inverse=True, return_counts=True)
+        dup = (cnt[inv] >= md).astype(np.float64)
+        u_ids, inv_d = np.unique(ids, return_inverse=True)
+        n_part = np.bincount(inv_d).astype(np.int64)
+        ndup_part = np.rint(np.bincount(inv_d, weights=dup)).astype(np.int64)
+        yield pd.DataFrame(
+            {id_col: u_ids, "__n": n_part, "__ndup": ndup_part},
+            columns=[id_col, "__n", "__ndup"],
+        )
+
+    flagged = rep.mapInPandas(_flag, f"{id_col} {id_type}, __n long, __ndup long")
+    agg = flagged.groupBy(id_col).agg(
+        F.sum("__n").alias("n_shingles"),
+        F.sum("__ndup").alias("__ndup"),
     )
     return agg.select(
         F.col(id_col),

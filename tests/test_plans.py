@@ -318,25 +318,24 @@ def test_q74_pii_scrub_is_map_only(spark):
     assert p.count("Generate (") == 3  # tree section: one barrier per rule
 
 
-def test_q75_shingle_pass_evaluates_once(spark):
-    """dup_ngram_stats' (id, h) rows feed the frequency agg AND the
-    join back; exchange reuse does not fire across PythonUDF subtrees
-    (q23's lesson), so without the internal localCheckpoint the Arrow
-    shingle pass re-read and re-hashed every document's text twice.
-    Ratchet: after materialization the consumer plan has NO Python
-    stage and NO parquet scan (both live behind the checkpoint), and
-    every exchange keys on the shingle hash or doc_id — text never
-    shuffles."""
+def test_q75_one_pass_no_join(spark):
+    """dup_ngram_stats is ONE consumption of the shingle stream: an
+    Arrow shingle pass, ONE exchange on h, a partition-local counting
+    Arrow stage emitting per-doc partials, and a slim doc_id agg. The
+    previous checkpoint+groupBy+join shape re-evaluated the lazy
+    checkpoint when one job held both consumers (296 s at the 266M-
+    shingle rung; one-pass shape: 107 s). Ratchet: exactly 2 Python
+    stages, exactly 1 corpus scan, shuffle keys only {h, doc_id}, no
+    join operator at all."""
     import re
 
     from strat_backtest_spark.plans.catalog import CATALOG
 
-    df = CATALOG["q75_dup_ngram_fraction"].fn(spark, SF_MED)
-    df.count()  # materialize: the checkpoint exists only at runtime
-    p = df._jdf.queryExecution().executedPlan().toString()
-    assert "MapInPandas" not in p, "shingle pass leaked past the checkpoint"
-    assert "Scan parquet" not in p, "corpus re-scan leaked past the checkpoint"
-    assert "ExistingRDD" in p
+    spark.catalog.clearCache()
+    p = _formatted(CATALOG["q75_dup_ngram_fraction"].fn(spark, SF_MED))
+    assert p.count("MapInPandas (") == 2, "q75 gained/lost a Python stage"
+    assert p.count("Scan parquet  (") == 1, "corpus must be scanned once"
+    assert "Join" not in p, "the frequency join is back"
     keys = set(re.findall(r"hashpartitioning\((\w+)", p))
     assert keys <= {"h", "doc_id"}, f"unexpected shuffle keys: {keys}"
 

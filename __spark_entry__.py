@@ -53,12 +53,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # window, as do the entries touched this round: the similarity family
 # (q30/q31/q47/q51 — margin + NaN-policy + bucket-cap fixes), the
 # dedup family consumers of decontaminate/connected-components
-# (q55/q56/q60/q68/q69), q26 (BPE tokenizer scale run), and the three
-# FOUR new round-8 entries (q74 PII scrub, q75 dup-n-gram fraction,
-# q76 semantic dedup apply, q77 line-level dedup — never gated, must
-# be in the window). Catalog is now 77 entries; the tail is 27
-# untouched entries, every one hash-green in r07, keeping the head at
-# exactly 50.
+# (q55/q56/q60/q68/q69), q26 (BPE tokenizer scale run), and the
+# FIVE new round-8 entries (q74 PII scrub, q75 dup-n-gram fraction,
+# q76 semantic dedup apply, q77 line-level dedup, q78 streaming PII —
+# never gated, must be in the window). Catalog is now 78 entries; the
+# tail is 28 untouched entries, every one hash-green in r07, keeping
+# the head at exactly 50.
 _SWEEP_TAIL = [
     "q01_pricing_summary",        # hash-match r01-r07, untouched r8
     "q02_regional_revenue",       # hash-match r01-r07, untouched r8
@@ -87,6 +87,7 @@ _SWEEP_TAIL = [
     "q43_stream_windowed_agg",    # hash-match r02-r07, untouched r8
     "q48_stream_sessionize",      # hash-match r02-r07, untouched r8
     "q49_stream_signal_edges",    # hash-match r02-r07, untouched r8
+    "q73_stream_late_arrival",    # hash-match r07, untouched r8
 ]
 
 

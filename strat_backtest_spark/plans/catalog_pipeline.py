@@ -888,9 +888,7 @@ _PII_AUG_SQL = """
 """
 
 
-@query(
-    "q74_pii_scrub",
-    oracle=f"""
+_PII_ORACLE = f"""
     WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS text FROM documents),
     s1 AS (
       SELECT doc_id,
@@ -907,7 +905,12 @@ _PII_AUG_SQL = """
            len(regexp_extract_all(text, '\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}')) AS n_ips,
            md5(regexp_replace(text, '\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}', '<IP>', 'g')) AS scrub_hash
     FROM s2
-    """,
+    """
+
+
+@query(
+    "q74_pii_scrub",
+    oracle=_PII_ORACLE,
 )
 def q74_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction as a pure-codegen map stage (operators/pii.py):
@@ -1085,3 +1088,20 @@ def q77_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_removed",
         F.md5(F.col("text").cast("binary")).alias("new_text_hash"),
     )
+
+
+@query(
+    "q78_stream_pii_scrub",
+    oracle=_PII_ORACLE,
+)
+def q78_stream_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q74's PII scrub applied through Structured Streaming
+    (streaming/documents_stream.streaming_pii_scrub): a stateless
+    codegen map stage composes into the stream with no state store and
+    no shuffle; the drained replay equals the batch scrub row-for-row,
+    gated by the SAME oracle SQL as q74."""
+    from strat_backtest_spark.streaming.documents_stream import (
+        streaming_pii_scrub,
+    )
+
+    return streaming_pii_scrub(spark, sf_dir)

@@ -316,3 +316,57 @@ def chunk_documents(
         F.concat_ws(" ", window).alias("chunk_text"),
         F.size(window).alias("n_tokens"),
     )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-k terms by TF-IDF — the classic keyword /
+    topic-signal extractor for corpus exploration and quality
+    filtering.
+
+    Definition (mirrored verbatim in the SQL oracle so both engines
+    produce the same IEEE doubles): tf = raw term count in the doc;
+    idf = ln((N + 1.0) / (df + 1.0)) with df = number of docs
+    containing the term; score = tf * idf; rank within doc by
+    (score DESC, term ASC); keep rank <= k.
+
+    Plan shape at scale: explode → ONE groupBy(doc, term) with
+    map-side partial aggregation; the doc-frequency table derives
+    from that same aggregate (count per term — vocabulary-sized, far
+    smaller than the corpus) and joins back on the term hash. N comes
+    from a 1-row aggregate broadcast via crossJoin — no driver-side
+    literal baking, so the plan is reusable across inputs. Document
+    text never shuffles: only (id, term, count) rows move.
+    """
+    toks = tokens_col(text_col)
+    terms = df.select(
+        F.col(id_col), F.explode(toks).alias("term")
+    ).withColumn("term", F.lower(F.col("term")))
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.select(
+        F.count_distinct(F.col(id_col)).alias("n_docs")
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "rank", F.round("tfidf", 6).alias("tfidf"))
+    )

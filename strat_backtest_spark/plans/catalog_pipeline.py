@@ -1105,3 +1105,149 @@ def q78_stream_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return streaming_pii_scrub(spark, sf_dir)
+
+
+# ===========================================================================
+# Training-data layout: deterministic shuffle, sequence packing,
+# keyword extraction, embedding quantization
+# ===========================================================================
+
+@query(
+    "q79_pack_sequences",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, len({_TOKS})::INT AS n_tokens FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, n_tokens,
+             ({md5_hash_sql("doc_id::VARCHAR")} % 8)::INT AS shard
+      FROM tok
+    ),
+    cum AS (
+      SELECT *,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+               AS start_offset
+      FROM sh
+    )
+    SELECT doc_id, n_tokens, shard, start_offset,
+           (start_offset // 96)::BIGINT AS seq_id,
+           (row_number() OVER (
+              PARTITION BY shard, start_offset // 96 ORDER BY doc_id
+            ) - 1)::INT AS seq_pos
+    FROM cum
+    """,
+)
+def q79_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-budget sequence packing over the documents table
+    (budget 96, 8 shards): the causal-LM batch-layout stage. One
+    exchange on the md5 shard key; cumulative offsets and in-sequence
+    ranks are two window passes over the same partitioning
+    (operators/packing.pack_sequences)."""
+    from strat_backtest_spark.operators.packing import pack_sequences
+    from strat_backtest_spark.operators.text_analysis import tokens_col
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens_col("text")).alias("n_tokens")
+    )
+    return pack_sequences(docs, budget=96, n_shards=8)
+
+
+@query(
+    "q80_shard_shuffle",
+    oracle=f"""
+    WITH k AS (
+      SELECT doc_id,
+             {md5_hash_sql("'42:' || doc_id::VARCHAR")} AS key
+      FROM documents
+    )
+    SELECT doc_id, (key % 16)::INT AS shard,
+           (row_number() OVER (
+              PARTITION BY key % 16 ORDER BY key, doc_id) - 1)::INT AS pos
+    FROM k
+    """,
+)
+def q80_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into 16 training shards (seed 42):
+    every row gets a pseudorandom shard and a dense position, so
+    reading shards in (shard, pos) order is an unbiased, reproducible
+    permutation of the corpus (operators/packing.shard_shuffle)."""
+    from strat_backtest_spark.operators.packing import shard_shuffle
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return shard_shuffle(docs, n_shards=16, seed=42)
+
+
+@query(
+    "q81_tfidf_topk",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    terms AS (SELECT doc_id, lower(unnest(toks)) AS term FROM tok),
+    tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+           FROM terms GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+    n AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term, tf * ln((n_docs + 1.0) / (df + 1.0)) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term,
+           (row_number() OVER (
+              PARTITION BY doc_id ORDER BY tfidf DESC, term ASC))::INT AS rank,
+           round(tfidf, 6) AS tfidf
+    FROM scored
+    QUALIFY rank <= 3
+    """,
+)
+def q81_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — keyword extraction for
+    corpus exploration. One (doc, term) aggregate with map-side
+    combine; the doc-frequency side is vocabulary-sized and derives
+    from the same aggregate; N is a broadcast 1-row aggregate
+    (operators/text_analysis.tfidf_topk)."""
+    from strat_backtest_spark.operators.text_analysis import tfidf_topk
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_topk(docs, k=3)
+
+
+@query(
+    "q82_quantize_embeddings",
+    oracle="""
+    WITH flat AS (
+      SELECT unnest(embedding)::DOUBLE AS v,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings
+    ),
+    dims AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM flat GROUP BY dim),
+    stats AS (
+      SELECT list(mn ORDER BY dim) AS mns, list(mx ORDER BY dim) AS mxs
+      FROM dims
+    )
+    SELECT vec_id,
+           array_to_string(list_transform(range(1, len(embedding) + 1), i ->
+             CASE WHEN mxs[i] = mns[i] THEN 0
+                  ELSE round((embedding[i]::DOUBLE - mns[i]) * 255
+                             / (mxs[i] - mns[i]))::INT END), ',') AS codes
+    FROM embeddings CROSS JOIN stats
+    """,
+)
+def q82_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension scalar quantization of the embedding corpus to
+    255-level integer codes (int8-style compression for ANN shipping).
+    Pass 1 reduces to dim-count stat rows via partial aggregation;
+    pass 2 is a map-only projection with the stats folded in as
+    literals — zero joins, embeddings shuffle never
+    (operators/packing.quantize_embeddings)."""
+    from strat_backtest_spark.operators.packing import quantize_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = quantize_embeddings(emb)
+    # The gate's value hash compares scalar columns; serialize the
+    # code vector (q22's sig_i convention, but dims here are wider).
+    return q.select(
+        "vec_id", F.concat_ws(",", F.col("codes").cast("array<string>")).alias("codes")
+    )

@@ -505,3 +505,133 @@ def test_line_dedup_known_lines(spark):
         assert got[3]["text"] == "solo doc line"
         assert got[4]["text"] == "" and got[4]["n_kept"] == 0
         assert got[5]["text"] == "twin\ntwin" and got[5]["n_removed"] == 0
+
+
+def test_pack_sequences_layout_invariants(spark):
+    """Offset-based packing: within every (shard, seq) the rows are
+    contiguous in id order, start offsets equal the running token sum,
+    seq_id = floor(start/budget), and every row of the input appears
+    exactly once. Straddling is allowed by construction (a chunk
+    starting inside a sequence may run past its boundary)."""
+    from strat_backtest_spark.operators.packing import pack_sequences
+
+    rows = [(i, 10 + (i * 7) % 23) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+    out = pack_sequences(df, budget=50, n_shards=4).collect()
+    assert len(out) == 200
+    assert {r["doc_id"] for r in out} == set(range(200))
+    by_shard: dict = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) <= set(range(4)) and len(by_shard) == 4
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        running = 0
+        seq_pos_seen: dict = {}
+        for r in rs:
+            assert r["start_offset"] == running
+            assert r["seq_id"] == running // 50
+            p = seq_pos_seen.get(r["seq_id"], 0)
+            assert r["seq_pos"] == p
+            seq_pos_seen[r["seq_id"]] = p + 1
+            running += r["n_tokens"]
+
+
+def test_pack_sequences_single_exchange(spark):
+    """Both window passes (cumulative offset, in-sequence rank) share
+    the shard partitioning — the plan must contain exactly ONE
+    exchange, or packing pays a second full-corpus shuffle at scale."""
+    from strat_backtest_spark.operators.packing import pack_sequences
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 37 + 1).cast("int").alias("n_tokens")
+    )
+    plan = pack_sequences(df, budget=128, n_shards=8)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_shard_shuffle_is_deterministic_permutation(spark):
+    """Positions are dense 0..n_s-1 per shard; two invocations agree
+    exactly; changing the seed reorders (the whole point)."""
+    from strat_backtest_spark.operators.packing import shard_shuffle
+
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"]: (r["shard"], r["pos"]) for r in shard_shuffle(df, 8, seed=1).collect()}
+    b = {r["doc_id"]: (r["shard"], r["pos"]) for r in shard_shuffle(df, 8, seed=1).collect()}
+    assert a == b
+    per_shard: dict = {}
+    for s, p in a.values():
+        per_shard.setdefault(s, []).append(p)
+    for s, ps in per_shard.items():
+        assert sorted(ps) == list(range(len(ps))), f"shard {s} positions not dense"
+    c = {r["doc_id"]: (r["shard"], r["pos"]) for r in shard_shuffle(df, 8, seed=2).collect()}
+    assert a != c
+
+
+def test_quantize_embeddings_bounds_and_reconstruction(spark):
+    """Codes live in [0, 255]; dequantized values reconstruct within
+    half a quantization step; a constant dimension codes to 0."""
+    import numpy as np
+
+    from strat_backtest_spark.operators.packing import quantize_embeddings
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(50, 6)) * 3.0
+    vecs[:, 4] = 2.5  # constant dim
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r["codes"] for r in quantize_embeddings(df).collect()}
+    mn, mx = vecs.min(axis=0), vecs.max(axis=0)
+    step = np.where(mx > mn, (mx - mn) / 255.0, 1.0)
+    for i in range(50):
+        codes = np.array(out[i])
+        assert codes.min() >= 0 and codes.max() <= 255
+        assert codes[4] == 0
+        recon = mn + codes * step
+        err = np.abs(recon - vecs[i])
+        mask = np.arange(6) != 4
+        assert (err[mask] <= step[mask] / 2 + 1e-9).all()
+
+
+def test_tfidf_topk_known_corpus(spark):
+    """A rare term shared by few docs must outrank a ubiquitous one;
+    ranks are dense 1..k with ties broken by term ascending."""
+    from strat_backtest_spark.operators.text_analysis import tfidf_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha common common"),
+            (2, "beta common"),
+            (3, "common common gamma alpha"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_topk(df, k=2).collect()
+    per_doc: dict = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    for d, rs in per_doc.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r["tfidf"] for r in rs]
+        assert scores == sorted(scores, reverse=True) or len(set(scores)) < len(scores)
+    # doc 1: 'alpha' (df=2) outranks 'common' (df=3, in every doc)
+    assert per_doc[1][0]["term"] == "alpha"
+    # doc 3: two 'common' (tf=2) vs one 'gamma' (df=1): gamma's idf wins
+    assert per_doc[3][0]["term"] == "gamma"
+
+
+def test_tfidf_text_never_shuffles(spark):
+    """Only (doc_id, term) rows cross the exchanges — the raw text
+    column must be pruned out before any shuffle."""
+    from strat_backtest_spark.operators.text_analysis import tfidf_topk
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("tok"), (F.col("id") % 13).cast("string"), F.lit(" filler words here")).alias("text"),
+    )
+    plan = tfidf_topk(df)._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for m in re.finditer(r"Exchange[^\n]*", plan):
+        assert "text" not in m.group(0), m.group(0)

@@ -54,11 +54,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # (q30/q31/q47/q51 — margin + NaN-policy + bucket-cap fixes), the
 # dedup family consumers of decontaminate/connected-components
 # (q55/q56/q60/q68/q69), q26 (BPE tokenizer scale run), and the
-# NINE new round-8 entries (q74 PII scrub, q75 dup-n-gram fraction,
+# ELEVEN new round-8 entries (q74 PII scrub, q75 dup-n-gram fraction,
 # q76 semantic dedup apply, q77 line-level dedup, q78 streaming PII,
 # q79 sequence packing, q80 shard shuffle, q81 TF-IDF top-k, q82
-# embedding quantization — never gated, must be in the window).
-# Catalog is now 82 entries; the tail is 32 untouched entries, every
+# embedding quantization, q83 unigram log-prob quality, q84
+# train/val/test split — never gated, must be in the window).
+# Catalog is now 84 entries; the tail is 34 untouched entries, every
 # one hash-green in r07, keeping the head at exactly 50.
 _SWEEP_TAIL = [
     "q01_pricing_summary",        # hash-match r01-r07, untouched r8
@@ -93,6 +94,8 @@ _SWEEP_TAIL = [
     "q63_stream_dedup",           # hash-match r07, untouched r8
     "q65_stream_grid",            # hash-match r07, untouched r8
     "q45_common_stock_sweep",     # hash-match r07 (full composed oracle), untouched r8
+    "q64_stream_band_kernel",     # hash-match r07, backtest_stream.py untouched r8
+    "q71_stream_partial_close",   # hash-match r07, backtest_stream.py untouched r8
 ]
 
 

@@ -51,3 +51,34 @@ def stratified_sample(
     for value, r in rates.items():
         rate = F.when(F.col(strata_col) == value, F.lit(int(r * _DENOM))).otherwise(rate)
     return df.filter(h < rate)
+
+
+def split_assign(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: every row gets a
+    ``split`` label decided by ``md5(seed:key) mod 1e6`` against the
+    cumulative weight thresholds — the same identity-keyed contract as
+    the samplers above, so membership is stable under repartitioning,
+    reproducible on any engine, and leakage-auditable (a doc can never
+    silently migrate between splits across runs). Map-only; weights
+    must sum to ≤ 1 (any remainder falls into the LAST split)."""
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    h = md5_hash(
+        F.concat_ws(":", F.lit(int(seed)), F.col(key_col).cast("string"))
+    ) % _DENOM
+    names = list(weights)
+    expr = F.lit(names[-1])
+    acc = 0.0
+    bounds = []
+    for name, wgt in zip(names[:-1], [weights[n] for n in names[:-1]]):
+        acc += wgt
+        bounds.append((name, int(acc * _DENOM)))
+    for name, bound in reversed(bounds):
+        expr = F.when(h < bound, F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)

@@ -370,3 +370,37 @@ def tfidf_topk(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "rank", F.round("tfidf", 6).alias("tfidf"))
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style language-model quality proxy: the mean unigram
+    log-probability of a document under the corpus's own empirical
+    unigram distribution. Boilerplate/TLD-spam scores high (common
+    tokens), gibberish scores very low — thresholding this is the
+    classic cheap LM quality filter when a real KenLM isn't available.
+
+    score(d) = avg over tokens t of ln(count(t) / T), T = corpus
+    token count. Plan: one explode → term-count aggregate (map-side
+    combine, vocabulary-sized result) joined back on the term stream,
+    corpus total as a broadcast 1-row aggregate; text never shuffles.
+    Docs with zero tokens drop out (no tokens to score) — identical
+    in the SQL mirror."""
+    toks = tokens_col(text_col)
+    terms = df.select(
+        F.col(id_col), F.explode(toks).alias("term")
+    ).withColumn("term", F.lower(F.col("term")))
+    counts = terms.groupBy("term").agg(F.count("*").alias("c"))
+    total = terms.agg(F.count("*").alias("T"))
+    return (
+        terms.join(counts, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("c") / F.col("T"))), 6).alias("logprob"),
+        )
+    )

@@ -1251,3 +1251,56 @@ def q82_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.select(
         "vec_id", F.concat_ws(",", F.col("codes").cast("array<string>")).alias("codes")
     )
+
+
+@query(
+    "q83_unigram_logprob",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    terms AS (SELECT doc_id, lower(unnest(toks)) AS term FROM tok),
+    counts AS (SELECT term, count(*)::BIGINT AS c FROM terms GROUP BY term),
+    total AS (SELECT count(*)::BIGINT AS T FROM terms)
+    SELECT doc_id, count(*)::BIGINT AS n_tokens,
+           round(avg(ln(c / T)), 6) AS logprob
+    FROM terms JOIN counts USING (term) CROSS JOIN total
+    GROUP BY doc_id
+    """,
+)
+def q83_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram log-probability per document under the corpus's
+    own empirical distribution — the cheap LM quality filter (CCNet's
+    KenLM stage without the external model). One explode, one
+    vocabulary-sized count aggregate joined back on the term stream,
+    broadcast 1-row total (operators/text_analysis.unigram_logprob)."""
+    from strat_backtest_spark.operators.text_analysis import unigram_logprob
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return unigram_logprob(docs)
+
+
+@query(
+    "q84_split_assign",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             {md5_hash_sql("'7:' || doc_id::VARCHAR")} % 1000000 AS b
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN b < 800000 THEN 'train'
+                WHEN b < 900000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM h
+    """,
+)
+def q84_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test membership (80/10/10, seed 7):
+    identity-keyed md5 gate, map-only — split membership is stable
+    under repartitioning and reproducible on any engine
+    (operators/sampling.split_assign)."""
+    from strat_backtest_spark.operators.sampling import split_assign
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return split_assign(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7
+    )

@@ -635,3 +635,43 @@ def test_tfidf_text_never_shuffles(spark):
 
     for m in re.finditer(r"Exchange[^\n]*", plan):
         assert "text" not in m.group(0), m.group(0)
+
+
+def test_split_assign_deterministic_and_partitioned(spark):
+    """Every row gets exactly one split; proportions land near the
+    weights; assignments are identical across invocations and stable
+    under repartitioning (the identity-keyed contract)."""
+    from strat_backtest_spark.operators.sampling import split_assign
+
+    df = spark.range(5000).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"]: r["split"] for r in split_assign(df, seed=7).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in split_assign(df.repartition(13), seed=7).collect()
+    }
+    assert a == b
+    from collections import Counter
+
+    frac = {k: v / 5000 for k, v in Counter(a.values()).items()}
+    assert abs(frac["train"] - 0.8) < 0.03
+    assert abs(frac["val"] - 0.1) < 0.02
+    assert abs(frac["test"] - 0.1) < 0.02
+
+
+def test_unigram_logprob_orders_by_rarity(spark):
+    """A doc made of corpus-common tokens must outscore a doc of
+    hapaxes; scores are ≤ 0; token counts match the whitespace split."""
+    from strat_backtest_spark.operators.text_analysis import unigram_logprob
+
+    df = spark.createDataFrame(
+        [
+            (1, "the the the the"),
+            (2, "the the rareword"),
+            (3, "zzz qqq vvv"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    assert out[1]["n_tokens"] == 4 and out[3]["n_tokens"] == 3
+    assert out[1]["logprob"] > out[2]["logprob"] > out[3]["logprob"]
+    assert all(r["logprob"] <= 0 for r in out.values())

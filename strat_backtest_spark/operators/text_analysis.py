@@ -11,12 +11,24 @@ documents and every intermediate is columnar.
 from __future__ import annotations
 
 import hashlib
+import re
 
+import numpy as np
 import pandas as pd
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, functions as F
 
 from strat_backtest_spark.functions.text import whitespace_tokens
+
+# Java \s parity (ASCII-only) — the one tokenizer mirrored on both
+# sides of every Arrow pass in this module.
+_WS_RE = re.compile(r"\s+", re.ASCII)
+
+# Per-worker-process memo for broadcast-vocabulary khash indexes
+# (same pattern as operators/dedup.py's _BENCH_INDEX_MEMO): the
+# pd.Index builds once per worker, not once per task.
+_VOCAB_INDEX_MEMO: dict = {}
 
 # Small per-language marker lexicons for the n-gram/stopword heuristic
 # language identifier. Deterministic and SQL-portable.
@@ -323,6 +335,7 @@ def tfidf_topk(
     k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_broadcast_vocab: int = 20_000_000,
 ) -> DataFrame:
     """Per-document top-k terms by TF-IDF — the classic keyword /
     topic-signal extractor for corpus exploration and quality
@@ -334,14 +347,148 @@ def tfidf_topk(
     containing the term; score = tf * idf; rank within doc by
     (score DESC, term ASC); keep rank <= k.
 
-    Plan shape at scale: explode → ONE groupBy(doc, term) with
-    map-side partial aggregation; the doc-frequency table derives
-    from that same aggregate (count per term — vocabulary-sized, far
-    smaller than the corpus) and joins back on the term hash. N comes
-    from a 1-row aggregate broadcast via crossJoin — no driver-side
-    literal baking, so the plan is reusable across inputs. Document
-    text never shuffles: only (id, term, count) rows move.
+    Two physical paths, identical values (path-equivalence unit),
+    chosen by the corpus's distinct-term count — the decontaminate
+    pattern (operators/dedup.py):
+
+    * broadcast path (vocabulary ≤ ``max_broadcast_vocab``, the
+      normal case — vocabulary grows sublinearly in corpus size,
+      Heaps' law): the doc-frequency table is vocabulary-sized, so it
+      collects to the driver and rides a SparkContext broadcast as a
+      lexicographically sorted term array + idf float64 array; each
+      document is then scored and top-k'd LOCALLY in one Arrow map
+      pass (per-worker khash term lookup, one np.unique per batch for
+      the (doc, term) counts, one lexsort for the ranking). The
+      exploded term stream NEVER shuffles — the only exchange anywhere
+      is the slim per-doc-distinct (term) stream feeding the
+      vocabulary aggregate, with map-side combine. The first plan
+      (explode → (doc,term) agg → idf join → per-doc window) measured
+      741 s at the 5M-doc rung; this shape removes all three of its
+      corpus-sized shuffles. EAGER at construction: the vocabulary
+      aggregate and an N-count run as Spark jobs before this returns,
+      and the broadcast lives as long as the returned plan (same
+      lifecycle note as decontaminate's docstring).
+    * join path (oversized vocabulary): everything stays distributed —
+      explode → (doc, term) aggregate → vocabulary join → per-doc
+      window. Graceful degradation, nothing collects to the driver.
+
+    Rounding and the final rank filter stay Column ops on both paths
+    so engine-side round semantics are identical.
     """
+    spark = df.sparkSession
+    lowered = df.select(F.col(id_col), F.lower(F.col(text_col)).alias("__lc"))
+    # Per-doc DISTINCT terms computed inside the row (array_distinct is
+    # JVM-side) — the exploded stream is vocabulary-bound per doc, and
+    # the groupBy's map-side combine collapses it to one row per term.
+    dfreq_df = (
+        lowered.select(F.explode(F.array_distinct(tokens_col("__lc"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    dfreq_df.persist(StorageLevel.DISK_ONLY)
+    try:
+        vocab_n = dfreq_df.count()
+        if vocab_n > int(max_broadcast_vocab):
+            return _tfidf_join_path(df, k, text_col, id_col)
+        vocab_pdf = dfreq_df.toPandas()
+    finally:
+        dfreq_df.unpersist()
+    n_docs = df.select(F.count_distinct(F.col(id_col)).alias("n")).first()["n"]
+
+    # Sort the vocabulary lexicographically so a term's position IS its
+    # ORDER BY term ASC rank (UTF-8 byte order == codepoint order ==
+    # Python str order) — the per-doc tie-break then sorts int indices,
+    # never strings.
+    vocab_pdf = vocab_pdf.sort_values("term", kind="mergesort", ignore_index=True)
+    terms_arr = vocab_pdf["term"].to_numpy(dtype=object)
+    # Same IEEE expression as the join path / SQL oracle:
+    # ln((N + 1.0) / (df + 1.0)) on float64.
+    idf_arr = np.log(
+        (float(n_docs) + 1.0) / (vocab_pdf["df"].to_numpy(dtype=np.float64) + 1.0)
+    )
+    bcast = spark.sparkContext.broadcast((terms_arr, idf_arr))
+    id_type = df.schema[id_col].dataType.simpleString()
+    kk = int(k)
+
+    def _score(batches):
+        terms_v, idf_v = bcast.value
+        V = len(terms_v)
+        index = None
+        if V:
+            key = (id(terms_v), V)
+            index = _VOCAB_INDEX_MEMO.get(key)
+            if index is None:
+                if len(_VOCAB_INDEX_MEMO) >= 8:
+                    _VOCAB_INDEX_MEMO.clear()
+                index = pd.Index(terms_v)
+                _VOCAB_INDEX_MEMO[key] = index
+        empty = pd.DataFrame(
+            {id_col: [], "term": [], "rank": [], "tfidf": []},
+            columns=[id_col, "term", "rank", "tfidf"],
+        )
+        for pdf in batches:
+            ids_arr = pdf[id_col].to_numpy()
+            tok_lists = [
+                [t for t in _WS_RE.split(x) if t] if isinstance(x, str) else []
+                for x in pdf["__lc"].tolist()
+            ]
+            lens = np.fromiter(
+                (len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists)
+            )
+            total = int(lens.sum())
+            if not total or not V:
+                yield empty
+                continue
+            flat = np.empty(total, dtype=object)
+            pos = 0
+            for ts in tok_lists:
+                flat[pos : pos + len(ts)] = ts
+                pos += len(ts)
+            di = np.repeat(np.arange(len(tok_lists), dtype=np.int64), lens)
+            ti = index.get_indexer(flat)  # always >= 0: vocab is this corpus's
+            # (doc, term) counts in one C pass; di*V+ti fits int64 (V and
+            # batch size both bounded far below 2^31.5).
+            key_dt, tf = np.unique(di * np.int64(V) + ti, return_counts=True)
+            di_u = key_dt // V
+            ti_u = key_dt % V
+            score = tf.astype(np.float64) * idf_v[ti_u]
+            order = np.lexsort((ti_u, -score, di_u))
+            d_sorted = di_u[order]
+            seg_start = np.r_[True, d_sorted[1:] != d_sorted[:-1]]
+            starts = np.flatnonzero(seg_start)
+            seg_len = np.diff(np.r_[starts, len(d_sorted)])
+            rank = np.arange(len(d_sorted), dtype=np.int64) - np.repeat(
+                starts, seg_len
+            )
+            keep = rank < kk
+            sel = order[keep]
+            yield pd.DataFrame(
+                {
+                    id_col: ids_arr[di_u[sel]],
+                    "term": terms_v[ti_u[sel]],
+                    "rank": (rank[keep] + 1).astype(np.int32),
+                    "tfidf": score[sel],
+                },
+                columns=[id_col, "term", "rank", "tfidf"],
+            )
+
+    out = lowered.mapInPandas(
+        _score, f"{id_col} {id_type}, term string, rank int, tfidf double"
+    )
+    return out.select(
+        id_col, "term", "rank", F.round("tfidf", 6).alias("tfidf")
+    )
+
+
+def _tfidf_join_path(
+    df: DataFrame, k: int, text_col: str, id_col: str
+) -> DataFrame:
+    """``tfidf_topk``'s over-the-vocabulary-gate path: explode → ONE
+    groupBy(doc, term) with map-side partial aggregation; the
+    doc-frequency table derives from that same aggregate
+    (vocabulary-sized) and joins back on the term hash; N is a 1-row
+    broadcast aggregate; per-doc ranking is a window. Document text
+    never shuffles: only (id, term, count) rows move."""
     toks = tokens_col(text_col)
     terms = df.select(
         F.col(id_col), F.explode(toks).alias("term")
@@ -376,6 +523,7 @@ def unigram_logprob(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_broadcast_vocab: int = 20_000_000,
 ) -> DataFrame:
     """CCNet-style language-model quality proxy: the mean unigram
     log-probability of a document under the corpus's own empirical
@@ -384,11 +532,104 @@ def unigram_logprob(
     classic cheap LM quality filter when a real KenLM isn't available.
 
     score(d) = avg over tokens t of ln(count(t) / T), T = corpus
-    token count. Plan: one explode → term-count aggregate (map-side
-    combine, vocabulary-sized result) joined back on the term stream,
-    corpus total as a broadcast 1-row aggregate; text never shuffles.
-    Docs with zero tokens drop out (no tokens to score) — identical
-    in the SQL mirror."""
+    token count. Docs with zero tokens drop out (no tokens to score) —
+    identical in the SQL mirror.
+
+    Same two-path shape as ``tfidf_topk`` (vocabulary gate, broadcast
+    khash + one Arrow map pass vs fully distributed join fallback):
+    the unigram count table is vocabulary-sized, so by default it
+    collects, broadcasts as (sorted terms, ln(c/T) float64), and every
+    document scores LOCALLY — the exploded term stream never joins or
+    shuffles. The corpus total T derives from the collected counts
+    (exact int64 sum), costing no extra job. EAGER at construction
+    (one vocabulary-aggregate job); broadcast lifecycle as documented
+    on decontaminate."""
+    spark = df.sparkSession
+    lowered = df.select(F.col(id_col), F.lower(F.col(text_col)).alias("__lc"))
+    counts_df = (
+        lowered.select(F.explode(tokens_col("__lc")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+    )
+    counts_df.persist(StorageLevel.DISK_ONLY)
+    try:
+        vocab_n = counts_df.count()
+        if vocab_n > int(max_broadcast_vocab):
+            return _unigram_join_path(df, text_col, id_col)
+        counts_pdf = counts_df.toPandas()
+    finally:
+        counts_df.unpersist()
+    c_arr = counts_pdf["c"].to_numpy(dtype=np.int64)
+    T = int(c_arr.sum())
+    terms_arr = counts_pdf["term"].to_numpy(dtype=object)
+    # Same IEEE expression as the join path / SQL oracle: ln(c / T)
+    # with float64 division first, then the log.
+    logp_arr = np.log(c_arr.astype(np.float64) / float(T)) if T else c_arr.astype(np.float64)
+    bcast = spark.sparkContext.broadcast((terms_arr, logp_arr))
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def _score(batches):
+        terms_v, logp_v = bcast.value
+        V = len(terms_v)
+        index = None
+        if V:
+            key = (id(terms_v), V)
+            index = _VOCAB_INDEX_MEMO.get(key)
+            if index is None:
+                if len(_VOCAB_INDEX_MEMO) >= 8:
+                    _VOCAB_INDEX_MEMO.clear()
+                index = pd.Index(terms_v)
+                _VOCAB_INDEX_MEMO[key] = index
+        empty = pd.DataFrame(
+            {id_col: [], "n_tokens": [], "logprob": []},
+            columns=[id_col, "n_tokens", "logprob"],
+        )
+        for pdf in batches:
+            ids_arr = pdf[id_col].to_numpy()
+            tok_lists = [
+                [t for t in _WS_RE.split(x) if t] if isinstance(x, str) else []
+                for x in pdf["__lc"].tolist()
+            ]
+            lens = np.fromiter(
+                (len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists)
+            )
+            total = int(lens.sum())
+            if not total or not V:
+                yield empty
+                continue
+            flat = np.empty(total, dtype=object)
+            pos = 0
+            for ts in tok_lists:
+                flat[pos : pos + len(ts)] = ts
+                pos += len(ts)
+            di = np.repeat(np.arange(len(tok_lists), dtype=np.int64), lens)
+            vals = logp_v[index.get_indexer(flat)]
+            sums = np.bincount(di, weights=vals, minlength=len(tok_lists))
+            nz = lens > 0
+            yield pd.DataFrame(
+                {
+                    id_col: ids_arr[nz],
+                    "n_tokens": lens[nz],
+                    "logprob": sums[nz] / lens[nz].astype(np.float64),
+                },
+                columns=[id_col, "n_tokens", "logprob"],
+            )
+
+    out = lowered.mapInPandas(
+        _score, f"{id_col} {id_type}, n_tokens long, logprob double"
+    )
+    return out.select(
+        id_col, "n_tokens", F.round("logprob", 6).alias("logprob")
+    )
+
+
+def _unigram_join_path(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """``unigram_logprob``'s over-the-vocabulary-gate path: one
+    explode → term-count aggregate (map-side combine,
+    vocabulary-sized result) joined back on the term stream, corpus
+    total as a broadcast 1-row aggregate; text never shuffles."""
     toks = tokens_col(text_col)
     terms = df.select(
         F.col(id_col), F.explode(toks).alias("term")

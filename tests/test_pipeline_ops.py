@@ -5,6 +5,8 @@ import datetime
 
 from pyspark.sql import functions as F
 
+from conftest import SF_SMALL
+
 
 def test_lookback_join_bucket_boundary(spark):
     """Matches that cross the quantization-bucket boundary must still
@@ -675,3 +677,39 @@ def test_unigram_logprob_orders_by_rarity(spark):
     assert out[1]["n_tokens"] == 4 and out[3]["n_tokens"] == 3
     assert out[1]["logprob"] > out[2]["logprob"] > out[3]["logprob"]
     assert all(r["logprob"] <= 0 for r in out.values())
+
+
+def test_tfidf_topk_paths_equivalent(spark):
+    """The broadcast-vocabulary Arrow path and the distributed join
+    fallback (forced via max_broadcast_vocab=0) must emit identical
+    rows — same terms, ranks, and round-6 scores — on real testdata
+    with ties, mixed case, and empty-ish docs."""
+    from strat_backtest_spark.operators.text_analysis import tfidf_topk
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    key = lambda r: (r["doc_id"], r["rank"])
+    fast = sorted(tfidf_topk(docs, k=3).collect(), key=key)
+    slow = sorted(
+        tfidf_topk(docs, k=3, max_broadcast_vocab=0).collect(), key=key
+    )
+    assert [tuple(r) for r in fast] == [tuple(r) for r in slow]
+
+
+def test_unigram_logprob_paths_equivalent(spark):
+    """Broadcast path vs forced join fallback: identical (doc,
+    n_tokens, round-6 logprob) rows on real testdata."""
+    from strat_backtest_spark.operators.text_analysis import unigram_logprob
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    fast = sorted(
+        unigram_logprob(docs).collect(), key=lambda r: r["doc_id"]
+    )
+    slow = sorted(
+        unigram_logprob(docs, max_broadcast_vocab=0).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert [tuple(r) for r in fast] == [tuple(r) for r in slow]

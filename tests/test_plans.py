@@ -352,3 +352,38 @@ def test_q77_line_text_never_shuffles(spark):
     for line in p.splitlines():
         if "Exchange" in line and "hashpartitioning" in line:
             assert "text" not in line, "document text shuffles in q77:\n" + line
+
+
+def test_q81_tfidf_broadcast_path_plan_shape(spark):
+    """tfidf_topk's broadcast-vocabulary path: the returned plan is
+    scan → lower → MapInPandas → round, with NO hash-partitioning
+    shuffle — the exploded term stream never leaves its input split
+    (the vocabulary aggregate ran eagerly at construction and left
+    only a SparkContext broadcast). The one permitted Exchange is
+    _t's round-robin spread of the single-row-group test file, which
+    carries no grouping semantics. The first shipped plan shuffled
+    the corpus-sized term stream three times (agg, join, window) and
+    measured 741 s at the 5M-doc rung."""
+    from strat_backtest_spark.plans.catalog import CATALOG
+
+    p = _formatted(CATALOG["q81_tfidf_topk"].fn(spark, SF_MED))
+    assert "hashpartitioning" not in p, "tfidf broadcast path gained a shuffle"
+    assert "Window" not in p, "per-doc window came back"
+    assert "Join" not in p, "idf join came back"
+    assert p.count("MapInPandas (") == 1
+    assert p.count("Scan parquet  (") == 1
+
+
+def test_q83_unigram_broadcast_path_plan_shape(spark):
+    """unigram_logprob's broadcast path: same no-hash-shuffle
+    contract as tfidf's — one scan, one Arrow stage, no join or
+    aggregate in the returned plan (round-robin loader spread
+    permitted, see q81's note)."""
+    from strat_backtest_spark.plans.catalog import CATALOG
+
+    p = _formatted(CATALOG["q83_unigram_logprob"].fn(spark, SF_MED))
+    assert "hashpartitioning" not in p, "unigram broadcast path gained a shuffle"
+    assert "HashAggregate" not in p, "per-doc aggregate came back"
+    assert "Join" not in p, "term-count join came back"
+    assert p.count("MapInPandas (") == 1
+    assert p.count("Scan parquet  (") == 1

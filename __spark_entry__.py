@@ -54,14 +54,24 @@ def entry(spark: SparkSession) -> DataFrame:
 # (q30/q31/q47/q51 — margin + NaN-policy + bucket-cap fixes), the
 # dedup family consumers of decontaminate/connected-components
 # (q55/q56/q60/q68/q69), q26 (BPE tokenizer scale run), and the
-# ELEVEN new round-8 entries (q74 PII scrub, q75 dup-n-gram fraction,
+# FIFTEEN new round-8 entries (q74 PII scrub, q75 dup-n-gram fraction,
 # q76 semantic dedup apply, q77 line-level dedup, q78 streaming PII,
 # q79 sequence packing, q80 shard shuffle, q81 TF-IDF top-k, q82
 # embedding quantization, q83 unigram log-prob quality, q84
-# train/val/test split — never gated, must be in the window).
-# Catalog is now 84 entries; the tail is 34 untouched entries, every
-# one hash-green in r07, keeping the head at exactly 50.
+# train/val/test split, q85 per-source quota sample, q86 corpus
+# trigram top-k, q87 bigram log-prob quality, q88 ANN recall@k —
+# never gated, must be in the window).
+# Catalog is now 88 entries; the tail is 38 untouched entries, every
+# one hash-green in r07, keeping the head at exactly 50. The four
+# kernel-family rows below (q40/q42/q46/q59) joined the tail when the
+# round-8 entry count passed 84: their source files (operators/
+# kernel.py, metrics.py, optimize.py, streaming/backtest_stream.py)
+# have zero round-8 diffs and all four hash-matched in r07.
 _SWEEP_TAIL = [
+    "q40_backtest_networth",      # hash-match r01-r07, kernel.py untouched r8
+    "q42_backtest_metrics",       # hash-match r07 (full oracle), metrics.py untouched r8
+    "q46_simulated_annealing",    # hash-match r07 (replay oracle), optimize.py untouched r8
+    "q59_stream_backtest_kernel", # hash-match r07, backtest_stream.py untouched r8
     "q01_pricing_summary",        # hash-match r01-r07, untouched r8
     "q02_regional_revenue",       # hash-match r01-r07, untouched r8
     "q04_orders_with_bigticket_items",  # hash-match r01-r07, untouched r8

@@ -17,7 +17,7 @@ standard move for rebalancing a multilingual/multi-source corpus
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from strat_backtest_spark.functions.hashing import md5_hash
 
@@ -82,3 +82,50 @@ def split_assign(
     for name, bound in reversed(bounds):
         expr = F.when(h < bound, F.lit(name)).otherwise(expr)
     return df.withColumn("split", expr)
+
+
+def quota_sample(
+    df: DataFrame,
+    cap: int,
+    group_col: str,
+    key_col: str = "doc_id",
+    seed: int = 0,
+    n_salts: int = 32,
+) -> DataFrame:
+    """Per-group quota: keep at most ``cap`` rows per ``group_col``
+    value, chosen deterministically — the curation move for bounding a
+    dominant source/domain ("at most N docs per domain") where a RATE
+    (stratified_sample) can't promise a hard ceiling.
+
+    Selection contract: within each group, rank rows by
+    ``(md5(seed:key), key)`` ascending and keep rank <= cap. Pure
+    function of row identity — stable under repartitioning and
+    engine-portable (the oracle replays it with one SQL window).
+
+    Scale shape: the full rows never shuffle. A slim ``(key, group,
+    h)`` stream goes through a SALTED two-level top-cap — level 1
+    ranks within ``(group, h % n_salts)`` and keeps cap per salt, so
+    no single reducer ever sees more than one salt's slice of even a
+    corpus-dominating group; level 2 ranks the <= cap*n_salts
+    survivors per group globally. Winners (<= cap * |groups| keys)
+    then semi-join back to the full rows — corpus-proportional side
+    un-hinted, AQE picks the strategy (round-7 lesson: forced
+    broadcasts of corpus-proportional sides are an OOM at fleet
+    scale; here the winner side is cap-bounded, so AQE broadcasts it
+    whenever it actually fits)."""
+    if cap <= 0:
+        raise ValueError("cap must be positive")
+    h = md5_hash(F.concat_ws(":", F.lit(int(seed)), F.col(key_col).cast("string")))
+    slim = df.select(F.col(key_col), F.col(group_col), h.alias("__h"))
+    lvl1 = Window.partitionBy(
+        group_col, (F.col("__h") % int(n_salts)).alias("__salt")
+    ).orderBy("__h", key_col)
+    lvl2 = Window.partitionBy(group_col).orderBy("__h", key_col)
+    winners = (
+        slim.withColumn("__r1", F.row_number().over(lvl1))
+        .filter(F.col("__r1") <= cap)
+        .withColumn("__r2", F.row_number().over(lvl2))
+        .filter(F.col("__r2") <= cap)
+        .select(key_col)
+    )
+    return df.join(winners, on=key_col, how="left_semi")

@@ -17,7 +17,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark import StorageLevel
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from strat_backtest_spark.functions.text import whitespace_tokens
 
@@ -643,5 +643,222 @@ def _unigram_join_path(
         .agg(
             F.count("*").alias("n_tokens"),
             F.round(F.avg(F.log(F.col("c") / F.col("T"))), 6).alias("logprob"),
+        )
+    )
+
+
+def _partial_ngram_counts(df_lowered: DataFrame, n: int) -> DataFrame:
+    """Arrow map stage emitting per-batch PARTIAL (term, c) n-gram
+    counts over the ``__lc`` column — the word-count combiner done in
+    C (np.unique) BEFORE anything shuffles. The exchange that follows
+    carries one row per distinct n-gram per batch, not one per token
+    instance: at the 5M-doc rung that is the difference between
+    shuffling ~266M shingle instances and a few million partials.
+
+    Interpreted-HOF trap (round-7 lesson, BASELINE "MinHash signature
+    stage" row): building n-grams with a Catalyst ``transform(...,
+    concat_ws(slice(...)))`` evaluates INTERPRETED per position
+    (~19 µs each); the Python loop below is a C-level str join plus
+    one np.unique, 1-2 orders faster end-to-end."""
+    nn = int(n)
+
+    def _count(batches):
+        empty = pd.DataFrame({"term": [], "c": []}, columns=["term", "c"])
+        for pdf in batches:
+            grams: list[str] = []
+            for x in pdf["__lc"].tolist():
+                if not isinstance(x, str):
+                    continue
+                ts = [t for t in _WS_RE.split(x) if t]
+                if len(ts) < nn:
+                    continue
+                if nn == 1:
+                    grams.extend(ts)
+                else:
+                    grams.extend(
+                        " ".join(ts[i : i + nn]) for i in range(len(ts) - nn + 1)
+                    )
+            if not grams:
+                yield empty
+                continue
+            uniq, cnt = np.unique(np.asarray(grams, dtype=object), return_counts=True)
+            yield pd.DataFrame({"term": uniq, "c": cnt.astype(np.int64)})
+
+    return df_lowered.mapInPandas(_count, "term string, c long")
+
+
+def ngram_topk(
+    df: DataFrame,
+    n: int = 3,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide top-k most frequent word n-grams — the vocabulary /
+    boilerplate profiler (the first thing to run on a new crawl: the
+    head of this list IS the site template noise dedup must kill).
+
+    Rank by (count DESC, ngram ASC); returns (ngram, n_docs-agnostic
+    corpus count, rank). Plan: Arrow partial-count stage → ONE slim
+    (term, c) exchange with map-side combine → global top-k
+    (TakeOrderedAndProject — each partition forwards only its local
+    top-k, the driver merges k-sized heaps; nothing corpus-sized ever
+    sorts). The k winners get ranks via a single-partition window
+    over k rows."""
+    lowered = df.select(F.lower(F.col(text_col)).alias("__lc"))
+    counts = (
+        _partial_ngram_counts(lowered, n)
+        .groupBy("term")
+        .agg(F.sum("c").alias("cnt"))
+    )
+    topk = counts.orderBy(F.col("cnt").desc(), F.col("term").asc()).limit(int(k))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("term").asc())
+    return topk.select(
+        F.col("term").alias("ngram"),
+        F.col("cnt"),
+        F.row_number().over(w).cast("int").alias("rank"),
+    )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_broadcast_vocab: int = 20_000_000,
+) -> DataFrame:
+    """Bigram language-model quality proxy: the mean conditional
+    log-probability ln(c(w1 w2) / c(w1)) over a document's bigrams,
+    with counts from the corpus's own empirical distribution — one
+    Markov order past ``unigram_logprob``, catching word-salad text
+    whose unigrams are individually common. c(w1) is the TOTAL corpus
+    unigram count (simple MLE denominator, identical in the SQL
+    mirror). Docs with < 2 tokens drop out.
+
+    Same two-path shape as tfidf_topk/unigram_logprob: ONE Arrow
+    partial-count pass feeds both vocab tables (bigrams tagged 'b',
+    unigrams 'u' — one slim exchange builds both aggregates); under
+    the gate they collect, broadcast as sorted-term + log-count
+    arrays, and every document scores locally in a second Arrow map
+    pass — document text never shuffles. Above the gate, the fully
+    distributed join plan (``_bigram_join_path``)."""
+    spark = df.sparkSession
+    lowered = df.select(F.col(id_col), F.lower(F.col(text_col)).alias("__lc"))
+    lc_only = lowered.select("__lc")
+    tagged = _partial_ngram_counts(lc_only, 1).select(
+        F.concat(F.lit("u "), F.col("term")).alias("term"), "c"
+    ).unionAll(
+        _partial_ngram_counts(lc_only, 2).select(
+            F.concat(F.lit("b "), F.col("term")).alias("term"), "c"
+        )
+    )
+    counts_df = tagged.groupBy("term").agg(F.sum("c").alias("c"))
+    counts_df.persist(StorageLevel.DISK_ONLY)
+    try:
+        vocab_n = counts_df.count()
+        if vocab_n > int(max_broadcast_vocab):
+            return _bigram_join_path(df, text_col, id_col)
+        counts_pdf = counts_df.toPandas()
+    finally:
+        counts_df.unpersist()
+    tags = counts_pdf["term"].str.slice(0, 2)
+    uni = counts_pdf[tags == "u "]
+    big = counts_pdf[tags == "b "]
+    # Broadcast RAW counts (float64), not ln(count): the scorer must
+    # evaluate ln(c2 / c1) exactly as the SQL mirror does — a
+    # ln-then-exp round trip would perturb the last ulp.
+    u_terms = uni["term"].str.slice(2).to_numpy(dtype=object)
+    u_cnt = uni["c"].to_numpy(dtype=np.float64)
+    b_terms = big["term"].str.slice(2).to_numpy(dtype=object)
+    b_cnt = big["c"].to_numpy(dtype=np.float64)
+    bcast = spark.sparkContext.broadcast((u_terms, u_cnt, b_terms, b_cnt))
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def _score(batches):
+        u_t, u_v, b_t, b_v = bcast.value
+        key = (id(u_t), len(u_t), len(b_t))
+        memo = _VOCAB_INDEX_MEMO.get(key)
+        if memo is None:
+            if len(_VOCAB_INDEX_MEMO) >= 8:
+                _VOCAB_INDEX_MEMO.clear()
+            memo = (pd.Index(u_t), pd.Index(b_t))
+            _VOCAB_INDEX_MEMO[key] = memo
+        u_idx, b_idx = memo
+        empty = pd.DataFrame(
+            {id_col: [], "n_bigrams": [], "logprob": []},
+            columns=[id_col, "n_bigrams", "logprob"],
+        )
+        for pdf in batches:
+            ids_arr = pdf[id_col].to_numpy()
+            bgs: list[str] = []
+            w1s: list[str] = []
+            lens = np.zeros(len(pdf), dtype=np.int64)
+            for row_i, x in enumerate(pdf["__lc"].tolist()):
+                if not isinstance(x, str):
+                    continue
+                ts = [t for t in _WS_RE.split(x) if t]
+                if len(ts) < 2:
+                    continue
+                lens[row_i] = len(ts) - 1
+                w1s.extend(ts[:-1])
+                bgs.extend(
+                    " ".join(p) for p in zip(ts[:-1], ts[1:])
+                )
+            if not bgs:
+                yield empty
+                continue
+            c2 = b_v[b_idx.get_indexer(np.asarray(bgs, dtype=object))]
+            c1 = u_v[u_idx.get_indexer(np.asarray(w1s, dtype=object))]
+            vals = np.log(c2 / c1)
+            di = np.repeat(np.arange(len(pdf), dtype=np.int64), lens)
+            sums = np.bincount(di, weights=vals, minlength=len(pdf))
+            nz = lens > 0
+            yield pd.DataFrame(
+                {
+                    id_col: ids_arr[nz],
+                    "n_bigrams": lens[nz],
+                    "logprob": sums[nz] / lens[nz].astype(np.float64),
+                },
+                columns=[id_col, "n_bigrams", "logprob"],
+            )
+
+    out = lowered.mapInPandas(
+        _score, f"{id_col} {id_type}, n_bigrams long, logprob double"
+    )
+    return out.select(id_col, "n_bigrams", F.round("logprob", 6).alias("logprob"))
+
+
+def _bigram_join_path(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """``bigram_logprob``'s over-the-gate path: explode (doc, bigram,
+    w1) rows, join the bigram-count and unigram-count aggregates, one
+    per-doc mean — everything distributed, text never shuffles (only
+    the slim term streams move)."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    base = df.select(F.col(id_col), toks.alias("__ts")).filter(F.size("__ts") >= 2)
+    pairs = base.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("__ts"), 1, F.size("__ts") - 1),
+                F.slice(F.col("__ts"), 2, F.size("__ts") - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bg"),
+    ).withColumn("w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+    unis = df.select(
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+        ).alias("w1")
+    ).groupBy("w1").agg(F.count("*").alias("c1"))
+    bigs = pairs.groupBy("bg").agg(F.count("*").alias("c2"))
+    return (
+        pairs.join(bigs, "bg")
+        .join(unis, "w1")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(F.log(F.col("c2") / F.col("c1"))), 6).alias("logprob"),
         )
     )

@@ -1304,3 +1304,143 @@ def q84_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_assign(
         docs, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7
     )
+
+
+@query(
+    "q85_quota_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source, n_chars FROM (
+      SELECT doc_id, lang, source, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {md5_hash_sql("'0:' || doc_id::VARCHAR")}, doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 15
+    """,
+)
+def q85_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard per-source quota: at most 15 docs per source, selected by
+    the identity-keyed md5 rank — the dominant-domain bounding move a
+    keep-rate can't promise. Salted two-level top-cap on a slim id
+    stream; document text never shuffles
+    (operators/sampling.quota_sample)."""
+    from strat_backtest_spark.operators.sampling import quota_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return quota_sample(docs, cap=15, group_col="source")
+
+
+@query(
+    "q86_ngram_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT unnest(list_transform(range(1, len(toks) - 1), i ->
+               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ngram
+      FROM tok WHERE len(toks) >= 3
+    ),
+    c AS (SELECT ngram, count(*)::BIGINT AS cnt FROM g GROUP BY ngram)
+    SELECT ngram, cnt,
+           (row_number() OVER (ORDER BY cnt DESC, ngram ASC))::INT AS rank
+    FROM c QUALIFY rank <= 20
+    """,
+)
+def q86_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 trigrams — the boilerplate/template profiler
+    run first on any new crawl. Arrow partial-count combiner, one slim
+    (term, c) exchange, global top-k via TakeOrderedAndProject
+    (operators/text_analysis.ngram_topk)."""
+    from strat_backtest_spark.operators.text_analysis import ngram_topk
+
+    return ngram_topk(_t(spark, sf_dir, "documents"), n=3, k=20)
+
+
+@query(
+    "q87_bigram_logprob",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+      FROM documents
+    ),
+    uni AS (SELECT unnest(toks) AS w1 FROM tok),
+    c1t AS (SELECT w1, count(*)::BIGINT AS c1 FROM uni GROUP BY w1),
+    big AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)), i ->
+               toks[i] || ' ' || toks[i+1])) AS bg
+      FROM tok WHERE len(toks) >= 2
+    ),
+    c2t AS (SELECT bg, count(*)::BIGINT AS c2 FROM big GROUP BY bg)
+    SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+           round(avg(ln(c2 / c1)), 6) AS logprob
+    FROM big
+    JOIN c2t USING (bg)
+    JOIN c1t ON split_part(bg, ' ', 1) = c1t.w1
+    GROUP BY doc_id
+    """,
+)
+def q87_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM quality score: mean ln(c(w1 w2)/c(w1)) per document
+    under the corpus's own counts — one Markov order past q83,
+    catching word salad whose unigrams are common. Broadcast-vocab
+    Arrow scorer with distributed join fallback
+    (operators/text_analysis.bigram_logprob)."""
+    from strat_backtest_spark.operators.text_analysis import bigram_logprob
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bigram_logprob(docs)
+
+
+@query(
+    "q88_ann_recall",
+    oracle=f"""
+    WITH cb AS (SELECT a.vec_id, a.embedding, {_bucket_sql('a')} AS bucket FROM embeddings a),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY b.vec_id
+                 ORDER BY round({_DOT} / ({_NORM_B} * {_NORM_A}), 6) DESC,
+                          a.vec_id ASC) AS rank
+        FROM embeddings a, embeddings b
+        WHERE b.vec_id < 10 AND a.vec_id <> b.vec_id
+      ) WHERE rank <= 5
+    ),
+    approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY b.vec_id
+                 ORDER BY round({_DOT} / ({_NORM_B} * {_NORM_A}), 6) DESC,
+                          a.vec_id ASC) AS rank
+        FROM cb a JOIN cb b USING (bucket)
+        WHERE b.vec_id < 10 AND a.vec_id <> b.vec_id
+      ) WHERE rank <= 5
+    ),
+    nt AS (SELECT query_id, count(*)::BIGINT AS n_true FROM truth GROUP BY query_id),
+    nh AS (SELECT t.query_id, count(*)::BIGINT AS n_hit
+           FROM truth t JOIN approx USING (query_id, neighbor_id)
+           GROUP BY t.query_id)
+    SELECT query_id, n_true,
+           coalesce(n_hit, 0)::BIGINT AS n_hit,
+           round(coalesce(n_hit, 0) / n_true, 6) AS recall
+    FROM nt LEFT JOIN nh USING (query_id)
+    """,
+)
+def q88_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the hyperplane-LSH ANN vs the exact brute-force
+    ranking for the first-10-vector query set — the index-evaluation
+    harness that catches recall collapse (1M-vec rung: 6 planes
+    "succeed" with near-zero recall) before neighbors feed training
+    (operators/similarity.ann_recall)."""
+    from strat_backtest_spark.operators.similarity import ann_recall
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_recall(emb, emb.filter(F.col("vec_id") < 10), k=5)

@@ -713,3 +713,104 @@ def test_unigram_logprob_paths_equivalent(spark):
         key=lambda r: r["doc_id"],
     )
     assert [tuple(r) for r in fast] == [tuple(r) for r in slow]
+
+
+def test_quota_sample_cap_binds_and_is_stable(spark):
+    """Per-group cap: no group exceeds the cap; the selection is the
+    deterministic (md5, key) rank — invariant to partitioning and to
+    the salt count (level-1 pruning may only drop non-winners)."""
+    from strat_backtest_spark.operators.sampling import quota_sample
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    out = quota_sample(docs, cap=7, group_col="source")
+    per_group = {r["source"]: r["n"] for r in
+                 out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per_group and all(n <= 7 for n in per_group.values())
+    ids = sorted(r["doc_id"] for r in out.collect())
+    ids_repart = sorted(
+        r["doc_id"]
+        for r in quota_sample(docs.repartition(13), cap=7, group_col="source").collect()
+    )
+    ids_one_salt = sorted(
+        r["doc_id"]
+        for r in quota_sample(docs, cap=7, group_col="source", n_salts=1).collect()
+    )
+    assert ids == ids_repart == ids_one_salt
+
+
+def test_ngram_topk_counts(spark):
+    """Known tiny corpus: bigram counts and the (count DESC, ngram
+    ASC) tie-break are exact."""
+    from strat_backtest_spark.operators.text_analysis import ngram_topk
+
+    df = spark.createDataFrame(
+        [("a b a b c",), ("a b x",), ("b c a b",)], ["text"]
+    )
+    rows = ngram_topk(df, n=2, k=3).collect()
+    got = [(r["ngram"], r["cnt"], r["rank"]) for r in rows]
+    # bigrams: a b:4 (2+1+1), b a:1, b c:2, b x:1, c a:1
+    assert sorted(got, key=lambda t: t[2]) == [
+        ("a b", 4, 1), ("b c", 2, 2), ("b a", 1, 3)
+    ]
+
+
+def test_bigram_logprob_paths_equivalent(spark):
+    """Broadcast-vocab Arrow scorer vs forced distributed join path:
+    identical (doc, n_bigrams, round-6 logprob) rows on real
+    testdata."""
+    from strat_backtest_spark.operators.text_analysis import bigram_logprob
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    fast = sorted(bigram_logprob(docs).collect(), key=lambda r: r["doc_id"])
+    slow = sorted(
+        bigram_logprob(docs, max_broadcast_vocab=0).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert [tuple(r) for r in fast] == [tuple(r) for r in slow]
+    assert all(r["logprob"] <= 0 for r in fast)
+
+
+def test_bigram_logprob_flags_word_salad(spark):
+    """A scrambled-order doc scores below the repeated-phrase docs its
+    unigrams came from — the signal unigram_logprob cannot see."""
+    from strat_backtest_spark.operators.text_analysis import bigram_logprob
+
+    phrase = "the quick brown fox jumps"
+    salad = "fox the jumps quick brown"
+    df = spark.createDataFrame(
+        [(i, phrase) for i in range(9)] + [(9, salad)], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r["logprob"] for r in bigram_logprob(df).collect()}
+    assert out[9] < out[0]
+
+
+def test_ann_recall_matches_componentwise_intersection(spark):
+    """Differential: ann_recall's per-query numbers must equal the
+    set intersection of the two gated component operators' outputs,
+    computed independently in Python — and every query (including
+    zero-hit ones) must appear."""
+    from strat_backtest_spark.operators.similarity import (
+        ann_recall,
+        ann_topk,
+        cosine_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    truth: dict[int, set] = {}
+    for r in cosine_topk(emb, queries, k=5).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx: dict[int, set] = {}
+    for r in ann_topk(emb, queries, k=5).collect():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got = {r["query_id"]: r for r in ann_recall(emb, queries, k=5).collect()}
+    assert set(got) == set(truth)
+    for q, t in truth.items():
+        hit = len(t & approx.get(q, set()))
+        assert got[q]["n_true"] == len(t)
+        assert got[q]["n_hit"] == hit
+        assert got[q]["recall"] == round(hit / len(t), 6)

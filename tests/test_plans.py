@@ -387,3 +387,33 @@ def test_q83_unigram_broadcast_path_plan_shape(spark):
     assert "Join" not in p, "term-count join came back"
     assert p.count("MapInPandas (") == 1
     assert p.count("Scan parquet  (") == 1
+
+
+def test_q85_quota_text_never_shuffles(spark):
+    """quota_sample: the winners come from a slim (key, group, hash)
+    stream — no Exchange may carry the text column (it rides only the
+    final semi-join's probe side, un-shuffled when AQE broadcasts the
+    cap-bounded winner set)."""
+    from strat_backtest_spark.plans.catalog import CATALOG
+
+    docs = spark.read.parquet(f"{SF_MED}/documents.parquet")
+    from strat_backtest_spark.operators.sampling import quota_sample
+
+    p = _formatted(quota_sample(docs, cap=15, group_col="source"))
+    for line in p.splitlines():
+        if "Exchange" in line and "hashpartitioning" in line:
+            assert "text" not in line, "document text shuffles in quota_sample:\n" + line
+
+
+def test_q87_bigram_broadcast_path_plan_shape(spark):
+    """bigram_logprob's broadcast path: same no-hash-shuffle contract
+    as q81/q83 — one scan, one Arrow stage in the returned plan (the
+    vocab aggregates ran eagerly at construction)."""
+    from strat_backtest_spark.plans.catalog import CATALOG
+
+    p = _formatted(CATALOG["q87_bigram_logprob"].fn(spark, SF_MED))
+    assert "hashpartitioning" not in p, "bigram broadcast path gained a shuffle"
+    assert "HashAggregate" not in p, "per-doc aggregate came back"
+    assert "Join" not in p, "count join came back"
+    assert p.count("MapInPandas (") == 1
+    assert p.count("Scan parquet  (") == 1

@@ -814,3 +814,27 @@ def test_ann_recall_matches_componentwise_intersection(spark):
         assert got[q]["n_true"] == len(t)
         assert got[q]["n_hit"] == hit
         assert got[q]["recall"] == round(hit / len(t), 6)
+
+
+def test_quota_sample_skewed_group(spark):
+    """One group holding half the corpus (the skew case the salted
+    level-1 window exists for): the cap still binds exactly and the
+    winner set still equals the unsalted global rank."""
+    from strat_backtest_spark.operators.sampling import quota_sample
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("mega"))
+        .otherwise(F.concat(F.lit("s"), (F.col("doc_id") % 7).cast("string")))
+        .alias("grp"),
+    )
+    out = quota_sample(docs, cap=9, group_col="grp")
+    per = {r["grp"]: r["n"] for r in
+           out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert per["mega"] == 9 and all(n <= 9 for n in per.values())
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in quota_sample(docs, cap=9, group_col="grp", n_salts=1).collect()
+    )
+    assert a == b

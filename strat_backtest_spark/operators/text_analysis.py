@@ -543,13 +543,23 @@ def unigram_logprob(
     shuffles. The corpus total T derives from the collected counts
     (exact int64 sum), costing no extra job. EAGER at construction
     (one vocabulary-aggregate job); broadcast lifecycle as documented
-    on decontaminate."""
+    on decontaminate.
+
+    The vocabulary aggregate itself uses the Arrow partial-count
+    combiner (``_partial_ngram_counts``) rather than a JVM
+    explode→groupBy: the explode materializes one aggregate input row
+    per TOKEN INSTANCE (266M at the 5M-doc rung — measured 141 s for
+    the whole op), while the combiner collapses each Arrow batch to
+    its distinct terms in one np.unique before the exchange (the
+    sibling bigram op, which does strictly more work, measured 62 s
+    on that shape). Counts are exact either way — sum of per-batch
+    partials."""
     spark = df.sparkSession
     lowered = df.select(F.col(id_col), F.lower(F.col(text_col)).alias("__lc"))
     counts_df = (
-        lowered.select(F.explode(tokens_col("__lc")).alias("term"))
+        _partial_ngram_counts(lowered.select("__lc"), 1)
         .groupBy("term")
-        .agg(F.count("*").alias("c"))
+        .agg(F.sum("c").alias("c"))
     )
     counts_df.persist(StorageLevel.DISK_ONLY)
     try:

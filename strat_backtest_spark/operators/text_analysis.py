@@ -377,13 +377,16 @@ def tfidf_topk(
     """
     spark = df.sparkSession
     lowered = df.select(F.col(id_col), F.lower(F.col(text_col)).alias("__lc"))
-    # Per-doc DISTINCT terms computed inside the row (array_distinct is
-    # JVM-side) — the exploded stream is vocabulary-bound per doc, and
-    # the groupBy's map-side combine collapses it to one row per term.
+    # Doc-frequency partials via the Arrow combiner (same move as the
+    # unigram/bigram vocab builds): each batch emits one (term, df)
+    # row per distinct term in the batch — per-doc dedup via Python
+    # set, cross-doc counting via np.unique — so the aggregate's
+    # input is distinct-terms-per-batch, not the (doc, term)-sized
+    # stream the JVM array_distinct+explode produced.
     dfreq_df = (
-        lowered.select(F.explode(F.array_distinct(tokens_col("__lc"))).alias("term"))
+        _partial_docfreq_counts(lowered.select("__lc"))
         .groupBy("term")
-        .agg(F.count("*").alias("df"))
+        .agg(F.sum("df").alias("df"))
     )
     dfreq_df.persist(StorageLevel.DISK_ONLY)
     try:
@@ -655,6 +658,31 @@ def _unigram_join_path(
             F.round(F.avg(F.log(F.col("c") / F.col("T"))), 6).alias("logprob"),
         )
     )
+
+
+def _partial_docfreq_counts(df_lowered: DataFrame) -> DataFrame:
+    """Arrow map stage emitting per-batch PARTIAL (term, df) document
+    -frequency counts over ``__lc``: per-doc dedup (Python set), then
+    one np.unique across the batch's docs. The exchange that follows
+    carries distinct-terms-per-batch — the combiner shape shared with
+    ``_partial_ngram_counts``, specialized to count DOCUMENTS
+    containing a term rather than instances."""
+
+    def _count(batches):
+        empty = pd.DataFrame({"term": [], "df": []}, columns=["term", "df"])
+        for pdf in batches:
+            terms: list[str] = []
+            for x in pdf["__lc"].tolist():
+                if not isinstance(x, str):
+                    continue
+                terms.extend({t for t in _WS_RE.split(x) if t})
+            if not terms:
+                yield empty
+                continue
+            uniq, cnt = np.unique(np.asarray(terms, dtype=object), return_counts=True)
+            yield pd.DataFrame({"term": uniq, "df": cnt.astype(np.int64)})
+
+    return df_lowered.mapInPandas(_count, "term string, df long")
 
 
 def _partial_ngram_counts(df_lowered: DataFrame, n: int) -> DataFrame:

@@ -69,6 +69,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # have zero round-8 diffs and all four hash-matched in r07.
 _SWEEP_TAIL = [
     "q40_backtest_networth",      # hash-match r01-r07, kernel.py untouched r8
+    "q72_stoploss_networth",      # hash-match r07 (heap-oracle), kernel.py untouched r8
     "q42_backtest_metrics",       # hash-match r07 (full oracle), metrics.py untouched r8
     "q46_simulated_annealing",    # hash-match r07 (replay oracle), optimize.py untouched r8
     "q59_stream_backtest_kernel", # hash-match r07, backtest_stream.py untouched r8

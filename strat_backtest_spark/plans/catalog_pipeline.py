@@ -1444,3 +1444,47 @@ def q88_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return ann_recall(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@query(
+    "q89_profile_columns",
+    oracle="""
+    WITH s AS (
+      SELECT count(*)::BIGINT AS n,
+             count(o_totalprice)::BIGINT AS nn_tp,
+             count(DISTINCT o_totalprice)::BIGINT AS nd_tp,
+             min(o_totalprice)::DOUBLE AS mn_tp, max(o_totalprice)::DOUBLE AS mx_tp,
+             count(o_custkey)::BIGINT AS nn_ck,
+             count(DISTINCT o_custkey)::BIGINT AS nd_ck,
+             min(o_custkey)::DOUBLE AS mn_ck, max(o_custkey)::DOUBLE AS mx_ck,
+             count(o_orderpriority)::BIGINT AS nn_op,
+             count(DISTINCT o_orderpriority)::BIGINT AS nd_op,
+             min(o_orderpriority) AS mn_op, max(o_orderpriority) AS mx_op,
+             count(o_orderdate)::BIGINT AS nn_od,
+             count(DISTINCT o_orderdate)::BIGINT AS nd_od,
+             min(o_orderdate::VARCHAR) AS mn_od, max(o_orderdate::VARCHAR) AS mx_od
+      FROM orders
+    )
+    SELECT 'o_totalprice' AS column, n AS n_rows, n - nn_tp AS n_nulls,
+           nd_tp AS n_distinct, mn_tp AS min_num, mx_tp AS max_num,
+           NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str FROM s
+    UNION ALL
+    SELECT 'o_custkey', n, n - nn_ck, nd_ck, mn_ck, mx_ck, NULL, NULL FROM s
+    UNION ALL
+    SELECT 'o_orderpriority', n, n - nn_op, nd_op, NULL::DOUBLE, NULL::DOUBLE,
+           mn_op, mx_op FROM s
+    UNION ALL
+    SELECT 'o_orderdate', n, n - nn_od, nd_od, NULL::DOUBLE, NULL::DOUBLE,
+           mn_od, mx_od FROM s
+    """,
+)
+def q89_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-column profile (nulls / exact distinct / extrema)
+    of the orders table — numeric, string, and date columns through
+    one aggregate job (operators/profile.profile_columns)."""
+    from strat_backtest_spark.operators.profile import profile_columns
+
+    orders = _t(spark, sf_dir, "orders")
+    return profile_columns(
+        orders, ["o_totalprice", "o_custkey", "o_orderpriority", "o_orderdate"]
+    )

@@ -838,3 +838,23 @@ def test_quota_sample_skewed_group(spark):
         for r in quota_sample(docs, cap=9, group_col="grp", n_salts=1).collect()
     )
     assert a == b
+
+
+def test_profile_columns_nulls_and_types(spark):
+    """Null counting, exact distincts, and the numeric-vs-string
+    extrema split on a hand-built frame with nulls in every column."""
+    from strat_backtest_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, 2.5, "b"), (2, None, "a"), (3, 7.5, None), (4, 2.5, "a")],
+        "id long, x double, s string",
+    )
+    got = {r["column"]: r for r in profile_columns(df).collect()}
+    assert got["x"]["n_rows"] == 4 and got["x"]["n_nulls"] == 1
+    assert got["x"]["n_distinct"] == 2
+    assert got["x"]["min_num"] == 2.5 and got["x"]["max_num"] == 7.5
+    assert got["x"]["min_str"] is None
+    assert got["s"]["n_nulls"] == 1 and got["s"]["n_distinct"] == 2
+    assert got["s"]["min_str"] == "a" and got["s"]["max_str"] == "b"
+    assert got["s"]["min_num"] is None
+    assert got["id"]["n_nulls"] == 0 and got["id"]["n_distinct"] == 4

@@ -11,6 +11,7 @@ documents and every intermediate is columnar.
 from __future__ import annotations
 
 import hashlib
+import itertools
 import re
 
 import numpy as np
@@ -27,8 +28,12 @@ _WS_RE = re.compile(r"\s+", re.ASCII)
 
 # Per-worker-process memo for broadcast-vocabulary khash indexes
 # (same pattern as operators/dedup.py's _BENCH_INDEX_MEMO): the
-# pd.Index builds once per worker, not once per task.
+# pd.Index builds once per worker, not once per task. Keys carry a
+# DRIVER-assigned sequence number, not id(value): CPython recycles
+# addresses, and a later equal-size vocabulary landing on a freed
+# array's address would silently reuse a stale index.
 _VOCAB_INDEX_MEMO: dict = {}
+_VOCAB_SEQ = itertools.count()
 
 # Small per-language marker lexicons for the n-gram/stopword heuristic
 # language identifier. Deterministic and SQL-portable.
@@ -410,6 +415,7 @@ def tfidf_topk(
         (float(n_docs) + 1.0) / (vocab_pdf["df"].to_numpy(dtype=np.float64) + 1.0)
     )
     bcast = spark.sparkContext.broadcast((terms_arr, idf_arr))
+    bid = next(_VOCAB_SEQ)  # driver-assigned; see _VOCAB_INDEX_MEMO note
     id_type = df.schema[id_col].dataType.simpleString()
     kk = int(k)
 
@@ -418,7 +424,7 @@ def tfidf_topk(
         V = len(terms_v)
         index = None
         if V:
-            key = (id(terms_v), V)
+            key = ("tfidf", bid, V)
             index = _VOCAB_INDEX_MEMO.get(key)
             if index is None:
                 if len(_VOCAB_INDEX_MEMO) >= 8:
@@ -579,6 +585,7 @@ def unigram_logprob(
     # with float64 division first, then the log.
     logp_arr = np.log(c_arr.astype(np.float64) / float(T)) if T else c_arr.astype(np.float64)
     bcast = spark.sparkContext.broadcast((terms_arr, logp_arr))
+    bid = next(_VOCAB_SEQ)  # driver-assigned; see _VOCAB_INDEX_MEMO note
     id_type = df.schema[id_col].dataType.simpleString()
 
     def _score(batches):
@@ -586,7 +593,7 @@ def unigram_logprob(
         V = len(terms_v)
         index = None
         if V:
-            key = (id(terms_v), V)
+            key = ("unigram", bid, V)
             index = _VOCAB_INDEX_MEMO.get(key)
             if index is None:
                 if len(_VOCAB_INDEX_MEMO) >= 8:
@@ -808,11 +815,12 @@ def bigram_logprob(
     b_terms = big["term"].str.slice(2).to_numpy(dtype=object)
     b_cnt = big["c"].to_numpy(dtype=np.float64)
     bcast = spark.sparkContext.broadcast((u_terms, u_cnt, b_terms, b_cnt))
+    bid = next(_VOCAB_SEQ)  # driver-assigned; see _VOCAB_INDEX_MEMO note
     id_type = df.schema[id_col].dataType.simpleString()
 
     def _score(batches):
         u_t, u_v, b_t, b_v = bcast.value
-        key = (id(u_t), len(u_t), len(b_t))
+        key = ("bigram", bid, len(u_t), len(b_t))
         memo = _VOCAB_INDEX_MEMO.get(key)
         if memo is None:
             if len(_VOCAB_INDEX_MEMO) >= 8:

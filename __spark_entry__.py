@@ -70,6 +70,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _SWEEP_TAIL = [
     "q40_backtest_networth",      # hash-match r01-r07, kernel.py untouched r8
     "q72_stoploss_networth",      # hash-match r07 (heap-oracle), kernel.py untouched r8
+    "q41_grid_search",            # hash-match r07, optimize.py untouched r8
     "q42_backtest_metrics",       # hash-match r07 (full oracle), metrics.py untouched r8
     "q46_simulated_annealing",    # hash-match r07 (replay oracle), optimize.py untouched r8
     "q59_stream_backtest_kernel", # hash-match r07, backtest_stream.py untouched r8

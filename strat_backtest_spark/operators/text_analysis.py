@@ -749,6 +749,8 @@ def ngram_topk(
     top-k, the driver merges k-sized heaps; nothing corpus-sized ever
     sorts). The k winners get ranks via a single-partition window
     over k rows."""
+    if int(n) < 1 or int(k) < 1:
+        raise ValueError("n and k must be positive")
     lowered = df.select(F.lower(F.col(text_col)).alias("__lc"))
     counts = (
         _partial_ngram_counts(lowered, n)

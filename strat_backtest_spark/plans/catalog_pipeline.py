@@ -1488,3 +1488,33 @@ def q89_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_columns(
         orders, ["o_totalprice", "o_custkey", "o_orderpriority", "o_orderdate"]
     )
+
+
+@query(
+    "q90_stream_quota_admission",
+    oracle=f"""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY doc_id % 3,
+                        {md5_hash_sql("'0:' || doc_id::VARCHAR")},
+                        doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 15
+    """,
+)
+def q90_stream_quota_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota admission on the documents STREAM (cap 15):
+    each source admits its best-(md5, id)-ranked docs per micro-batch
+    until the cap is hit, with ONE long of state per source. The
+    3-chunk doc_id%3 replay makes admission cross batch boundaries;
+    the drained result equals one SQL window over (arrival_batch,
+    md5, doc_id) — the oracle
+    (streaming/documents_stream.streaming_quota_admission)."""
+    from strat_backtest_spark.streaming.documents_stream import (
+        streaming_quota_admission,
+    )
+
+    return streaming_quota_admission(spark, sf_dir, cap=15, n_chunks=3)

@@ -72,3 +72,113 @@ def streaming_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("text").cast("binary")).alias("scrub_hash"),
     )
     return _drain_to_parquet(scrubbed, spark, "append")
+
+
+def streaming_quota_admission(
+    spark: SparkSession,
+    sf_dir: str,
+    cap: int = 15,
+    group_col: str = "source",
+    n_chunks: int = 3,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-group quota ADMISSION on an unbounded document stream: each
+    group (source/domain) admits documents until its cap is reached,
+    then drops the rest forever — the online form of the batch
+    ``quota_sample`` (operators/sampling.py), for ingestion pipelines
+    that must bound a dominant domain AS data arrives rather than in a
+    later batch pass.
+
+    Semantics (deterministic, oracle-replayable): within each
+    micro-batch a group's candidates are ranked by the identity-keyed
+    ``(md5(seed:doc_id), doc_id)`` — the batch operator's exact
+    contract — and the best ``remaining-quota`` of them are admitted;
+    the per-group state is ONE long (admitted count), so state is
+    O(groups) regardless of stream length. Because every batch-1 row
+    outranks every batch-2 row by construction, the drained replay
+    equals one SQL window over ``(arrival_batch, md5, doc_id)`` —
+    which is what the q90 oracle runs.
+
+    The replay chunks documents by ``doc_id % n_chunks`` (mirrored in
+    the oracle), written as mtime-ordered files and consumed
+    maxFilesPerTrigger=1, so every group's admission genuinely crosses
+    micro-batch boundaries."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+    from typing import Iterator, Tuple
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from strat_backtest_spark.functions.hashing import md5_hash
+
+    static = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", group_col)
+    )
+    out_dir = tempfile.mkdtemp(prefix="docs_replay_")
+    base = time.time()
+    for i in range(n_chunks):
+        stage = os.path.join(out_dir, f"_stage_{i}")
+        (
+            static.filter(F.col("doc_id") % n_chunks == i)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        parts = glob.glob(os.path.join(stage, "part-*.parquet"))
+        if parts:
+            dst = os.path.join(out_dir, f"{i:03d}.parquet")
+            shutil.move(parts[0], dst)
+            os.utime(dst, (base + i, base + i))
+        shutil.rmtree(stage)
+
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(out_dir)
+    )
+    ranked = stream.withColumn(
+        "__h",
+        md5_hash(F.concat_ws(":", F.lit(int(seed)), F.col("doc_id").cast("string"))),
+    )
+
+    out_type = StructType(
+        [StructField("doc_id", LongType()), StructField(group_col, StringType())]
+    )
+    state_type = StructType([StructField("admitted", LongType())])
+    kcap = int(cap)
+
+    def _admit(
+        key: Tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        admitted = state.get[0] if state.exists else 0
+        remaining = kcap - admitted
+        if remaining <= 0:
+            # quota exhausted: consume and drop (state already maxed)
+            for _ in pdf_iter:
+                pass
+            yield pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 group_col: pd.Series([], dtype="object")}
+            )
+            return
+        rows = pd.concat([p[["doc_id", "__h"]] for p in pdf_iter])
+        rows = rows.sort_values(["__h", "doc_id"]).head(remaining)
+        state.update((admitted + len(rows),))
+        yield pd.DataFrame(
+            {"doc_id": rows["doc_id"].to_numpy(), group_col: key[0]}
+        )
+
+    admitted = ranked.groupBy(group_col).applyInPandasWithState(
+        _admit,
+        outputStructType=out_type,
+        stateStructType=state_type,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _drain_to_parquet(admitted, spark, "append")

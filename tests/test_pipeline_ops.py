@@ -858,3 +858,21 @@ def test_profile_columns_nulls_and_types(spark):
     assert got["s"]["min_str"] == "a" and got["s"]["max_str"] == "b"
     assert got["s"]["min_num"] is None
     assert got["id"]["n_nulls"] == 0 and got["id"]["n_distinct"] == 4
+
+
+def test_streaming_quota_exhausted_state(spark):
+    """cap=3 with ~8 candidates per source in batch 1: every source's
+    quota fills in the first micro-batch, so batches 2-3 exercise the
+    exhausted-state drop branch — per-source counts must still be
+    exactly 3 and every admitted doc must come from batch 0
+    (doc_id % 3 == 0, the first replayed chunk)."""
+    from strat_backtest_spark.streaming.documents_stream import (
+        streaming_quota_admission,
+    )
+
+    out = streaming_quota_admission(spark, SF_SMALL, cap=3, n_chunks=3).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["source"], []).append(r["doc_id"])
+    assert per and all(len(v) == 3 for v in per.values())
+    assert all(d % 3 == 0 for v in per.values() for d in v)

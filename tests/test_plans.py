@@ -417,3 +417,27 @@ def test_q87_bigram_broadcast_path_plan_shape(spark):
     assert "Join" not in p, "count join came back"
     assert p.count("MapInPandas (") == 1
     assert p.count("Scan parquet  (") == 1
+
+
+def test_q86_ngram_topk_plan_shape(spark):
+    """ngram_topk: one Arrow combiner stage, one slim (term, c)
+    aggregate, global top-k as TakeOrderedAndProject — never a full
+    sort of the n-gram counts."""
+    from strat_backtest_spark.plans.catalog import CATALOG
+
+    p = _formatted(CATALOG["q86_ngram_topk"].fn(spark, SF_MED))
+    assert p.count("MapInPandas (") == 1
+    assert "TakeOrderedAndProject" in p, "global top-k degraded to a full sort"
+    assert p.count("Scan parquet  (") == 1
+
+
+def test_q89_profile_single_aggregate_pass(spark):
+    """profile_columns: every statistic from ONE aggregate over ONE
+    scan — multi-column exact distinct plans as a single Expand, and
+    no join or window sneaks in."""
+    from strat_backtest_spark.plans.catalog import CATALOG
+
+    p = _formatted(CATALOG["q89_profile_columns"].fn(spark, SF_MED))
+    assert p.count("Scan parquet  (") == 1, "profiler re-scans the table"
+    assert p.count("Expand (") == 1
+    assert "Join" not in p and "Window" not in p

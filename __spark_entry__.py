@@ -61,13 +61,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # train/val/test split, q85 per-source quota sample, q86 corpus
 # trigram top-k, q87 bigram log-prob quality, q88 ANN recall@k —
 # never gated, must be in the window).
-# Catalog is now 88 entries; the tail is 38 untouched entries, every
-# one hash-green in r07, keeping the head at exactly 50. The four
-# kernel-family rows below (q40/q42/q46/q59) joined the tail when the
-# round-8 entry count passed 84: their source files (operators/
-# kernel.py, metrics.py, optimize.py, streaming/backtest_stream.py)
-# have zero round-8 diffs and all four hash-matched in r07.
+# Catalog is now 91 entries; the tail is 41 untouched entries, every
+# one hash-green in r07 except q14 (r06 — see below), keeping the
+# head at exactly 50. The four kernel-family rows below
+# (q40/q42/q46/q59) joined the tail when the round-8 entry count
+# passed 84: their source files (operators/kernel.py, metrics.py,
+# optimize.py, streaming/backtest_stream.py) have zero round-8 diffs
+# and all four hash-matched in r07. When q91 (streaming simhash
+# near-dup, new this round — must be in the window) pushed the head
+# to 51, q14_distinct moved to the tail: it is untouched, green
+# r01-r06, and rule 2 gives it until round 9 (last gate row r06 →
+# back in the window by r09 at the latest) — flagged r9-MANDATORY.
 _SWEEP_TAIL = [
+    "q14_distinct",               # hash-match r01-r06, untouched r7+r8; r9-MANDATORY (rule 2)
     "q40_backtest_networth",      # hash-match r01-r07, kernel.py untouched r8
     "q72_stoploss_networth",      # hash-match r07 (heap-oracle), kernel.py untouched r8
     "q41_grid_search",            # hash-match r07, optimize.py untouched r8

@@ -1518,3 +1518,39 @@ def q90_stream_quota_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return streaming_quota_admission(spark, sf_dir, cap=15, n_chunks=3)
+
+
+@query(
+    "q91_stream_simhash_neardup",
+    oracle=f"""
+    WITH sh AS ({_simhash_sql(32)}),
+    b AS (
+      SELECT s.doc_id, t.band,
+             (s.simhash >> (t.band * 8)) & 255 AS band_val
+      FROM sh s, (SELECT unnest(range(4))::INT AS band) t
+    ),
+    f AS (
+      SELECT doc_id,
+             (row_number() OVER (
+               PARTITION BY band, band_val
+               ORDER BY doc_id % 3, doc_id
+             ) = 1) AS first
+      FROM b
+    )
+    SELECT doc_id, bool_and(first)::INT AS novel
+    FROM f GROUP BY doc_id
+    """,
+)
+def q91_stream_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup admission on the documents STREAM: per-doc
+    novelty verdict — novel iff first arrival in EVERY (band,
+    band_val) bucket of its 32-bit simhash (4 bands × 8 bits, the q58
+    batch convention). Stateful streaming with state bounded by the
+    band-value SPACE (≤ 4·256 longs), not corpus size; the 3-chunk
+    doc_id%3 replay makes claims cross micro-batch boundaries
+    (streaming/documents_stream.streaming_simhash_neardup)."""
+    from strat_backtest_spark.streaming.documents_stream import (
+        streaming_simhash_neardup,
+    )
+
+    return streaming_simhash_neardup(spark, sf_dir, bits=32, bands=4, n_chunks=3)

@@ -74,6 +74,144 @@ def streaming_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_parquet(scrubbed, spark, "append")
 
 
+def _chunked_replay(spark: SparkSession, static: DataFrame, n_chunks: int) -> DataFrame:
+    """Deterministic finite replay for stateful-operator gates: write
+    ``static`` as ``n_chunks`` mtime-ordered single-file parquet
+    chunks (chunk i holds ``doc_id % n_chunks == i``) and return a
+    stream consuming them ``maxFilesPerTrigger=1`` — one chunk per
+    micro-batch, in chunk order, so per-key state genuinely crosses
+    batch boundaries and arrival order is the oracle-replayable
+    ``(doc_id % n_chunks, doc_id)``."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    out_dir = tempfile.mkdtemp(prefix="docs_replay_")
+    base = time.time()
+    for i in range(n_chunks):
+        stage = os.path.join(out_dir, f"_stage_{i}")
+        (
+            static.filter(F.col("doc_id") % n_chunks == i)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        parts = glob.glob(os.path.join(stage, "part-*.parquet"))
+        if parts:
+            dst = os.path.join(out_dir, f"{i:03d}.parquet")
+            shutil.move(parts[0], dst)
+            os.utime(dst, (base + i, base + i))
+        shutil.rmtree(stage)
+
+    return (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(out_dir)
+    )
+
+
+def streaming_simhash_neardup(
+    spark: SparkSession,
+    sf_dir: str,
+    bits: int = 32,
+    bands: int = 4,
+    n_chunks: int = 3,
+) -> DataFrame:
+    """SimHash near-dup ADMISSION on the documents STREAM: a document
+    is novel iff in EVERY band of its simhash it is the first arrival
+    in that ``(band, band_val)`` bucket; otherwise some earlier doc
+    shares an exact band slice (Hamming-close under the pigeonhole
+    argument of the batch ``simhash_neardup_pairs``, reference
+    parity: the online form of dhruvsamdani/strat-backtest-style
+    corpus curation) and it is flagged a near-duplicate.
+
+    State is the scale story: ONE long per occupied bucket, and the
+    key space is bounded by the band-value SPACE — at most
+    ``bands * 2**(bits/bands)`` keys (4·256 here) — NOT by corpus
+    size. Contrast streaming exact dedup, whose dropDuplicates state
+    grows with distinct documents forever. A production run at 100 TB
+    uses bits=60 / bands=4 (15-bit slices, ≤ 4·2¹⁵ keys) plus a
+    watermark to age buckets; the finite gate replay mirrors the q58
+    batch defaults (32/4).
+
+    Bucket claims are made by EVERY arrival, admitted or not — the
+    oracle-replayable form (claim-by-admitted-only would need
+    cross-band feedback inside a micro-batch, an inherently iterative
+    semantics no single stateful pass expresses). The drained per-band
+    verdicts reduce batch-side to ``novel = AND over bands``, exactly
+    ``row_number() OVER (PARTITION BY band, band_val ORDER BY
+    doc_id % n_chunks, doc_id) = 1`` aggregated per doc — the q91
+    oracle. The simhash stage itself is the batch mapInPandas operator
+    (operators/dedup.py:simhash) composed unchanged onto the stream:
+    stateless Arrow map stages are streaming-transparent."""
+    from typing import Iterator, Tuple
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import BooleanType, LongType, StructField, StructType
+
+    from strat_backtest_spark.operators.dedup import simhash
+
+    static = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    stream = _chunked_replay(spark, static, n_chunks)
+
+    width = bits // bands
+    mask = (1 << width) - 1
+    banded = (
+        simhash(stream, bits=bits)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("band"),
+                            F.shiftright(F.col("simhash"), j * width)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("band_val"),
+                        )
+                        for j in range(bands)
+                    ]
+                )
+            ).alias("bk"),
+        )
+        .select("doc_id", "bk.band", "bk.band_val")
+    )
+
+    out_type = StructType(
+        [StructField("doc_id", LongType()), StructField("first", BooleanType())]
+    )
+    state_type = StructType([StructField("claimed", LongType())])
+
+    def _claim(
+        key: Tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        ids = pd.concat([p[["doc_id"]] for p in pdf_iter])["doc_id"].to_numpy()
+        if state.exists:
+            first = np.zeros(len(ids), dtype=bool)
+        else:
+            first = ids == ids.min()
+            state.update((1,))
+        yield pd.DataFrame({"doc_id": ids, "first": first})
+
+    verdicts = banded.groupBy("band", "band_val").applyInPandasWithState(
+        _claim,
+        outputStructType=out_type,
+        stateStructType=state_type,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    drained = _drain_to_parquet(verdicts, spark, "append")
+    return drained.groupBy("doc_id").agg(
+        F.bool_and("first").cast("int").alias("novel")
+    )
+
+
 def streaming_quota_admission(
     spark: SparkSession,
     sf_dir: str,
@@ -103,11 +241,6 @@ def streaming_quota_admission(
     the oracle), written as mtime-ordered files and consumed
     maxFilesPerTrigger=1, so every group's admission genuinely crosses
     micro-batch boundaries."""
-    import glob
-    import os
-    import shutil
-    import tempfile
-    import time
     from typing import Iterator, Tuple
 
     import pandas as pd
@@ -120,28 +253,7 @@ def streaming_quota_admission(
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .select("doc_id", group_col)
     )
-    out_dir = tempfile.mkdtemp(prefix="docs_replay_")
-    base = time.time()
-    for i in range(n_chunks):
-        stage = os.path.join(out_dir, f"_stage_{i}")
-        (
-            static.filter(F.col("doc_id") % n_chunks == i)
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(stage)
-        )
-        parts = glob.glob(os.path.join(stage, "part-*.parquet"))
-        if parts:
-            dst = os.path.join(out_dir, f"{i:03d}.parquet")
-            shutil.move(parts[0], dst)
-            os.utime(dst, (base + i, base + i))
-        shutil.rmtree(stage)
-
-    stream = (
-        spark.readStream.schema(static.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(out_dir)
-    )
+    stream = _chunked_replay(spark, static, n_chunks)
     ranked = stream.withColumn(
         "__h",
         md5_hash(F.concat_ws(":", F.lit(int(seed)), F.col("doc_id").cast("string"))),

@@ -876,3 +876,61 @@ def test_streaming_quota_exhausted_state(spark):
         per.setdefault(r["source"], []).append(r["doc_id"])
     assert per and all(len(v) == 3 for v in per.values())
     assert all(d % 3 == 0 for v in per.values() for d in v)
+
+
+def test_streaming_simhash_neardup_matches_batch_replay(spark):
+    """Cross-impl differential (no DuckDB): the drained streaming
+    verdicts must equal a batch re-derivation that ranks every (band,
+    band_val) bucket by the replay's arrival order (doc_id % 3,
+    doc_id) — novel iff first in ALL four buckets. Distinguishes real
+    cross-batch state from a one-batch collapse: a single-batch run
+    would rank by doc_id alone, flipping any bucket whose minimum
+    doc_id arrives in a LATER chunk than another member."""
+    from pyspark.sql import Window, functions as F
+
+    from strat_backtest_spark.operators.dedup import simhash
+    from strat_backtest_spark.streaming.documents_stream import (
+        streaming_simhash_neardup,
+    )
+
+    got = {
+        r["doc_id"]: r["novel"]
+        for r in streaming_simhash_neardup(
+            spark, SF_SMALL, bits=32, bands=4, n_chunks=3
+        ).collect()
+    }
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    sh = simhash(docs, bits=32)
+    banded = sh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.shiftright("simhash", j * 8)
+                        .bitwiseAND(F.lit(255))
+                        .alias("band_val"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.band_val")
+    w = Window.partitionBy("band", "band_val").orderBy(
+        (F.col("doc_id") % 3).asc(), F.col("doc_id").asc()
+    )
+    want = {
+        r["doc_id"]: r["novel"]
+        for r in banded.withColumn("rn", F.row_number().over(w))
+        .groupBy("doc_id")
+        .agg(F.min((F.col("rn") == 1).cast("int")).alias("novel"))
+        .collect()
+    }
+    assert got == want
+    n_docs = docs.count()
+    assert len(got) == n_docs
+    # the replay must actually demote someone: at 500 docs over 4x256
+    # buckets collisions are guaranteed, so not everything is novel
+    assert 0 < sum(got.values()) < n_docs

@@ -74,14 +74,27 @@ def streaming_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_parquet(scrubbed, spark, "append")
 
 
-def _chunked_replay(spark: SparkSession, static: DataFrame, n_chunks: int) -> DataFrame:
+def _chunked_replay(
+    spark: SparkSession,
+    static: DataFrame,
+    n_chunks: int,
+    files_per_chunk: int = 8,
+) -> DataFrame:
     """Deterministic finite replay for stateful-operator gates: write
-    ``static`` as ``n_chunks`` mtime-ordered single-file parquet
-    chunks (chunk i holds ``doc_id % n_chunks == i``) and return a
-    stream consuming them ``maxFilesPerTrigger=1`` — one chunk per
-    micro-batch, in chunk order, so per-key state genuinely crosses
-    batch boundaries and arrival order is the oracle-replayable
-    ``(doc_id % n_chunks, doc_id)``."""
+    ``static`` as ``n_chunks`` mtime-ordered parquet chunks (chunk i
+    holds ``doc_id % n_chunks == i``) and return a stream consuming
+    one WHOLE chunk per micro-batch, in chunk order, so per-key state
+    genuinely crosses batch boundaries and arrival order is the
+    oracle-replayable ``(doc_id % n_chunks, doc_id)``.
+
+    Each chunk is ``files_per_chunk`` files sharing one mtime, drained
+    ``maxFilesPerTrigger=files_per_chunk``: the file source takes the
+    oldest ``files_per_chunk`` files by (mtime, path) per trigger, so
+    a trigger consumes exactly chunk i's file set — batch MEMBERSHIP
+    (the semantic contract) is identical to a single-file chunk, while
+    map parallelism per micro-batch is ``files_per_chunk`` instead of
+    1 (the single-file layout bottlenecked scan/map stages exactly
+    like the round-8 probe-layout finding for batch corpora)."""
     import glob
     import os
     import shutil
@@ -94,20 +107,43 @@ def _chunked_replay(spark: SparkSession, static: DataFrame, n_chunks: int) -> Da
         stage = os.path.join(out_dir, f"_stage_{i}")
         (
             static.filter(F.col("doc_id") % n_chunks == i)
-            .coalesce(1)
+            .repartition(files_per_chunk)
             .write.mode("overwrite")
             .parquet(stage)
         )
-        parts = glob.glob(os.path.join(stage, "part-*.parquet"))
-        if parts:
-            dst = os.path.join(out_dir, f"{i:03d}.parquet")
-            shutil.move(parts[0], dst)
+        parts = sorted(glob.glob(os.path.join(stage, "part-*.parquet")))
+        for j, src in enumerate(parts):
+            dst = os.path.join(out_dir, f"{i:03d}_{j:03d}.parquet")
+            shutil.move(src, dst)
             os.utime(dst, (base + i, base + i))
+        # repartition can emit fewer files than asked on tiny chunks;
+        # pad with empty markers is unnecessary — the trigger size
+        # below must instead be the MAX actual file count, else one
+        # trigger could straddle two chunks.
         shutil.rmtree(stage)
+
+    counts: dict[int, int] = {}
+    for f in os.listdir(out_dir):
+        counts[int(f.split("_")[0])] = counts.get(int(f.split("_")[0]), 0) + 1
+    per_trigger = max(counts.values())
+    if len(set(counts.values())) > 1:
+        # Unequal chunk file counts would desynchronize trigger ↔
+        # chunk. Rewrite is overkill: pad short chunks with empty
+        # parquet files so every trigger consumes exactly one chunk.
+        empty = static.limit(0)
+        for i, c in counts.items():
+            for j in range(c, per_trigger):
+                stage = os.path.join(out_dir, f"_pad_{i}_{j}")
+                empty.coalesce(1).write.mode("overwrite").parquet(stage)
+                src = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+                dst = os.path.join(out_dir, f"{i:03d}_{900 + j:03d}.parquet")
+                shutil.move(src, dst)
+                os.utime(dst, (base + i, base + i))
+                shutil.rmtree(stage)
 
     return (
         spark.readStream.schema(static.schema)
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", str(per_trigger))
         .parquet(out_dir)
     )
 

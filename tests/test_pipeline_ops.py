@@ -934,3 +934,21 @@ def test_streaming_simhash_neardup_matches_batch_replay(spark):
     # the replay must actually demote someone: at 500 docs over 4x256
     # buckets collisions are guaranteed, so not everything is novel
     assert 0 < sum(got.values()) < n_docs
+
+
+def test_chunked_replay_empty_chunk(spark):
+    """_chunked_replay with a chunk that holds zero rows (every doc_id
+    ≡ 0 mod 3): the replay must still drain every row, and trigger ↔
+    chunk sync must not be derailed by the missing/short file groups
+    (the padding branch's reason to exist)."""
+    from pyspark.sql import functions as F
+
+    from strat_backtest_spark.streaming.documents_stream import (
+        _chunked_replay,
+        _drain_to_parquet,
+    )
+
+    static = spark.range(0, 30, 3).select(F.col("id").alias("doc_id"))
+    stream = _chunked_replay(spark, static, 3, files_per_chunk=2)
+    out = _drain_to_parquet(stream, spark, "append")
+    assert sorted(r["doc_id"] for r in out.collect()) == list(range(0, 30, 3))

@@ -43,10 +43,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #   2. NO entry goes more than 2 rounds ungated: an entry whose last
 #      driver gate row is round N must be back in the window by
 #      round N+3 at the latest.
-#   3. The tail holds ONLY untouched entries whose latest gate row is
-#      the immediately previous round (i.e. at most 1 round stale
-#      when the tail is formed). Head is exactly 50 (catalog 73 −
-#      tail 23).
+#   3. The tail PREFERS untouched entries whose latest gate row is
+#      the immediately previous round (at most 1 round stale when the
+#      tail is formed). When new-entry pressure makes that impossible
+#      (rule-1/new entries alone exceed the 50-entry head), an
+#      untouched 2-rounds-stale entry may take a tail slot as long as
+#      rule 2 still holds — flag it <round>-MANDATORY so the next
+#      rotation returns it first. Head is exactly 50.
 # Round-8 application: the nine entries last gated in r05 (q44, q50,
 # q52, q54, q57, q62, q66, q67, q70) and the fourteen last gated in
 # r06 (q03, q05, q07, q08, q10-q17, q20, q21) ALL return to the

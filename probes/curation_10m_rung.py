@@ -108,6 +108,9 @@ def main() -> None:
     run("q23_minhash_lsh_pairs", "lsh_pairs")
     run("q68_dedup_apply", "dedup_apply")
     run("q69_curation_end_to_end", "curation")
+    import shutil
+
+    shutil.rmtree(corpus_dir, ignore_errors=True)
     print(json.dumps(out))
     spark.stop()
 

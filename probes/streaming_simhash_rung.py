@@ -61,81 +61,40 @@ def main() -> None:
     )
     out["corpus_build_s"] = round(time.time() - t0, 1)
 
-    # Run the operator body with the replay write timed apart from the
-    # stream drain (the engine-only split convention from BASELINE).
+    # Time the EXACT production code path: the operator's stages are
+    # the shared builders (simhash_claim_verdicts / novel_from_verdicts
+    # in streaming/documents_stream.py), called here with phase timers
+    # around each — no probe-local copy of operator logic.
+    import shutil
+
     from strat_backtest_spark.streaming.documents_stream import (
         _chunked_replay,
         _drain_to_parquet,
+        novel_from_verdicts,
+        simhash_claim_verdicts,
     )
-    from strat_backtest_spark.operators.dedup import simhash
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-    from pyspark.sql.types import BooleanType, LongType, StructField, StructType
 
     static = spark.read.parquet(corpus_dir)
     t0 = time.time()
-    stream = _chunked_replay(spark, static, n_chunks, files_per_chunk=24)
+    stream, replay_dir = _chunked_replay(spark, static, n_chunks, files_per_chunk=24)
     out["replay_write_s"] = round(time.time() - t0, 1)
 
-    bits, bands = 32, 4
-    width = bits // bands
-    mask = (1 << width) - 1
-    banded = (
-        simhash(stream, bits=bits)
-        .select(
-            "doc_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(j).alias("band"),
-                            F.shiftright(F.col("simhash"), j * width)
-                            .bitwiseAND(F.lit(mask))
-                            .alias("band_val"),
-                        )
-                        for j in range(bands)
-                    ]
-                )
-            ).alias("bk"),
-        )
-        .select("doc_id", "bk.band", "bk.band_val")
-    )
-    out_type = StructType(
-        [StructField("doc_id", LongType()), StructField("first", BooleanType())]
-    )
-    state_type = StructType([StructField("claimed", LongType())])
-
-    def _claim(key, pdf_iter, state: GroupState):
-        ids = pd.concat([p[["doc_id"]] for p in pdf_iter])["doc_id"].to_numpy()
-        if state.exists:
-            first = np.zeros(len(ids), dtype=bool)
-        else:
-            first = ids == ids.min()
-            state.update((1,))
-        yield pd.DataFrame({"doc_id": ids, "first": first})
-
-    verdicts = banded.groupBy("band", "band_val").applyInPandasWithState(
-        _claim,
-        outputStructType=out_type,
-        stateStructType=state_type,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
+    verdicts = simhash_claim_verdicts(stream, bits=32, bands=4)
     t0 = time.time()
     drained = _drain_to_parquet(verdicts, spark, "append")
     out["stream_drain_s"] = round(time.time() - t0, 1)
+    shutil.rmtree(replay_dir, ignore_errors=True)
 
     t0 = time.time()
-    novel = drained.groupBy("doc_id").agg(
-        F.bool_and("first").cast("int").alias("novel")
+    agg = (
+        novel_from_verdicts(drained)
+        .agg(F.count(F.lit(1)).alias("docs"), F.sum("novel").alias("novel_docs"))
+        .collect()[0]
     )
-    agg = novel.agg(
-        F.count(F.lit(1)).alias("docs"), F.sum("novel").alias("novel_docs")
-    ).collect()[0]
     out["post_agg_s"] = round(time.time() - t0, 1)
     out["verdict_docs"] = agg["docs"]
     out["novel_docs"] = agg["novel_docs"]
+    shutil.rmtree(corpus_dir, ignore_errors=True)
     out["engine_s"] = round(
         out["replay_write_s"] + out["stream_drain_s"] + out["post_agg_s"], 1
     )

@@ -437,6 +437,37 @@ def simhash(
     return df.select(id_col, text_col).mapInPandas(_sim, schema)
 
 
+def band_simhash(
+    sh: DataFrame, bits: int = 32, bands: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """Slice a ``simhash`` column into ``bands`` equal bit ranges: one
+    output row per (id, band) with band j's value
+    ``(simhash >> j*width) & mask`` — the SINGLE banding convention
+    shared by the batch near-dup pair generator and the streaming
+    near-dup admission operator (and their oracles), so a bits/bands
+    layout change lands everywhere at once. Pure Column expressions
+    (struct-array explode), streaming-transparent."""
+    width = bits // bands
+    mask = (1 << width) - 1
+    return sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.shiftright(F.col("simhash"), j * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for j in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "simhash", "bk.band", "bk.band_val")
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (exact verification of candidate pairs)
 # ---------------------------------------------------------------------------
@@ -769,23 +800,9 @@ def simhash_neardup_pairs(
     width = bits // bands
     mask = (1 << width) - 1
     sh = simhash(df, bits, text_col, id_col, impl=impl).localCheckpoint()
-    banded = sh.select(
-        F.col(id_col).alias("id"),
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band"),
-                        F.shiftright(F.col("simhash"), j * width)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("band_val"),
-                    )
-                    for j in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", "simhash", "bk.band", "bk.band_val")
+    banded = band_simhash(sh, bits=bits, bands=bands, id_col=id_col).withColumnRenamed(
+        id_col, "id"
+    )
     # capped (hot) buckets: driver-bounded tiny — only buckets whose
     # size exceeds the cap, collected so the first-band-wins predicate
     # below can skip them exactly

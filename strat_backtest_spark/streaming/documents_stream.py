@@ -79,13 +79,15 @@ def _chunked_replay(
     static: DataFrame,
     n_chunks: int,
     files_per_chunk: int = 8,
-) -> DataFrame:
+) -> tuple[DataFrame, str]:
     """Deterministic finite replay for stateful-operator gates: write
     ``static`` as ``n_chunks`` mtime-ordered parquet chunks (chunk i
-    holds ``doc_id % n_chunks == i``) and return a stream consuming
-    one WHOLE chunk per micro-batch, in chunk order, so per-key state
-    genuinely crosses batch boundaries and arrival order is the
-    oracle-replayable ``(doc_id % n_chunks, doc_id)``.
+    holds ``doc_id % n_chunks == i``) and return ``(stream, dir)`` —
+    a stream consuming one WHOLE chunk per micro-batch, in chunk
+    order, so per-key state genuinely crosses batch boundaries and
+    arrival order is the oracle-replayable ``(doc_id % n_chunks,
+    doc_id)``; and the replay directory, which the CALLER must remove
+    once the stream is drained (it is a full copy of the input).
 
     Each chunk is ``files_per_chunk`` files sharing one mtime, drained
     ``maxFilesPerTrigger=files_per_chunk``: the file source takes the
@@ -116,10 +118,12 @@ def _chunked_replay(
             dst = os.path.join(out_dir, f"{i:03d}_{j:03d}.parquet")
             shutil.move(src, dst)
             os.utime(dst, (base + i, base + i))
-        # repartition can emit fewer files than asked on tiny chunks;
-        # pad with empty markers is unnecessary — the trigger size
-        # below must instead be the MAX actual file count, else one
-        # trigger could straddle two chunks.
+        # repartition can emit fewer files than asked on tiny chunks —
+        # unequal counts are repaired by the PADDING branch below,
+        # which is load-bearing: with counts {0:8, 1:5, 2:8} and
+        # per_trigger=8, trigger 2 would otherwise take chunk 1's 5
+        # files plus 3 of chunk 2's, straddling chunks and breaking
+        # the one-chunk-per-micro-batch contract.
         shutil.rmtree(stage)
 
     counts: dict[int, int] = {}
@@ -141,10 +145,66 @@ def _chunked_replay(
                 os.utime(dst, (base + i, base + i))
                 shutil.rmtree(stage)
 
-    return (
+    stream = (
         spark.readStream.schema(static.schema)
         .option("maxFilesPerTrigger", str(per_trigger))
         .parquet(out_dir)
+    )
+    return stream, out_dir
+
+
+def simhash_claim_verdicts(
+    stream: DataFrame, bits: int = 32, bands: int = 4
+) -> DataFrame:
+    """The stateful stage of streaming simhash near-dup, exposed so
+    the scale probe (probes/streaming_simhash_rung.py) can time the
+    EXACT production code path: simhash mapInPandas → shared banding
+    (operators/dedup.band_simhash) → per-(band, band_val) bucket
+    claims via applyInPandasWithState. Emits one (doc_id, first)
+    verdict per band row; reduce with ``novel_from_verdicts``."""
+    from typing import Iterator, Tuple
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import BooleanType, LongType, StructField, StructType
+
+    from strat_backtest_spark.operators.dedup import band_simhash, simhash
+
+    banded = band_simhash(simhash(stream, bits=bits), bits=bits, bands=bands).drop(
+        "simhash"
+    )
+
+    out_type = StructType(
+        [StructField("doc_id", LongType()), StructField("first", BooleanType())]
+    )
+    state_type = StructType([StructField("claimed", LongType())])
+
+    def _claim(
+        key: Tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        ids = pd.concat([p[["doc_id"]] for p in pdf_iter])["doc_id"].to_numpy()
+        if state.exists:
+            first = np.zeros(len(ids), dtype=bool)
+        else:
+            first = ids == ids.min()
+            state.update((1,))
+        yield pd.DataFrame({"doc_id": ids, "first": first})
+
+    return banded.groupBy("band", "band_val").applyInPandasWithState(
+        _claim,
+        outputStructType=out_type,
+        stateStructType=state_type,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def novel_from_verdicts(drained: DataFrame) -> DataFrame:
+    """Batch reduction of drained per-band verdicts: novel iff first
+    arrival in EVERY band's bucket."""
+    return drained.groupBy("doc_id").agg(
+        F.bool_and("first").cast("int").alias("novel")
     )
 
 
@@ -179,73 +239,20 @@ def streaming_simhash_neardup(
     verdicts reduce batch-side to ``novel = AND over bands``, exactly
     ``row_number() OVER (PARTITION BY band, band_val ORDER BY
     doc_id % n_chunks, doc_id) = 1`` aggregated per doc — the q91
-    oracle. The simhash stage itself is the batch mapInPandas operator
-    (operators/dedup.py:simhash) composed unchanged onto the stream:
-    stateless Arrow map stages are streaming-transparent."""
-    from typing import Iterator, Tuple
-
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-    from pyspark.sql.types import BooleanType, LongType, StructField, StructType
-
-    from strat_backtest_spark.operators.dedup import simhash
+    oracle. The simhash and banding stages are the batch operators
+    (operators/dedup.py: simhash, band_simhash) composed unchanged
+    onto the stream: stateless Arrow map / Column stages are
+    streaming-transparent."""
+    import shutil
 
     static = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
     )
-    stream = _chunked_replay(spark, static, n_chunks)
-
-    width = bits // bands
-    mask = (1 << width) - 1
-    banded = (
-        simhash(stream, bits=bits)
-        .select(
-            "doc_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(j).alias("band"),
-                            F.shiftright(F.col("simhash"), j * width)
-                            .bitwiseAND(F.lit(mask))
-                            .alias("band_val"),
-                        )
-                        for j in range(bands)
-                    ]
-                )
-            ).alias("bk"),
-        )
-        .select("doc_id", "bk.band", "bk.band_val")
-    )
-
-    out_type = StructType(
-        [StructField("doc_id", LongType()), StructField("first", BooleanType())]
-    )
-    state_type = StructType([StructField("claimed", LongType())])
-
-    def _claim(
-        key: Tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
-        ids = pd.concat([p[["doc_id"]] for p in pdf_iter])["doc_id"].to_numpy()
-        if state.exists:
-            first = np.zeros(len(ids), dtype=bool)
-        else:
-            first = ids == ids.min()
-            state.update((1,))
-        yield pd.DataFrame({"doc_id": ids, "first": first})
-
-    verdicts = banded.groupBy("band", "band_val").applyInPandasWithState(
-        _claim,
-        outputStructType=out_type,
-        stateStructType=state_type,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
+    stream, replay_dir = _chunked_replay(spark, static, n_chunks)
+    verdicts = simhash_claim_verdicts(stream, bits=bits, bands=bands)
     drained = _drain_to_parquet(verdicts, spark, "append")
-    return drained.groupBy("doc_id").agg(
-        F.bool_and("first").cast("int").alias("novel")
-    )
+    shutil.rmtree(replay_dir, ignore_errors=True)
+    return novel_from_verdicts(drained)
 
 
 def streaming_quota_admission(
@@ -274,9 +281,10 @@ def streaming_quota_admission(
     which is what the q90 oracle runs.
 
     The replay chunks documents by ``doc_id % n_chunks`` (mirrored in
-    the oracle), written as mtime-ordered files and consumed
-    maxFilesPerTrigger=1, so every group's admission genuinely crosses
-    micro-batch boundaries."""
+    the oracle) via ``_chunked_replay`` — each chunk is a set of
+    same-mtime files consumed as ONE micro-batch — so every group's
+    admission genuinely crosses micro-batch boundaries."""
+    import shutil
     from typing import Iterator, Tuple
 
     import pandas as pd
@@ -289,7 +297,7 @@ def streaming_quota_admission(
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .select("doc_id", group_col)
     )
-    stream = _chunked_replay(spark, static, n_chunks)
+    stream, replay_dir = _chunked_replay(spark, static, n_chunks)
     ranked = stream.withColumn(
         "__h",
         md5_hash(F.concat_ws(":", F.lit(int(seed)), F.col("doc_id").cast("string"))),
@@ -329,4 +337,6 @@ def streaming_quota_admission(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return _drain_to_parquet(admitted, spark, "append")
+    out = _drain_to_parquet(admitted, spark, "append")
+    shutil.rmtree(replay_dir, ignore_errors=True)
+    return out

@@ -948,7 +948,10 @@ def test_chunked_replay_empty_chunk(spark):
         _drain_to_parquet,
     )
 
+    import shutil
+
     static = spark.range(0, 30, 3).select(F.col("id").alias("doc_id"))
-    stream = _chunked_replay(spark, static, 3, files_per_chunk=2)
+    stream, replay_dir = _chunked_replay(spark, static, 3, files_per_chunk=2)
     out = _drain_to_parquet(stream, spark, "append")
+    shutil.rmtree(replay_dir, ignore_errors=True)
     assert sorted(r["doc_id"] for r in out.collect()) == list(range(0, 30, 3))

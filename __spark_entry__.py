@@ -57,13 +57,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # (q30/q31/q47/q51 — margin + NaN-policy + bucket-cap fixes), the
 # dedup family consumers of decontaminate/connected-components
 # (q55/q56/q60/q68/q69), q26 (BPE tokenizer scale run), and the
-# FIFTEEN new round-8 entries (q74 PII scrub, q75 dup-n-gram fraction,
-# q76 semantic dedup apply, q77 line-level dedup, q78 streaming PII,
-# q79 sequence packing, q80 shard shuffle, q81 TF-IDF top-k, q82
-# embedding quantization, q83 unigram log-prob quality, q84
-# train/val/test split, q85 per-source quota sample, q86 corpus
-# trigram top-k, q87 bigram log-prob quality, q88 ANN recall@k —
-# never gated, must be in the window).
+# EIGHTEEN new round-8 entries (q74 PII scrub, q75 dup-n-gram
+# fraction, q76 semantic dedup apply, q77 line-level dedup, q78
+# streaming PII, q79 sequence packing, q80 shard shuffle, q81 TF-IDF
+# top-k, q82 embedding quantization, q83 unigram log-prob quality,
+# q84 train/val/test split, q85 per-source quota sample, q86 corpus
+# trigram top-k, q87 bigram log-prob quality, q88 ANN recall@k, q89
+# column profiler, q90 streaming quota admission, q91 streaming
+# simhash near-dup — never gated, must be in the window).
 # Catalog is now 91 entries; the tail is 41 untouched entries, every
 # one hash-green in r07 except q14 (r06 — see below), keeping the
 # head at exactly 50. The four kernel-family rows below

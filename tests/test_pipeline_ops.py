@@ -955,3 +955,61 @@ def test_chunked_replay_empty_chunk(spark):
     out = _drain_to_parquet(stream, spark, "append")
     shutil.rmtree(replay_dir, ignore_errors=True)
     assert sorted(r["doc_id"] for r in out.collect()) == list(range(0, 30, 3))
+
+
+def test_asof_join_fuzz_ties_and_edges(spark, tmp_path):
+    """Seeded-random differential for q32's as-of join against its
+    DuckDB oracle on crafted data the testdata never samples: order
+    dates exactly equal to event timestamps (inclusive as-of), several
+    orders sharing one (user, date) (max-key tie-break), users with no
+    orders, and orders dated after every event. The union+forward-fill
+    plan and the oracle's DESC/DESC row_number must agree on all of
+    it."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from oracle_utils import compare
+    from strat_backtest_spark.plans.catalog import CATALOG
+
+    rng = np.random.default_rng(7)
+    n_users, n_orders, n_events = 40, 300, 400
+    # order dates on a coarse grid so (user, date) collisions are common
+    dates = pd.Timestamp("2020-01-01") + pd.to_timedelta(
+        rng.integers(0, 30, n_orders), unit="D"
+    )
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(n_orders, dtype="int64"),
+            "o_custkey": rng.integers(0, n_users, n_orders).astype("int64"),
+            "o_orderdate": dates.date,
+        }
+    )
+    # half the events land EXACTLY on a date boundary (ties with order
+    # dates); users 30+ get events but never orders
+    ev_ts = pd.Series(
+        pd.Timestamp("2020-01-01")
+        + pd.to_timedelta(rng.integers(0, 30 * 24, n_events), unit="h")
+    )
+    ev_ts[: n_events // 2] = ev_ts[: n_events // 2].dt.normalize()
+    events = pd.DataFrame(
+        {
+            "event_id": np.arange(n_events, dtype="int64"),
+            "ts": ev_ts,
+            "user_id": rng.integers(0, n_users + 10, n_events).astype("int64"),
+        }
+    )
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(orders).write.parquet(f"{sf_dir}/orders.parquet")
+    spark.createDataFrame(events).write.parquet(f"{sf_dir}/events.parquet")
+
+    qd = CATALOG["q32_asof_join"]
+    con = duckdb.connect()
+    for t in ("events", "orders"):
+        # Spark writes a DIRECTORY of part files; glob inside it
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet/*.parquet')"
+        )
+    res = compare(qd.fn(spark, sf_dir), con, qd.oracle_for(sf_dir), "q32-fuzz")
+    assert res["ok"], res["detail"]

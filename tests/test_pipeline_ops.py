@@ -1013,3 +1013,33 @@ def test_asof_join_fuzz_ties_and_edges(spark, tmp_path):
         )
     res = compare(qd.fn(spark, sf_dir), con, qd.oracle_for(sf_dir), "q32-fuzz")
     assert res["ok"], res["detail"]
+
+
+def test_lookback_join_pre_epoch_timestamps(spark):
+    """Negative unix-micros regression guard: bucket quantization uses
+    floor division, not cast("long") truncation — a pre-1970 probe and
+    its in-window build row must land in aligned buckets and match
+    (truncation toward zero would shift negative timestamps one bucket
+    and silently drop the pair)."""
+    import datetime
+
+    from strat_backtest_spark.operators.rangejoin import lookback_join
+
+    t0 = datetime.datetime(1969, 12, 31, 23, 30, 0)  # 30 min pre-epoch
+
+    probe = spark.createDataFrame(
+        [(1, 100, t0)], "event_id long, user_id long, ts timestamp"
+    )
+    build = spark.createDataFrame(
+        [
+            (10, 100, t0 - datetime.timedelta(minutes=45)),  # in window
+            (11, 100, t0 - datetime.timedelta(minutes=61)),  # out (exclusive)
+            (12, 100, t0),                                    # same instant: out
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    out = lookback_join(
+        probe, build, key_col="user_id", time_col="ts",
+        probe_id_col="event_id", lookback="1 hour",
+    )
+    assert sorted(r["b_event_id"] for r in out.collect()) == [10]

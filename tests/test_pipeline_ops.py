@@ -1043,3 +1043,85 @@ def test_lookback_join_pre_epoch_timestamps(spark):
         probe_id_col="event_id", lookback="1 hour",
     )
     assert sorted(r["b_event_id"] for r in out.collect()) == [10]
+
+
+def test_streaming_simhash_state_survives_query_restart(spark, tmp_path):
+    """COLD restart for the newest stateful op: incarnation 1 consumes
+    two replay chunks and STOPS; a fresh query with the same durable
+    checkpoint picks up chunk 3. The per-(band, band_val) claim state
+    must restore from the state store — a chunk-3 doc whose buckets
+    were claimed in chunks 1-2 must come back first=false — and the
+    combined sink must reduce to exactly the batch arrival-rank
+    replay."""
+    import os
+    import time
+
+    from pyspark.sql import Window, functions as F
+
+    from strat_backtest_spark.operators.dedup import band_simhash, simhash
+    from strat_backtest_spark.streaming.documents_stream import (
+        novel_from_verdicts,
+        simhash_claim_verdicts,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    # batch reference: arrival order (doc_id % 3, doc_id) bucket ranks
+    w = Window.partitionBy("band", "band_val").orderBy(
+        (F.col("doc_id") % 3).asc(), F.col("doc_id").asc()
+    )
+    want = {
+        r["doc_id"]: r["novel"]
+        for r in band_simhash(simhash(docs, bits=32), bits=32, bands=4)
+        .withColumn("rn", F.row_number().over(w))
+        .groupBy("doc_id")
+        .agg(F.min((F.col("rn") == 1).cast("int")).alias("novel"))
+        .collect()
+    }
+
+    pdf = docs.toPandas()
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    base = time.time()
+
+    def write_chunk(i):
+        p = os.path.join(src, f"{i:03d}.parquet")
+        pdf[pdf["doc_id"] % 3 == i].to_parquet(p, index=False)
+        os.utime(p, (base + i, base + i))
+
+    def run_incarnation():
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            simhash_claim_verdicts(stream, bits=32, bands=4)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    write_chunk(0)
+    write_chunk(1)
+    run_incarnation()  # consumes chunks 1-2, then the query DIES
+    mid = spark.read.parquet(sink).count()
+    assert 0 < mid < 4 * len(pdf), "first incarnation must be partial"
+
+    write_chunk(2)
+    run_incarnation()  # fresh query object, same checkpoint: resume
+
+    got = {
+        r["doc_id"]: r["novel"]
+        for r in novel_from_verdicts(spark.read.parquet(sink)).collect()
+    }
+    assert got == want

@@ -22,7 +22,7 @@ is the "most recent one" cousin; this one keeps ALL rows in range).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 MICROS = {"second": 1_000_000, "minute": 60_000_000, "hour": 3_600_000_000,
           "day": 86_400_000_000}
@@ -90,3 +90,121 @@ def lookback_join(
         .select(*probe_cols, *[F.lit(None).alias(c) for c in build_cols])
     )
     return matched.unionByName(unmatched)
+
+
+def asof_lookup(
+    probe: DataFrame,
+    build: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    probe_id_col: str,
+    salt_width: str | None = None,
+) -> DataFrame:
+    """As-of lookup: each probe row gets the ``value_col`` of the most
+    recent build row with the same key at or before its time
+    (inclusive; ties on time take the MAX value). Returns
+    ``(probe_id_col, value_col)`` pairs — one row per probe row,
+    ``value_col`` null when no build row precedes; callers needing
+    more probe columns join back on the id.
+
+    Plan (salt_width=None): union both streams → ONE shuffle+sort per
+    key → ``last(ignorenulls)`` forward fill over an
+    unbounded-preceding frame — linear in per-key rows, never the
+    event x build fan-out (see q32's docstring for the history).
+
+    ``salt_width`` (e.g. "7 days") is the WHALE-KEY mitigation: one
+    key holding a pathological share of rows makes the single-window
+    sort that key's straggler task (measured 2.1x at 2M-row whales —
+    graceful, external sort spills, but linear in the whale). Salting
+    splits each key's timeline into contiguous segments of that width:
+
+    1. forward-fill WITHIN (key, segment) — partitions now bounded by
+       rows-per-(key x width);
+    2. per-(key, segment) build summaries (max value at the segment's
+       latest build time) forward-fill ACROSS segments — tiny data,
+       one row per non-empty segment;
+    3. probe rows whose local fill is null take the carry from
+       strictly earlier segments (the carry window orders the probe
+       marker BEFORE same-segment summaries, so a row never sees its
+       own segment's later builds).
+
+    Results are bit-identical to the unsalted path (equivalence
+    pinned in tests); below ~10M rows/key the extra summary pass
+    costs more than it saves, so None stays the default."""
+    val_t = build.schema[value_col].dataType
+    pid_t = probe.schema[probe_id_col].dataType
+
+    b = build.select(
+        F.col(key_col).alias("__k"),
+        F.col(time_col).cast("timestamp").alias("__t"),
+        F.lit(0).alias("__kind"),
+        F.col(value_col).alias("__val"),
+        F.lit(None).cast(pid_t).alias("__pid"),
+    )
+    p = probe.select(
+        F.col(key_col).alias("__k"),
+        F.col(time_col).cast("timestamp").alias("__t"),
+        F.lit(1).alias("__kind"),
+        F.lit(None).cast(val_t).alias("__val"),
+        F.col(probe_id_col).alias("__pid"),
+    )
+    u = b.unionByName(p)
+
+    if salt_width is None:
+        w = (
+            Window.partitionBy("__k")
+            .orderBy("__t", "__kind", "__val", "__pid")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        filled = u.withColumn("__fill", F.last("__val", ignorenulls=True).over(w))
+    else:
+        n, unit = salt_width.split()
+        width = int(n) * MICROS[unit.rstrip("s")]
+        seg = F.floor(F.unix_micros(F.col("__t")) / F.lit(width)).cast("long")
+        useg = u.withColumn("__seg", seg)
+        w1 = (
+            Window.partitionBy("__k", "__seg")
+            .orderBy("__t", "__kind", "__val", "__pid")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        loc = useg.withColumn("__loc", F.last("__val", ignorenulls=True).over(w1))
+        # per-(key, segment) final fill, from build rows alone: the
+        # value of the segment's last build row by (t, value)
+        summ = (
+            b.withColumn("__seg", seg)
+            .groupBy("__k", "__seg")
+            .agg(F.max_by("__val", F.struct("__t", "__val")).alias("__last"))
+            .withColumn("__ck", F.lit(1))
+        )
+        # probe markers: one per (key, segment) that still needs carry
+        need = (
+            loc.filter(F.col("__kind") == 1)
+            .filter(F.col("__loc").isNull())
+            .select("__k", "__seg")
+            .distinct()
+            .withColumn("__ck", F.lit(0))
+            .withColumn("__last", F.lit(None).cast(val_t))
+        )
+        # carry fill at SEGMENT granularity: marker (__ck=0) sorts
+        # before the same segment's summary (__ck=1), so a marker only
+        # sees summaries of strictly earlier segments
+        w2 = (
+            Window.partitionBy("__k")
+            .orderBy("__seg", "__ck")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        carry = (
+            summ.unionByName(need.select(summ.columns))
+            .withColumn("__carry", F.last("__last", ignorenulls=True).over(w2))
+            .filter(F.col("__ck") == 0)
+            .select("__k", "__seg", "__carry")
+        )
+        filled = (
+            loc.join(carry, ["__k", "__seg"], "left")
+            .withColumn("__fill", F.coalesce("__loc", "__carry"))
+        )
+
+    return filled.filter(F.col("__kind") == 1).select(
+        F.col("__pid").alias(probe_id_col), F.col("__fill").alias(value_col)
+    )

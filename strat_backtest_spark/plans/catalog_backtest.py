@@ -55,36 +55,28 @@ def q32_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n log n) in the per-user row count with exactly one wide stage.
     kind orders orders before events at equal timestamps (inclusive
     as-of), and equal-date orders sort by key so the fill takes the
-    max key, matching the oracle's DESC/DESC ranking."""
+    max key, matching the oracle's DESC/DESC ranking. The operator
+    (operators/rangejoin.py:asof_lookup) also offers a time-salted
+    variant for whale keys — see the BASELINE skew probe row."""
+    from strat_backtest_spark.operators.rangejoin import asof_lookup
+
     ev = _t(spark, sf_dir, "events")
     o = _t(spark, sf_dir, "orders")
-    okey_t = o.schema["o_orderkey"].dataType
-    eid_t = ev.schema["event_id"].dataType
-    o_rows = o.select(
-        F.col("o_custkey").alias("user_id"),
-        F.col("o_orderdate").cast("timestamp").alias("t"),
-        F.lit(0).alias("kind"),
-        F.col("o_orderkey").alias("okey"),
-        F.lit(None).cast(eid_t).alias("event_id"),
+    pairs = asof_lookup(
+        probe=ev.selectExpr("user_id", "ts", "event_id"),
+        build=o.selectExpr(
+            "o_custkey AS user_id",
+            "CAST(o_orderdate AS timestamp) AS ts",
+            "o_orderkey",
+        ),
+        key_col="user_id",
+        time_col="ts",
+        value_col="o_orderkey",
+        probe_id_col="event_id",
     )
-    e_rows = ev.select(
-        "user_id",
-        F.col("ts").alias("t"),
-        F.lit(1).alias("kind"),
-        F.lit(None).cast(okey_t).alias("okey"),
-        "event_id",
+    return pairs.filter(F.col("o_orderkey").isNotNull()).select(
+        "event_id", F.col("o_orderkey").alias("last_orderkey")
     )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("t", "kind", "okey", "event_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    filled = o_rows.unionByName(e_rows).withColumn(
-        "last_orderkey", F.last("okey", ignorenulls=True).over(w)
-    )
-    return filled.filter(
-        (F.col("kind") == 1) & F.col("last_orderkey").isNotNull()
-    ).select("event_id", "last_orderkey")
 
 
 # ===========================================================================

@@ -1125,3 +1125,57 @@ def test_streaming_simhash_state_survives_query_restart(spark, tmp_path):
         for r in novel_from_verdicts(spark.read.parquet(sink)).collect()
     }
     assert got == want
+
+
+def test_asof_lookup_salted_equals_unsalted(spark, tmp_path):
+    """The whale-key salted path (time-segment fill + segment-summary
+    carry) must be bit-identical to the single-window fill — on the
+    adversarial fuzz data (boundary ties, duplicate dates, no-order
+    users) and across salt widths including ones that slice single
+    days apart."""
+    import numpy as np
+    import pandas as pd
+
+    from strat_backtest_spark.operators.rangejoin import asof_lookup
+
+    rng = np.random.default_rng(11)
+    n_users, n_orders, n_events = 25, 250, 300
+    orders = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, n_users, n_orders).astype("int64"),
+            "ts": pd.Timestamp("2020-01-01")
+            + pd.to_timedelta(rng.integers(0, 60, n_orders), unit="D"),
+            "okey": np.arange(n_orders, dtype="int64"),
+        }
+    )
+    ev_ts = pd.Series(
+        pd.Timestamp("2020-01-01")
+        + pd.to_timedelta(rng.integers(0, 60 * 24, n_events), unit="h")
+    )
+    ev_ts[:150] = ev_ts[:150].dt.normalize()  # exact date ties
+    events = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, n_users + 5, n_events).astype("int64"),
+            "ts": ev_ts,
+            "event_id": np.arange(n_events, dtype="int64"),
+        }
+    )
+    p = spark.createDataFrame(events)
+    b = spark.createDataFrame(orders)
+
+    def run(salt):
+        return sorted(
+            (r["event_id"], r["okey"])
+            for r in asof_lookup(
+                p, b, key_col="user_id", time_col="ts",
+                value_col="okey", probe_id_col="event_id",
+                salt_width=salt,
+            ).collect()
+        )
+
+    base = run(None)
+    assert len(base) == n_events
+    assert any(v is not None for _, v in base)
+    assert any(v is None for _, v in base)  # no-order users stay null
+    for salt in ("7 days", "1 day", "12 hours"):
+        assert run(salt) == base, salt

@@ -28,6 +28,17 @@ MICROS = {"second": 1_000_000, "minute": 60_000_000, "hour": 3_600_000_000,
           "day": 86_400_000_000}
 
 
+def _floor_div(expr: str, width: int):
+    """Exact floor division of a long SQL expression by ``width`` in
+    pure long arithmetic. ``FLOOR(x / width)`` routes through a double
+    quotient, which loses precision for |x| near 2^53 (~year 2255 in
+    micros) and can misassign boundary rows to a neighboring bucket.
+    ``pmod`` is non-negative for positive ``width``, so subtracting it
+    lands on an exact multiple and integral ``div`` then matches floor
+    semantics for negative (pre-epoch) values too."""
+    return F.expr(f"(({expr}) - pmod(({expr}), {width})) div {width}")
+
+
 def lookback_join(
     probe: DataFrame,
     build: DataFrame,
@@ -59,12 +70,13 @@ def lookback_join(
         F.unix_micros(F.col(time_col)).alias("__bt"),
     )
     # probe window (pt - width, pt) overlaps bucket(pt) and bucket(pt)-1.
-    # Integer floor division, not double-divide-then-cast: cast("long")
-    # truncates toward zero, so pre-1970 (negative-micros) timestamps
-    # would land in misaligned buckets and silently drop in-range pairs.
-    pbucket = F.floor(F.col("__pt") / F.lit(width)).cast("long")
+    # Exact long floor division (_floor_div): cast("long") of a plain
+    # divide truncates toward zero, so pre-1970 (negative-micros)
+    # timestamps would land in misaligned buckets and silently drop
+    # in-range pairs; FLOOR over the double quotient breaks past 2^53.
+    pbucket = _floor_div("__pt", width)
     p = p.withColumn("__bucket", F.explode(F.array(pbucket, pbucket - 1)))
-    b = b.withColumn("__bucket", F.floor(F.col("__bt") / F.lit(width)).cast("long"))
+    b = b.withColumn("__bucket", _floor_div("__bt", width))
 
     probe_cols = [probe_prefix + c for c in probe.columns]
     build_cols = [build_prefix + c for c in build.columns]
@@ -135,7 +147,13 @@ def asof_lookup(
     val_t = build.schema[value_col].dataType
     pid_t = probe.schema[probe_id_col].dataType
 
-    b = build.select(
+    # Null build values are dropped up front: the unsalted fill is
+    # last(ignorenulls) so they can never be the answer there, but the
+    # salted path's per-segment max_by summary COULD pick a null-valued
+    # latest build row and skip the carry to that segment's earlier
+    # non-null value (ADVICE r8). Filtering before the union makes the
+    # two paths equivalent by construction.
+    b = build.filter(F.col(value_col).isNotNull()).select(
         F.col(key_col).alias("__k"),
         F.col(time_col).cast("timestamp").alias("__t"),
         F.lit(0).alias("__kind"),
@@ -161,7 +179,7 @@ def asof_lookup(
     else:
         n, unit = salt_width.split()
         width = int(n) * MICROS[unit.rstrip("s")]
-        seg = F.floor(F.unix_micros(F.col("__t")) / F.lit(width)).cast("long")
+        seg = _floor_div("unix_micros(__t)", width)
         useg = u.withColumn("__seg", seg)
         w1 = (
             Window.partitionBy("__k", "__seg")

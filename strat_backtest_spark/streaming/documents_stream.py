@@ -129,6 +129,14 @@ def _chunked_replay(
     counts: dict[int, int] = {}
     for f in os.listdir(out_dir):
         counts[int(f.split("_")[0])] = counts.get(int(f.split("_")[0]), 0) + 1
+    if not counts:
+        # zero parquet files across all chunks (static input wrote
+        # nothing) — fail loudly rather than max() of an empty dict
+        shutil.rmtree(out_dir, ignore_errors=True)
+        raise ValueError(
+            "_chunked_replay: static input produced no parquet files; "
+            "cannot build a finite replay from an empty corpus"
+        )
     per_trigger = max(counts.values())
     if len(set(counts.values())) > 1:
         # Unequal chunk file counts would desynchronize trigger ↔
@@ -184,10 +192,12 @@ def simhash_claim_verdicts(
         key: Tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         ids = pd.concat([p[["doc_id"]] for p in pdf_iter])["doc_id"].to_numpy()
-        if state.exists:
-            first = np.zeros(len(ids), dtype=bool)
-        else:
-            first = ids == ids.min()
+        first = np.zeros(len(ids), dtype=bool)
+        if not state.exists and len(ids):
+            # exactly ONE winner per fresh bucket — argmin picks a
+            # single index even if duplicate doc_ids ever appear in one
+            # micro-batch, matching the oracle's row_number()=1
+            first[np.argmin(ids)] = True
             state.update((1,))
         yield pd.DataFrame({"doc_id": ids, "first": first})
 

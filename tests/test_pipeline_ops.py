@@ -1179,3 +1179,45 @@ def test_asof_lookup_salted_equals_unsalted(spark, tmp_path):
     assert any(v is None for _, v in base)  # no-order users stay null
     for salt in ("7 days", "1 day", "12 hours"):
         assert run(salt) == base, salt
+
+
+def test_asof_lookup_null_build_values(spark):
+    """ADVICE r8: a NULL-valued latest build row must not poison the
+    salted path's segment summary — both paths skip nulls and carry
+    the earlier non-null value, and they stay bit-identical."""
+    import datetime as dt
+
+    from strat_backtest_spark.operators.rangejoin import asof_lookup
+
+    def t(day, hour=0):
+        return dt.datetime(2020, 1, day, hour)
+
+    build = spark.createDataFrame(
+        [  # key 1: non-null at day 1, NULL at day 9 (latest in seg 2)
+            (1, t(1), 100), (1, t(9), None),
+            # key 2: only null builds — probe must stay null
+            (2, t(1), None),
+        ],
+        "user_id long, ts timestamp, okey long",
+    )
+    probe = spark.createDataFrame(
+        [(1, t(10), 7), (2, t(10), 8), (3, t(10), 9)],
+        "user_id long, ts timestamp, event_id long",
+    )
+
+    def run(salt):
+        return sorted(
+            (r["event_id"], r["okey"])
+            for r in asof_lookup(
+                probe, build, key_col="user_id", time_col="ts",
+                value_col="okey", probe_id_col="event_id",
+                salt_width=salt,
+            ).collect()
+        )
+
+    # "2 days" puts the null build (day 9) in a LATER segment than the
+    # non-null (day 1), the exact regime ADVICE flagged
+    base = run(None)
+    assert base == [(7, 100), (8, None), (9, None)]
+    for salt in ("2 days", "1 day"):
+        assert run(salt) == base, salt

@@ -111,6 +111,31 @@ def _py_shingle_hashes(text, n: int) -> set:
     }
 
 
+def _py_shingle_occurrences(text, n: int) -> list:
+    """Per-OCCURRENCE twin of :func:`_py_shingle_hashes`: the (0-based
+    token position, hash) of EVERY word n-gram, duplicates included —
+    substring dedup needs positions to excise covered tokens, not just
+    the distinct shingle set. Same tokens (ASCII whitespace), same
+    hash (md5 60-bit prefix mod P), so the DuckDB oracle mirror is
+    shared with the other shingle operators."""
+    if not isinstance(text, str):
+        return []
+    toks = [t for t in _WS_ASCII.split(text) if t]
+    if len(toks) < n:
+        return []
+    return [
+        (
+            i,
+            int(
+                hashlib.md5(" ".join(toks[i:i + n]).encode("utf-8")).hexdigest()[:15],
+                16,
+            )
+            % P,
+        )
+        for i in range(len(toks) - n + 1)
+    ]
+
+
 def minhash_sig_array(
     df: DataFrame, k: int = 8, shingle_n: int = 3,
     text_col: str = "text", id_col: str = "doc_id",
@@ -1196,4 +1221,117 @@ def line_dedup(
         F.size(kept).cast("long").alias("n_kept"),
         (F.size(lines) - F.size(kept)).cast("long").alias("n_removed"),
         F.array_join(kept, "\n").alias(text_col),
+    )
+
+
+def substring_dedup(
+    df: DataFrame,
+    n: int = 6,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring deduplication (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): remove every token
+    that lies inside an exact word n-gram occurring in at least
+    ``min_docs`` DISTINCT documents corpus-wide. Unlike ``line_dedup``
+    (whole identical lines only), this catches boilerplate that CROSSES
+    line boundaries or carries per-document suffixes — injected
+    templates, license headers with serial numbers — because newline is
+    just whitespace to the tokenizer. Returns the input schema with
+    ``text_col`` rewritten to the space-joined surviving tokens
+    (whitespace-normalized by construction) plus (n_tokens, n_removed).
+
+    Beyond-reference operator (the pandas reference has no curation
+    surface); the suffix-array formulation of the paper is inherently
+    sequential, so the distributed shape is the bucketed n-gram-run
+    form: mark every position whose n-gram is corpus-duplicated and
+    excise the union of marked windows — equivalent to removing all
+    duplicated substrings of length >= n at n-token resolution.
+
+    Scale shape (mirrors ``dup_ngram_stats``'s one-pass trick): an
+    Arrow map pass emits slim per-occurrence (id, pos, h) rows — text
+    never fans out; ONE exchange hash-partitions them on h, so a
+    partition-LOCAL distinct-doc count per h IS the global count and
+    banned occurrences are flagged with zero joins against a frequency
+    table; only banned (id, pos) starts (boilerplate-bounded, way
+    smaller than the occurrence stream) shuffle to a per-doc
+    collect_set; reassembly is one doc-keyed join where the covered
+    index set expands Column-side (sequence/flatten/filter — no Python
+    worker touches text again). Docs shorter than ``n`` tokens emit no
+    occurrences and pass through untouched; null text passes through
+    as an empty rewrite. Hash caveat: 60-bit md5 shingle space, same
+    collision exposure as every dedup operator here."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    md = int(min_docs)
+
+    def _occ(batches):
+        for pdf in batches:
+            ids, poss, hs = [], [], []
+            for i, t in zip(pdf[id_col].tolist(), pdf[text_col].tolist()):
+                occ = _py_shingle_occurrences(t, n)
+                if not occ:
+                    continue
+                ids.extend([i] * len(occ))
+                poss.extend(p for p, _ in occ)
+                hs.extend(h for _, h in occ)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "pos": np.array(poss, dtype=np.int32),
+                    "h": np.array(hs, dtype=np.int64),
+                }
+            )
+
+    occ = df.select(id_col, text_col).mapInPandas(
+        _occ, f"{id_col} {id_type}, pos int, h long"
+    )
+    rep = occ.repartition(F.col("h"))
+
+    def _flag(batches):
+        ids_p, pos_p, hs_p = [], [], []
+        for pdf in batches:
+            if len(pdf):
+                ids_p.append(pdf[id_col].to_numpy())
+                pos_p.append(pdf["pos"].to_numpy(dtype=np.int32))
+                hs_p.append(pdf["h"].to_numpy(dtype=np.int64))
+        if not ids_p:
+            return
+        ids = np.concatenate(ids_p)
+        pos = np.concatenate(pos_p)
+        hs = np.concatenate(hs_p)
+        # distinct-doc count per h, partition-locally (h-colocated):
+        # sort by (h, id), count boundary rows per h group
+        order = np.lexsort((ids, hs))
+        hs_s, ids_s = hs[order], ids[order]
+        new_pair = np.empty(len(hs_s), dtype=bool)
+        new_pair[0] = True
+        new_pair[1:] = (hs_s[1:] != hs_s[:-1]) | (ids_s[1:] != ids_s[:-1])
+        _, inv = np.unique(hs_s, return_inverse=True)
+        nd = np.bincount(inv, weights=new_pair.astype(np.float64))
+        banned_sorted = nd[inv] >= md
+        mask = np.empty(len(hs_s), dtype=bool)
+        mask[order] = banned_sorted
+        yield pd.DataFrame({id_col: ids[mask], "pos": pos[mask]})
+
+    bad = (
+        rep.mapInPandas(_flag, f"{id_col} {id_type}, pos int")
+        .groupBy(id_col)
+        .agg(F.collect_set("pos").alias("__starts"))
+    )
+
+    out = df.join(bad, id_col, "left")
+    toks = whitespace_tokens(F.coalesce(F.col(text_col), F.lit("")))
+    covered = F.array_distinct(
+        F.flatten(F.transform("__starts", lambda s: F.sequence(s, s + (n - 1))))
+    )
+    keep = F.filter(
+        toks, lambda t, i: F.coalesce(~F.array_contains(covered, i), F.lit(True))
+    )
+    others = [c for c in df.columns if c != text_col]
+    return out.select(
+        *others,
+        F.size(toks).cast("long").alias("n_tokens"),
+        (F.size(toks) - F.size(keep)).cast("long").alias("n_removed"),
+        F.array_join(keep, " ").alias(text_col),
     )

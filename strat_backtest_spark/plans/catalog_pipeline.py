@@ -1554,3 +1554,94 @@ def q91_stream_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return streaming_simhash_neardup(spark, sf_dir, bits=32, bands=4, n_chunks=3)
+
+
+def _q92_shingle6_sql() -> str:
+    """md5 hash of the 6-token shingle starting at 1-based index i."""
+    parts = " || ' ' || ".join(f"toks[i + {j}]" for j in range(6))
+    return md5_hash_sql(parts)
+
+
+@query(
+    "q92_substring_dedup",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 2 = 0
+                          THEN chr(10) || 'special offer free shipping applies to'
+                            || chr(10) || 'all orders placed today ref-' || doc_id::VARCHAR
+                          ELSE '' END AS text
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                         t -> t <> '') AS toks
+      FROM aug
+    ),
+    occh AS (
+      SELECT doc_id, i - 1 AS pos, {_q92_shingle6_sql()} AS h
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 4)) AS i FROM tok)
+    ),
+    banned AS (SELECT h FROM occh GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+    cov AS (
+      SELECT DISTINCT o.doc_id, o.pos + u.d AS j
+      FROM occh o JOIN banned USING (h)
+      CROSS JOIN (SELECT unnest(range(0, 6)) AS d) u
+    ),
+    tokidx AS (
+      SELECT doc_id, unnest(toks) AS tok,
+             unnest(range(0, len(toks))) AS j
+      FROM tok
+    ),
+    fin AS (
+      SELECT ti.doc_id,
+             count(*) AS n_tokens,
+             count(cov.j) AS n_removed,
+             coalesce(string_agg(ti.tok, ' ' ORDER BY ti.j)
+                      FILTER (WHERE cov.j IS NULL), '') AS kept
+      FROM tokidx ti
+      LEFT JOIN cov ON ti.doc_id = cov.doc_id AND ti.j = cov.j
+      GROUP BY ti.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(f.n_tokens, 0)::BIGINT AS n_tokens,
+           coalesce(f.n_removed, 0)::BIGINT AS n_removed,
+           md5(coalesce(f.kept, '')) AS kept_hash
+    FROM documents d LEFT JOIN fin f ON d.doc_id = f.doc_id
+    """,
+)
+def q92_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (Lee et al. 2021): excise every token
+    inside a word 6-gram shared by >= 2 distinct documents. The
+    deterministic augmentation appends a 10-token template CROSSING a
+    line boundary with a per-doc unique ref token — the exact
+    boilerplate class q77's whole-line dedup cannot catch (second line
+    differs per doc) but this operator removes
+    (operators/dedup.substring_dedup)."""
+    from strat_backtest_spark.operators.dedup import substring_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit(
+                        "\nspecial offer free shipping applies to"
+                        "\nall orders placed today ref-"
+                    ),
+                    F.col("doc_id").cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = substring_dedup(aug, n=6, min_docs=2)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        F.md5(F.col("text").cast("binary")).alias("kept_hash"),
+    )

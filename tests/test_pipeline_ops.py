@@ -1221,3 +1221,54 @@ def test_asof_lookup_null_build_values(spark):
     assert base == [(7, 100), (8, None), (9, None)]
     for salt in ("2 days", "1 day"):
         assert run(salt) == base, salt
+
+
+def test_substring_dedup_catches_cross_line_repeats(spark):
+    """The defining case for exact-substring dedup: a duplicated token
+    run that CROSSES a line boundary and carries a per-doc unique
+    suffix — line_dedup keeps it (no two full lines match), while
+    substring_dedup excises exactly the shared run."""
+    from strat_backtest_spark.operators.dedup import line_dedup, substring_dedup
+
+    tpl = "one two three four five six\nseven eight ref-{i}"
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} body\n" + tpl.format(i=i)) for i in range(3)]
+        + [(99, "totally unrelated text here")],
+        "doc_id long, text string",
+    )
+
+    ld = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+    # every line differs across docs ("doc {i} body", "...ref-{i}") —
+    # except "one two three four five six", shared by docs 0-2
+    assert all(ld[i]["n_removed"] == 1 for i in range(3))
+    assert "seven eight" in ld[0]["text"]  # cross-line tail SURVIVES q77
+
+    sd = {r["doc_id"]: r for r in substring_dedup(docs, n=6, min_docs=2).collect()}
+    # the shared 9-token run "body one ... eight" spans BOTH newlines;
+    # every 6-gram window inside it repeats in 3 docs -> all 9 tokens
+    # excised. Windows touching doc-unique tokens ("{i}", "ref-i") are
+    # unique and keep their flanks.
+    for i in range(3):
+        assert sd[i]["n_tokens"] == 12, sd[i]
+        assert sd[i]["n_removed"] == 9, sd[i]
+        assert sd[i]["text"] == f"doc {i} ref-{i}", sd[i]
+    assert sd[99]["n_removed"] == 0
+    assert sd[99]["text"] == "totally unrelated text here"
+
+
+def test_substring_dedup_edges(spark):
+    """Short docs (< n tokens), null text, and within-doc-only repeats
+    pass through untouched; within-doc repeats don't ban (min_docs
+    counts DISTINCT documents)."""
+    from strat_backtest_spark.operators.dedup import substring_dedup
+
+    rep = "a b c d e f"  # 6 tokens, repeated twice WITHIN one doc
+    docs = spark.createDataFrame(
+        [(1, "tiny doc"), (2, None), (3, rep + " " + rep)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in substring_dedup(docs, n=6, min_docs=2).collect()}
+    assert out[1]["n_tokens"] == 2 and out[1]["n_removed"] == 0
+    assert out[1]["text"] == "tiny doc"
+    assert out[2]["n_tokens"] == 0 and out[2]["text"] == ""
+    assert out[3]["n_removed"] == 0  # same doc twice != two docs

@@ -295,6 +295,28 @@ def streaming_quota_admission(
     same-mtime files consumed as ONE micro-batch — so every group's
     admission genuinely crosses micro-batch boundaries."""
     import shutil
+
+    static = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", group_col)
+    )
+    stream, replay_dir = _chunked_replay(spark, static, n_chunks)
+    admitted = quota_admission_stream(stream, cap=cap, group_col=group_col, seed=seed)
+    out = _drain_to_parquet(admitted, spark, "append")
+    shutil.rmtree(replay_dir, ignore_errors=True)
+    return out
+
+
+def quota_admission_stream(
+    stream: DataFrame, cap: int = 15, group_col: str = "source", seed: int = 0
+) -> DataFrame:
+    """The stateful stage of streaming quota admission, exposed (like
+    ``simhash_claim_verdicts``) so restart/recovery tests and probes
+    drive the EXACT production code path against their own source and
+    durable checkpoint. Per-group state is ONE long (admitted count);
+    within a micro-batch candidates rank by the identity-keyed
+    ``(md5(seed:doc_id), doc_id)`` — the batch ``quota_sample``
+    contract — and the best remaining-quota of them are admitted."""
     from typing import Iterator, Tuple
 
     import pandas as pd
@@ -303,11 +325,6 @@ def streaming_quota_admission(
 
     from strat_backtest_spark.functions.hashing import md5_hash
 
-    static = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
-        .select("doc_id", group_col)
-    )
-    stream, replay_dir = _chunked_replay(spark, static, n_chunks)
     ranked = stream.withColumn(
         "__h",
         md5_hash(F.concat_ws(":", F.lit(int(seed)), F.col("doc_id").cast("string"))),
@@ -340,13 +357,10 @@ def streaming_quota_admission(
             {"doc_id": rows["doc_id"].to_numpy(), group_col: key[0]}
         )
 
-    admitted = ranked.groupBy(group_col).applyInPandasWithState(
+    return ranked.groupBy(group_col).applyInPandasWithState(
         _admit,
         outputStructType=out_type,
         stateStructType=state_type,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    out = _drain_to_parquet(admitted, spark, "append")
-    shutil.rmtree(replay_dir, ignore_errors=True)
-    return out

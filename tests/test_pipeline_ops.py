@@ -1127,6 +1127,97 @@ def test_streaming_simhash_state_survives_query_restart(spark, tmp_path):
     assert got == want
 
 
+def test_streaming_quota_state_survives_query_restart(spark, tmp_path):
+    """COLD restart for streaming quota admission (parity with the
+    simhash claim-state test above): incarnation 1 consumes two replay
+    chunks and STOPS; a fresh query with the same durable checkpoint
+    picks up chunk 3. Per-group admitted counters must restore from
+    the state store — a group that filled its cap in chunks 1-2 must
+    admit NOTHING from chunk 3 — and the combined sink must equal the
+    uninterrupted batch window replay exactly."""
+    import os
+    import time
+
+    from pyspark.sql import Window, functions as F
+
+    from strat_backtest_spark.functions.hashing import md5_hash
+    from strat_backtest_spark.streaming.documents_stream import (
+        quota_admission_stream,
+    )
+
+    # 6 chunks of ~4 docs per (group, chunk): after two chunks every
+    # group sits MID-quota (~8 of 15 admitted), so the restart happens
+    # while counters still bind — a reset-to-zero restore would admit a
+    # different (and larger) membership from chunks 3-6
+    cap, seed, n_chunks = 15, 0, 6
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    # batch reference: rank per group by (arrival chunk, md5, doc_id)
+    w = Window.partitionBy("source").orderBy(
+        (F.col("doc_id") % n_chunks).asc(), F.col("__h").asc(), F.col("doc_id").asc()
+    )
+    want = set(
+        r["doc_id"]
+        for r in docs.withColumn(
+            "__h",
+            md5_hash(
+                F.concat_ws(":", F.lit(seed), F.col("doc_id").cast("string"))
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= cap)
+        .collect()
+    )
+
+    pdf = docs.toPandas()
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    base = time.time()
+
+    def write_chunk(i):
+        p = os.path.join(src, f"{i:03d}.parquet")
+        pdf[pdf["doc_id"] % n_chunks == i].to_parquet(p, index=False)
+        os.utime(p, (base + i, base + i))
+
+    def run_incarnation():
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            quota_admission_stream(stream, cap=cap, group_col="source", seed=seed)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    write_chunk(0)
+    write_chunk(1)
+    run_incarnation()  # admits from chunks 1-2, then the query DIES
+    mid = set(r["doc_id"] for r in spark.read.parquet(sink).collect())
+    assert 0 < len(mid) < len(want), "first incarnation must be partial"
+    # prefix-monotonicity: anything admitted in a prefix of the replay
+    # is admitted in the full replay
+    assert mid <= want
+
+    for i in range(2, n_chunks):
+        write_chunk(i)
+    run_incarnation()  # fresh query object, same checkpoint: resume
+
+    got = set(r["doc_id"] for r in spark.read.parquet(sink).collect())
+    assert got == want
+
+
 def test_asof_lookup_salted_equals_unsalted(spark, tmp_path):
     """The whale-key salted path (time-segment fill + segment-summary
     carry) must be bit-identical to the single-window fill — on the

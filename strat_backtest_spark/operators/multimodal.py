@@ -63,13 +63,113 @@ def attach_media(
     )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Pure-Python PNG decode — stdlib zlib + numpy, no imaging
+    library: chunk walk, IDAT inflate, per-scanline unfilter (all five
+    filter types: none/sub/up/average/paeth). Supports the common
+    non-interlaced 8-bit color types (gray=0, RGB=2, gray+alpha=4,
+    RGBA=6); palette/16-bit/interlaced raise NotImplementedError.
+    Returns (H, W) uint8 for grayscale, (H, W, C) otherwise."""
+    import struct
+    import zlib
+
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or color not in (0, 2, 4, 6):
+        raise NotImplementedError(
+            f"PNG depth={depth} color={color} interlace={interlace} unsupported"
+        )
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+    stride = w * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG inflated size mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)], dtype=np.uint8
+        ).astype(np.int32)
+        if f == 0:
+            cur = line
+        elif f == 2:  # up
+            cur = (line + prev) & 0xFF
+        elif f in (1, 3, 4):  # sub / average / paeth: sequential in x
+            cur = line
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) >> 1
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG bad filter byte {f}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    img = out.reshape(h, w, ch)
+    return img[:, :, 0] if ch == 1 else img
+
+
+def decode_wav(payload: bytes) -> np.ndarray:
+    """Real WAV/PCM decode via the stdlib ``wave`` module: 8/16-bit
+    PCM to a mono float32 waveform in [-1, 1] (channels averaged)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload)) as wf:
+        nch, sw = wf.getnchannels(), wf.getsampwidth()
+        raw = wf.readframes(wf.getnframes())
+    if sw == 2:
+        a = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif sw == 1:
+        a = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"WAV sample width {sw} unsupported")
+    return a.reshape(-1, nch).mean(axis=1) if nch > 1 else a
+
+
 def real_decoder(payload: bytes, media_type: str) -> np.ndarray:
-    """The real-codec slot. Image/audio/video libraries are not
-    installed in this environment — plug PIL.Image.open /
-    librosa.load / an ffmpeg frame grabber in here."""
+    """The real-codec slot, now load-bearing for the two container
+    formats decodable without external libraries: PNG (``decode_png``,
+    pure zlib+numpy) and WAV (``decode_wav``, stdlib ``wave``),
+    dispatched by magic bytes. JPEG/MP3/video frames still need an
+    injected codec (PIL / librosa / ffmpeg) — same ``Decoder``
+    contract, see ``deterministic_fake_decoder``. The q38/q50 catalog
+    oracles keep the deterministic fake; this path is unit-tested on
+    crafted payloads (tests/test_pipeline_ops.py)."""
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav(payload)
     raise NotImplementedError(
-        "no media codec available in this environment; inject a decoder "
-        "(see deterministic_fake_decoder for the contract)"
+        f"no built-in codec for this payload (media_type={media_type!r}); "
+        "inject a decoder (see deterministic_fake_decoder for the contract)"
     )
 
 

@@ -1363,3 +1363,119 @@ def test_substring_dedup_edges(spark):
     assert out[1]["text"] == "tiny doc"
     assert out[2]["n_tokens"] == 0 and out[2]["text"] == ""
     assert out[3]["n_removed"] == 0  # same doc twice != two docs
+
+
+def _make_png(img, filters):
+    """Minimal PNG writer for the decoder unit: 8-bit, non-interlaced,
+    one explicit filter byte per scanline (so every filter type is
+    exercisable), zlib-compressed, correct CRCs."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = img.shape[:2]
+    ch = 1 if img.ndim == 2 else img.shape[2]
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    flat = img.reshape(h, w * ch).astype(np.int32)
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    raw = b""
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        f = filters[y % len(filters)]
+        cur, line = flat[y], flat[y].copy()
+        for x in range(w * ch):
+            a = cur[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            line[x] = (cur[x] - pred) & 0xFF
+        raw += bytes([f]) + line.astype(np.uint8).tobytes()
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_real_decoder_png_and_wav(spark):
+    """The real-codec slot decodes actual container formats without
+    external libraries: a crafted PNG (every filter type 0-4 across
+    scanlines, gray + RGB) round-trips bit-exactly, a stdlib-written
+    PCM16 WAV comes back as the normalized waveform, and both flow
+    through the Arrow decode_features plumbing unchanged."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from strat_backtest_spark.operators.multimodal import (
+        attach_media,
+        decode_features,
+        decode_png,
+        decode_wav,
+        real_decoder,
+    )
+
+    rng = np.random.default_rng(3)
+    gray = rng.integers(0, 256, (7, 5), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (6, 4, 3), dtype=np.uint8)
+    png_gray = _make_png(gray, filters=[0, 1, 2, 3, 4])
+    png_rgb = _make_png(rgb, filters=[4, 3, 2, 1, 0])
+    assert np.array_equal(decode_png(png_gray), gray)
+    assert np.array_equal(decode_png(png_rgb), rgb)
+
+    samples = (np.sin(np.arange(64) / 3.0) * 20000).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(16000)
+        wf.writeframes(samples.tobytes())
+    wav = buf.getvalue()
+    np.testing.assert_allclose(
+        decode_wav(wav), samples.astype(np.float32) / 32768.0
+    )
+
+    # through the Spark plumbing: magic-byte dispatch inside the Arrow
+    # batch, no media_type hints needed beyond the layout column
+    df = spark.createDataFrame(
+        [(1, bytearray(png_gray)), (2, bytearray(wav))],
+        "doc_id long, payload binary",
+    )
+    media = attach_media(df, "payload", media_type="mixed")
+    got = {
+        r["doc_id"]: r
+        for r in decode_features(media, decoder=real_decoder).collect()
+    }
+    assert got[1]["byte_len"] == len(png_gray)
+    np.testing.assert_allclose(got[1]["sample_mean"], gray.astype(np.float64).mean())
+    np.testing.assert_allclose(got[2]["sample_mean"],
+                               (samples.astype(np.float64) / 32768.0).mean())
+    assert len(got[1]["feature"]) == 8
+
+    # undecodable payloads still raise the documented boundary error
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        real_decoder(b"\xff\xd8\xff\xe0 fake jpeg", "image")

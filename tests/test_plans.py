@@ -320,13 +320,14 @@ def test_q74_pii_scrub_is_map_only(spark):
 
 def test_q75_one_pass_no_join(spark):
     """dup_ngram_stats is ONE consumption of the shingle stream: an
-    Arrow shingle pass, ONE exchange on h, a partition-local counting
-    Arrow stage emitting per-doc partials, and a slim doc_id agg. The
-    previous checkpoint+groupBy+join shape re-evaluated the lazy
-    checkpoint when one job held both consumers (296 s at the 266M-
-    shingle rung; one-pass shape: 107 s). Ratchet: exactly 2 Python
-    stages, exactly 1 corpus scan, shuffle keys only {h, doc_id}, no
-    join operator at all."""
+    Arrow shingle pass packing per-(batch, bucket) binary blocks, ONE
+    exchange on bucket (wide blob rows, not one row per shingle
+    instance), a partition-local counting Arrow stage emitting per-doc
+    partials, and a slim doc_id agg. History: checkpoint+groupBy+join
+    re-evaluated the checkpoint (296 s at the 266M-shingle rung) →
+    one-pass row exchange (107 s) → blocked exchange (see BASELINE.md).
+    Ratchet: exactly 2 Python stages, exactly 1 corpus scan, shuffle
+    keys only {bucket, doc_id}, no join operator at all."""
     import re
 
     from strat_backtest_spark.plans.catalog import CATALOG
@@ -337,7 +338,7 @@ def test_q75_one_pass_no_join(spark):
     assert p.count("Scan parquet  (") == 1, "corpus must be scanned once"
     assert "Join" not in p, "the frequency join is back"
     keys = set(re.findall(r"hashpartitioning\((\w+)", p))
-    assert keys <= {"h", "doc_id"}, f"unexpected shuffle keys: {keys}"
+    assert keys <= {"bucket", "doc_id"}, f"unexpected shuffle keys: {keys}"
 
 
 def test_q77_line_text_never_shuffles(spark):
@@ -441,3 +442,65 @@ def test_q89_profile_single_aggregate_pass(spark):
     assert p.count("Scan parquet  (") == 1, "profiler re-scans the table"
     assert p.count("Expand (") == 1
     assert "Join" not in p and "Window" not in p
+
+
+def test_asof_lookup_salted_plan_bounded(spark):
+    """The whale-key salted as-of path must never regress to an
+    event x build fan-out: no nested-loop/cartesian join anywhere, all
+    wide stages keyed only by (__k, __seg), and a bounded exchange
+    count (union fill + segment summary + carry + join-back — NOT one
+    exchange per segment or per build row)."""
+    import datetime as dt
+    import re
+
+    from strat_backtest_spark.operators.rangejoin import asof_lookup
+
+    probe = spark.createDataFrame(
+        [(1, dt.datetime(2020, 1, 5), 10)],
+        "user_id long, ts timestamp, event_id long",
+    )
+    build = spark.createDataFrame(
+        [(1, dt.datetime(2020, 1, 1), 7)],
+        "user_id long, ts timestamp, okey long",
+    )
+    p = _formatted(
+        asof_lookup(
+            probe, build, key_col="user_id", time_col="ts",
+            value_col="okey", probe_id_col="event_id", salt_width="7 days",
+        )
+    )
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    keys = set(re.findall(r"hashpartitioning\((\w+)", p))
+    assert keys <= {"__k", "__seg"}, f"unexpected shuffle keys: {keys}"
+    assert p.count("Exchange (") <= 8, "salted path exchange count grew"
+
+
+def test_streaming_simhash_upstream_map_only(spark):
+    """simhash_claim_verdicts' upstream (simhash -> band explode) must
+    stay map-only — its ONLY exchange is the state-store partitioning
+    on (band, band_val) that applyInPandasWithState requires. Asserted
+    on the batch twin of the upstream (stateless Arrow/Column stages
+    are streaming-transparent) plus the streaming plan's single
+    exchange."""
+    from strat_backtest_spark.operators.dedup import band_simhash, simhash
+
+    docs = spark.read.parquet(f"{SF_MED}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    up = _formatted(band_simhash(simhash(docs, bits=32), bits=32, bands=4))
+    assert "Exchange" not in up, "simhash/banding upstream gained a shuffle"
+    assert up.count("Scan parquet  (") == 1
+
+    from strat_backtest_spark.streaming.documents_stream import (
+        simhash_claim_verdicts,
+    )
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(SF_MED)
+    )
+    sp = _formatted(simhash_claim_verdicts(stream, bits=32, bands=4))
+    assert sp.count("Exchange (") == 1, "claim stage must shuffle exactly once"
+    assert "hashpartitioning(band" in sp

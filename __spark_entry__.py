@@ -50,74 +50,68 @@ def entry(spark: SparkSession) -> DataFrame:
 #      untouched 2-rounds-stale entry may take a tail slot as long as
 #      rule 2 still holds — flag it <round>-MANDATORY so the next
 #      rotation returns it first. Head is exactly 50.
-# Round-8 application: the nine entries last gated in r05 (q44, q50,
-# q52, q54, q57, q62, q66, q67, q70) and the fourteen last gated in
-# r06 (q03, q05, q07, q08, q10-q17, q20, q21) ALL return to the
-# window, as do the entries touched this round: the similarity family
-# (q30/q31/q47/q51 — margin + NaN-policy + bucket-cap fixes), the
-# dedup family consumers of decontaminate/connected-components
-# (q55/q56/q60/q68/q69), q26 (BPE tokenizer scale run), and the
-# EIGHTEEN new round-8 entries (q74 PII scrub, q75 dup-n-gram
-# fraction, q76 semantic dedup apply, q77 line-level dedup, q78
-# streaming PII, q79 sequence packing, q80 shard shuffle, q81 TF-IDF
-# top-k, q82 embedding quantization, q83 unigram log-prob quality,
-# q84 train/val/test split, q85 per-source quota sample, q86 corpus
-# trigram top-k, q87 bigram log-prob quality, q88 ANN recall@k, q89
-# column profiler, q90 streaming quota admission, q91 streaming
-# simhash near-dup — never gated, must be in the window).
-# Catalog is now 91 entries; the tail is 41 untouched entries, every
-# one hash-green in r07 except q14 (r06 — see below), keeping the
-# head at exactly 50. The four kernel-family rows below
-# (q40/q42/q46/q59) joined the tail when the round-8 entry count
-# passed 84: their source files (operators/kernel.py, metrics.py,
-# optimize.py, streaming/backtest_stream.py) have zero round-8 diffs
-# and all four hash-matched in r07. When q91 (streaming simhash
-# near-dup, new this round — must be in the window) pushed the head
-# to 51, q14_distinct moved to the tail: it is untouched, green
-# r01-r06, and rule 2 gives it until round 9 (last gate row r06 →
-# back in the window by r09 at the latest) — flagged r9-MANDATORY.
+# Round-9 application (round 9 is where rule 2 first bound): ALL 41
+# round-8 tail entries return to the window — q14_distinct
+# (r9-MANDATORY, last gate row r06) plus the 40 entries hash-green in
+# r07 — so after r9 no entry's latest green row is older than the
+# previous round. They are joined by the entries touched this round:
+# q92 (NEW exact-substring dedup — never gated), q75 (blocked-exchange
+# dup-n-gram rewrite), q52 (asof_lookup null-build filter + exact
+# floor-div segment index, ADVICE r8), q90/q91 (documents_stream.py:
+# quota-admission stage extraction, replay empty-input guard, argmin
+# bucket claim), q50 (multimodal.py gained the real PNG/WAV decoders;
+# the catalog path uses the fake decoder but the file changed), and
+# three conservative keepers co-resident in operators/dedup.py with
+# this round's edits (q21 exact dedup, q56 connected components,
+# q77 line dedup — their functions have zero r9 diffs, but rule 1 is
+# applied at file granularity when the file changed). q38 (also
+# multimodal) is in the mandatory 41 already. Head is exactly 50;
+# the tail is the remaining 42 entries, every one all-true in
+# CORRECTNESS_r08 and untouched this round (at most 1 round stale
+# when the tail was formed — rule 3 satisfied with no exceptions).
 _SWEEP_TAIL = [
-    "q14_distinct",               # hash-match r01-r06, untouched r7+r8; r9-MANDATORY (rule 2)
-    "q40_backtest_networth",      # hash-match r01-r07, kernel.py untouched r8
-    "q72_stoploss_networth",      # hash-match r07 (heap-oracle), kernel.py untouched r8
-    "q41_grid_search",            # hash-match r07, optimize.py untouched r8
-    "q42_backtest_metrics",       # hash-match r07 (full oracle), metrics.py untouched r8
-    "q46_simulated_annealing",    # hash-match r07 (replay oracle), optimize.py untouched r8
-    "q59_stream_backtest_kernel", # hash-match r07, backtest_stream.py untouched r8
-    "q01_pricing_summary",        # hash-match r01-r07, untouched r8
-    "q02_regional_revenue",       # hash-match r01-r07, untouched r8
-    "q04_orders_with_bigticket_items",  # hash-match r01-r07, untouched r8
-    "q06_rolling_mean",           # hash-match r01-r07, untouched r8
-    "q09_cumprod",                # hash-match r01-r07, untouched r8
-    "q18_compound_range_predicate",  # hash-match r01-r07, untouched r8
-    "q19_string_predicates",      # hash-match r01-r07, untouched r8
-    "q22_minhash_signatures",     # hash-match r07 (Arrow rewrite), untouched r8
-    "q23_minhash_lsh_pairs",      # hash-match r07 (first-band-wins), untouched r8
-    "q24_simhash",                # hash-match r07 (Arrow rewrite), untouched r8
-    "q25_ngram_jaccard",          # hash-match r07, untouched r8
-    "q27_quality_score",          # hash-match r07 (native punct), untouched r8
-    "q28_langid",                 # hash-match r07 (single-fold), untouched r8
-    "q29_fingerprint",            # hash-match r07 (Arrow rewrite), untouched r8
-    "q32_asof_join",              # hash-match r02-r07, untouched r8
-    "q33_rollup_revenue",         # hash-match r02-r07, untouched r8
-    "q34_pivot_event_matrix",     # hash-match r02-r07, untouched r8
-    "q35_sessionization",         # hash-match r02-r07, untouched r8
-    "q36_token_topk",             # hash-match r02-r07, untouched r8
-    "q37_ticker_mentions",        # hash-match r02-r07, untouched r8
-    "q38_multimodal_features",    # hash-match r02-r07, untouched r8
-    "q53_resample_ohlc",          # hash-match r07 (oracle BIGINT fix), untouched r8
-    "q61_repetition_score",       # hash-match r07 (Arrow rewrite), untouched r8
-    "q39_ma_cross_signals",       # hash-match r02-r07, untouched r8
-    "q43_stream_windowed_agg",    # hash-match r02-r07, untouched r8
-    "q48_stream_sessionize",      # hash-match r02-r07, untouched r8
-    "q49_stream_signal_edges",    # hash-match r02-r07, untouched r8
-    "q73_stream_late_arrival",    # hash-match r07, untouched r8
-    "q58_simhash_neardup",        # hash-match r07 (Arrow rewrite r7), untouched r8
-    "q63_stream_dedup",           # hash-match r07, untouched r8
-    "q65_stream_grid",            # hash-match r07, untouched r8
-    "q45_common_stock_sweep",     # hash-match r07 (full composed oracle), untouched r8
-    "q64_stream_band_kernel",     # hash-match r07, backtest_stream.py untouched r8
-    "q71_stream_partial_close",   # hash-match r07, backtest_stream.py untouched r8
+    "q03_top_customers",          # all-true r08, untouched r9
+    "q05_status_totals",          # all-true r08, untouched r9
+    "q07_pct_change",             # all-true r08, untouched r9
+    "q08_running_totals",         # all-true r08, untouched r9
+    "q10_forward_fill",           # all-true r08, untouched r9
+    "q11_tail_n",                 # all-true r08, untouched r9
+    "q12_trailing_period",        # all-true r08, untouched r9
+    "q13_first_last",             # all-true r08, untouched r9
+    "q15_union_nations",          # all-true r08, untouched r9
+    "q16_nations_without_suppliers",  # all-true r08, untouched r9
+    "q17_signal_edges",           # all-true r08, untouched r9
+    "q20_json_props",             # all-true r08, untouched r9
+    "q26_token_counts",           # all-true r08, untouched r9
+    "q30_cosine_topk",            # all-true r08, untouched r9
+    "q31_ann_lsh_topk",           # all-true r08, untouched r9
+    "q44_common_stock_mentions",  # all-true r08, untouched r9
+    "q47_embedding_neardup",      # all-true r08, untouched r9
+    "q51_ivf_topk",               # all-true r08, untouched r9
+    "q54_stratified_sample",      # all-true r08, untouched r9
+    "q55_curation_pipeline",      # all-true r08, untouched r9
+    "q57_kmv_distinct_users",     # all-true r08, untouched r9
+    "q60_decontaminate",          # all-true r08, untouched r9
+    "q62_token_quantiles",        # all-true r08, untouched r9
+    "q66_chunking",               # all-true r08, untouched r9
+    "q67_embedding_profile",      # all-true r08, untouched r9
+    "q68_dedup_apply",            # all-true r08, untouched r9
+    "q69_curation_end_to_end",    # all-true r08, untouched r9
+    "q70_dup_rate_by_source",     # all-true r08, untouched r9
+    "q74_pii_scrub",              # all-true r08, untouched r9
+    "q76_semantic_dedup_apply",   # all-true r08, untouched r9
+    "q78_stream_pii_scrub",       # all-true r08, untouched r9
+    "q79_pack_sequences",         # all-true r08, untouched r9
+    "q80_shard_shuffle",          # all-true r08, untouched r9
+    "q81_tfidf_topk",             # all-true r08, untouched r9
+    "q82_quantize_embeddings",    # all-true r08, untouched r9
+    "q83_unigram_logprob",        # all-true r08, untouched r9
+    "q84_split_assign",           # all-true r08, untouched r9
+    "q85_quota_sample",           # all-true r08, untouched r9
+    "q86_ngram_topk",             # all-true r08, untouched r9
+    "q87_bigram_logprob",         # all-true r08, untouched r9
+    "q88_ann_recall",             # all-true r08, untouched r9
+    "q89_profile_columns",        # all-true r08, untouched r9
 ]
 
 

@@ -56,6 +56,7 @@ def main() -> None:
     # and record on stderr; don't kill — the process may not be ours.
     import subprocess
 
+    stray: list[str] = []
     try:
         stray = subprocess.run(
             ["pgrep", "-f", "SparkSubmit"], capture_output=True, text=True
@@ -68,6 +69,11 @@ def main() -> None:
             )
     except Exception:
         pass
+    # Load-regime protocol (round-8 watch item): two same-round runs of
+    # identical code measured 23.0 vs 28.0 s — host-load regime, not
+    # code. Record the regime with every result so future drift pins
+    # know which regime a row came from before blaming a commit.
+    load_start = round(os.getloadavg()[0], 1)
 
     from strat_backtest_spark.session import get_spark
     from strat_backtest_spark.plans.catalog import CATALOG
@@ -118,6 +124,11 @@ def main() -> None:
                 "queries": timings,
                 "samples": samples,
                 "sf": sf,
+                "load_regime": {
+                    "loadavg_1m_start": load_start,
+                    "loadavg_1m_end": round(os.getloadavg()[0], 1),
+                    "stray_jvms": len(stray),
+                },
             }
         ),
         flush=True,

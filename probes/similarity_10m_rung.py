@@ -1,0 +1,128 @@
+"""Similarity decade 7: 10M vectors (10x the round-7 1M rung).
+
+Corpus: sf0.1 embeddings (2,000 base x 64-dim) replicated REPLICAS
+times with per-replica gaussian jitter (sigma=0.05, per-batch seeded) —
+the same construction as the 1M rung, 64-file layout (probe-layout
+row). Deleted after the run.
+
+Plane/bucket scaling rule (the 1M rung's finding, applied): bucket
+count must scale with the corpus so the mean bucket stays under the
+rerank cap — 6 planes = 64 buckets collapses recall at 1M; 12 planes
+(4,096 buckets, ~244 vecs/bucket) was the 1M setting; at 10M the same
+rule gives 16 planes = 65,536 buckets (~153 vecs/bucket). IVF lists
+scale the same way: K=256 (~3.9k/list) at 1M -> K=1024 (~9.8k/list,
+nprobe=8 scans ~78k vecs/query) at 10M, codebook trained on a 1%
+sample. Recall is spot-checked with the q88 harness at the same
+plane count. Prints one JSON line.
+
+    python probes/similarity_10m_rung.py [REPLICAS]
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import time
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+
+from strat_backtest_spark.session import get_spark  # noqa: E402
+
+
+def build_corpus(spark, replicas: int, corpus_dir: str) -> float:
+    t0 = time.time()
+    base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    n_base = base.count()
+    rep = base.crossJoin(
+        spark.range(replicas).withColumnRenamed("id", "r")
+    ).select(
+        (F.col("vec_id") + F.col("r") * n_base).alias("new_id"), "embedding"
+    )
+
+    def _jitter(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            rng = np.random.default_rng(int(pdf["new_id"].iloc[0]) % (2**31))
+            mat = mat + rng.normal(0.0, 0.05, mat.shape)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["new_id"].to_numpy(),
+                    "embedding": list(mat.astype(np.float32)),
+                }
+            )
+
+    (
+        rep.repartition(64)
+        .mapInPandas(_jitter, "vec_id long, embedding array<float>")
+        .write.mode("overwrite")
+        .parquet(f"{corpus_dir}/embeddings.parquet")
+    )
+    return time.time() - t0
+
+
+def main() -> None:
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
+    n_planes = 16  # 2^16 buckets: corpus/buckets ~ 153 << 2000 cap
+    spark = get_spark(cpus=32)
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    out = {"replicas": replicas, "vectors": 2000 * replicas, "n_planes": n_planes}
+    corpus_dir = f"/tmp/vecs_rung_{replicas}x"
+    out["corpus_build_s"] = round(build_corpus(spark, replicas, corpus_dir), 1)
+
+    from strat_backtest_spark.operators.similarity import (
+        ann_recall,
+        ann_topk,
+        embedding_neardup_pairs,
+        ivf_topk,
+        train_centroids_kmeans,
+    )
+
+    emb = spark.read.parquet(f"{corpus_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 100).cache()
+    queries.count()
+
+    def run(key, fn):
+        t = time.time()
+        n = fn().count()
+        out[key + "_rows"] = n
+        out[key + "_s"] = round(time.time() - t, 1)
+        print(json.dumps({key: out[key + "_s"], "rows": n}),
+              file=sys.stderr, flush=True)
+
+    run("ann_topk", lambda: ann_topk(emb, queries, k=10, n_planes=n_planes))
+    t = time.time()
+    cents = train_centroids_kmeans(emb, n_centroids=1024, sample_fraction=0.01)
+    out["kmeans_train_s"] = round(time.time() - t, 1)
+    run("ivf_topk", lambda: ivf_topk(emb, queries, cents, k=10, nprobe=8))
+    run(
+        "embedding_neardup",
+        lambda: embedding_neardup_pairs(
+            emb, threshold=0.9, n_planes=n_planes, n_tables=3, max_bucket=2000
+        ),
+    )
+    t = time.time()
+    rec = ann_recall(emb, queries, k=10, n_planes=n_planes).agg(
+        F.avg("recall").alias("mean_recall")
+    ).collect()[0]["mean_recall"]
+    out["ann_recall_s"] = round(time.time() - t, 1)
+    out["mean_recall_at_10"] = round(float(rec), 4)
+    print(json.dumps({"recall": out["mean_recall_at_10"],
+                      "recall_s": out["ann_recall_s"]}), file=sys.stderr, flush=True)
+
+    shutil.rmtree(corpus_dir, ignore_errors=True)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

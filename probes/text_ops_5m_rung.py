@@ -73,16 +73,17 @@ def main() -> None:
 
     from strat_backtest_spark.plans.catalog import CATALOG
 
-    def run(name: str, key: str) -> None:
+    def run(key: str, df) -> None:
+        # noop write forces EVERY output column: count() lets Catalyst
+        # eliminate unique-key left joins and the work feeding them
+        # (the first probe run "timed" q92 at 1.9 s that way)
         t = time.time()
-        df = CATALOG[name].fn(spark, corpus_dir)
-        out[key + "_rows"] = df.count()
+        df.write.format("noop").mode("overwrite").save()
         out[key + "_s"] = round(time.time() - t, 1)
-        print(json.dumps({key: out[key + "_s"], "rows": out[key + "_rows"]}),
-              file=sys.stderr, flush=True)
+        print(json.dumps({key: out[key + "_s"]}), file=sys.stderr, flush=True)
 
-    run("q75_dup_ngram_fraction", "dup_ngram")
-    run("q92_substring_dedup", "substring_dedup")
+    run("dup_ngram", CATALOG["q75_dup_ngram_fraction"].fn(spark, corpus_dir))
+    run("substring_dedup", CATALOG["q92_substring_dedup"].fn(spark, corpus_dir))
     shutil.rmtree(corpus_dir, ignore_errors=True)
     print(json.dumps(out))
     spark.stop()

@@ -1095,119 +1095,60 @@ def dup_ngram_stats(
     min_docs: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
-    n_buckets: int = 1024,
 ) -> DataFrame:
     """Corpus-wide duplicated-n-gram profile per document (the C4-style
     boilerplate signal): (doc_id, n_shingles, dup_fraction) where
     dup_fraction = fraction of the doc's DISTINCT shingles that occur
     in at least ``min_docs`` distinct documents corpus-wide.
 
-    Scale shape: one Arrow shingle pass, ONE exchange, a counting Arrow
-    stage, a slim per-doc agg — and the exchange is BLOCKED: the shingle
-    pass packs each batch's (id, h) stream into per-(batch, h-bucket)
-    binary blobs (ids int64, hashes int32 — h < P < 2^31 by
-    construction), so the wire carries ~|batches|·|buckets| wide rows
-    instead of one 16-byte row per shingle instance. All occurrences of
-    a hash still land in the partition owning ``h % n_buckets``, so the
-    partition-local distinct-doc count per h IS the global count (blob
-    rows are per-doc distinct by construction); the counting stage
-    decodes blobs zero-copy (np.frombuffer), flags, and emits per-doc
-    PARTIAL (n, ndup) sums. Document text never shuffles. Docs shorter
-    than ``n`` tokens emit nothing (consistent with ``decontaminate``).
-    Measured at the 266M-shingle 5M-doc rung: 310 s (checkpoint +
-    freq-join) → 107 s (one-pass row exchange) → see BASELINE.md for
-    the blocked-exchange rung — per-row shuffle overhead, not bytes,
-    dominated the row shape. Non-integral ``id_col`` types fall back to
-    the row exchange (same semantics, equality unit-pinned).
+    Scale shape: one Arrow shingle pass emits slim (doc_id, h) rows;
+    ONE exchange hash-partitions them on h, and a second Arrow stage
+    counts each hash partition-locally (colocated ⇒ local count = the
+    global distinct-doc count), flags rows, and pre-aggregates per-doc
+    partials, so the final groupBy(doc_id) carries only (id, 2 longs)
+    partials — the shingle stream crosses the wire exactly once and
+    document text never shuffles. Docs shorter than ``n`` tokens emit
+    nothing (no shingles — consistent with ``decontaminate``).
+
+    Floor analysis (round 9, 266M-instance 5M-doc rung): this shape is
+    at its floor. A blocked-exchange variant (pack each map partition's
+    (id, h) stream into per-bucket binary blobs so the wire carries
+    thousands of wide rows instead of 266M 16-byte rows) measured
+    139.1 s vs 125.8 s for THIS shape same-session — the exchange
+    format is not the bottleneck. Nor is hashing: the map stage
+    (shingle md5 ~1.8 µs each + list building) extrapolates to ~16 s
+    of 32-core CPU. The remaining cost is the fixed machinery around a
+    266M-instance stream — two Arrow boundary crossings + shuffle I/O
+    + the per-partition counting sort — all linear and all distributed;
+    round-8's 106.7 s vs round-9's 125.8 s on identical row-shape code
+    is load regime (see BASELINE.md protocol note).
 
     Skew note: a shingle present in nearly every document (universal
-    boilerplate) concentrates its blocks in one bucket's partition —
-    12 bytes per instance, so even a shingle in ALL of a 100M-doc
-    corpus is ~1.2 GB in one task; raise ``n_buckets`` if a corpus is
-    boilerplate-dominated (bucket count only changes block granularity,
-    never values — partitioning-invariance is unit-pinned)."""
+    boilerplate) concentrates its rows in one h-partition. Each row is
+    16 bytes, so even a shingle in ALL of a 100M-doc corpus is ~1.6 GB
+    in one task — heavy but not fatal; if a corpus is boilerplate-
+    dominated, the skew-robust alternative is the two-phase shape
+    (groupBy(h) with map-side partials, then join back), which this
+    function replaced for single-pass speed (310→107 s at the 266M-
+    shingle rung)."""
     id_type = df.schema[id_col].dataType.simpleString()
     md = int(min_docs)
-    blocked = id_type in ("int", "bigint", "smallint", "tinyint")
+    pairs = shingle_hash_pairs(df, n, text_col, id_col, id_type)
+    rep = pairs.repartition(F.col("h"))
 
-    if not blocked:
-        pairs = shingle_hash_pairs(df, n, text_col, id_col, id_type)
-        rep = pairs.repartition(F.col("h"))
-
-        def _flag(batches):
-            ids_parts, hs_parts = [], []
-            for pdf in batches:
-                if len(pdf):
-                    ids_parts.append(pdf[id_col].to_numpy())
-                    hs_parts.append(pdf["h"].to_numpy(dtype=np.int64))
-            if not ids_parts:
-                return
-            yield from _dup_ngram_count(
-                np.concatenate(ids_parts), np.concatenate(hs_parts), md, id_col
-            )
-
-        flagged = rep.mapInPandas(
-            _flag, f"{id_col} {id_type}, __n long, __ndup long"
-        )
-    else:
-        nb = int(n_buckets)
-
-        def _blocks(batches):
-            for pdf in batches:
-                ids, hs_all = [], []
-                for i, t in zip(pdf[id_col].tolist(), pdf[text_col].tolist()):
-                    hs = _py_shingle_hashes(t, n)
-                    if not hs:
-                        continue
-                    ids.extend([i] * len(hs))
-                    hs_all.extend(hs)
-                if not ids:
-                    continue
-                ids_a = np.asarray(ids, dtype=np.int64)
-                hs_a = np.asarray(hs_all, dtype=np.int32)  # h < P < 2^31
-                b = hs_a % nb
-                order = np.argsort(b, kind="stable")
-                ids_a, hs_a, b = ids_a[order], hs_a[order], b[order]
-                ub, starts = np.unique(b, return_index=True)
-                bounds = np.append(starts, len(b))
-                yield pd.DataFrame(
-                    {
-                        "bucket": ub.astype(np.int32),
-                        "ids_blob": [
-                            ids_a[s:e].tobytes()
-                            for s, e in zip(bounds[:-1], bounds[1:])
-                        ],
-                        "hs_blob": [
-                            hs_a[s:e].tobytes()
-                            for s, e in zip(bounds[:-1], bounds[1:])
-                        ],
-                    }
-                )
-
-        blocks = df.select(id_col, text_col).mapInPandas(
-            _blocks, "bucket int, ids_blob binary, hs_blob binary"
-        )
-        rep = blocks.repartition(F.col("bucket"))
-
-        def _flag_blocks(batches):
-            ids_parts, hs_parts = [], []
-            for pdf in batches:
-                for ib, hb in zip(pdf["ids_blob"], pdf["hs_blob"]):
-                    ids_parts.append(np.frombuffer(ib, dtype=np.int64))
-                    hs_parts.append(np.frombuffer(hb, dtype=np.int32))
-            if not ids_parts:
-                return
-            yield from _dup_ngram_count(
-                np.concatenate(ids_parts),
-                np.concatenate(hs_parts).astype(np.int64),
-                md,
-                id_col,
-            )
-
-        flagged = rep.mapInPandas(
-            _flag_blocks, f"{id_col} {id_type}, __n long, __ndup long"
+    def _flag(batches):
+        ids_parts, hs_parts = [], []
+        for pdf in batches:
+            if len(pdf):
+                ids_parts.append(pdf[id_col].to_numpy())
+                hs_parts.append(pdf["h"].to_numpy(dtype=np.int64))
+        if not ids_parts:
+            return
+        yield from _dup_ngram_count(
+            np.concatenate(ids_parts), np.concatenate(hs_parts), md, id_col
         )
 
+    flagged = rep.mapInPandas(_flag, f"{id_col} {id_type}, __n long, __ndup long")
     agg = flagged.groupBy(id_col).agg(
         F.sum("__n").alias("n_shingles"),
         F.sum("__ndup").alias("__ndup"),

@@ -447,12 +447,7 @@ def test_dup_ngram_stats_known_fractions(spark):
         assert got[1]["n_shingles"] == 2 and got[1]["dup_fraction"] == 1.0
         assert got[2]["dup_fraction"] == 1.0
         assert got[3]["dup_fraction"] == 0.0 and got[3]["n_shingles"] == 3
-        # bucket count changes block granularity only, never values
-        got_b = {r["doc_id"]: r for r in dup_ngram_stats(df, n_buckets=3).collect()}
-        assert {k: tuple(v) for k, v in got_b.items()} == {
-            k: tuple(v) for k, v in got.items()
-        }
-    # string ids take the row-exchange fallback — same values
+    # string ids exercise the generic id-type path — same values
     rows_s = [(str(i), t) for i, t in rows]
     df_s = spark.createDataFrame(rows_s, "doc_id string, text string")
     got_s = {r["doc_id"]: r for r in dup_ngram_stats(df_s).collect()}

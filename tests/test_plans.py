@@ -320,14 +320,15 @@ def test_q74_pii_scrub_is_map_only(spark):
 
 def test_q75_one_pass_no_join(spark):
     """dup_ngram_stats is ONE consumption of the shingle stream: an
-    Arrow shingle pass packing per-(batch, bucket) binary blocks, ONE
-    exchange on bucket (wide blob rows, not one row per shingle
-    instance), a partition-local counting Arrow stage emitting per-doc
-    partials, and a slim doc_id agg. History: checkpoint+groupBy+join
-    re-evaluated the checkpoint (296 s at the 266M-shingle rung) →
-    one-pass row exchange (107 s) → blocked exchange (see BASELINE.md).
-    Ratchet: exactly 2 Python stages, exactly 1 corpus scan, shuffle
-    keys only {bucket, doc_id}, no join operator at all."""
+    Arrow shingle pass, ONE exchange on h, a partition-local counting
+    Arrow stage emitting per-doc partials, and a slim doc_id agg. The
+    previous checkpoint+groupBy+join shape re-evaluated the lazy
+    checkpoint when one job held both consumers (296 s at the 266M-
+    shingle rung; one-pass shape: 107 s; a round-9 blocked-exchange
+    experiment measured SLOWER, 139.1 vs 125.8 same-session — this
+    shape is the measured floor, see the operator docstring). Ratchet:
+    exactly 2 Python stages, exactly 1 corpus scan, shuffle keys only
+    {h, doc_id}, no join operator at all."""
     import re
 
     from strat_backtest_spark.plans.catalog import CATALOG
@@ -338,7 +339,7 @@ def test_q75_one_pass_no_join(spark):
     assert p.count("Scan parquet  (") == 1, "corpus must be scanned once"
     assert "Join" not in p, "the frequency join is back"
     keys = set(re.findall(r"hashpartitioning\((\w+)", p))
-    assert keys <= {"bucket", "doc_id"}, f"unexpected shuffle keys: {keys}"
+    assert keys <= {"h", "doc_id"}, f"unexpected shuffle keys: {keys}"
 
 
 def test_q77_line_text_never_shuffles(spark):

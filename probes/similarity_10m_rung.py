@@ -67,6 +67,35 @@ def build_corpus(spark, replicas: int, corpus_dir: str) -> float:
         .write.mode("overwrite")
         .parquet(f"{corpus_dir}/embeddings.parquet")
     )
+    # planted ground truth: 10 tight clones (sigma=0.001, cos~0.99997)
+    # per query vector, ids >= 10*n_base*replicas. The family jitter
+    # (sigma=0.05 on unit-norm bases) makes family pairs cos~0.9285 —
+    # there, single-table LSH recall is THEORY-bounded at
+    # (1-theta/pi)^planes (~0.13 at 16 planes), so recall-vs-family
+    # measures the corpus, not the index. The clones are the clearly-
+    # nearest cluster the index SHOULD find; exact top-10 = the clones.
+    # clone the CORPUS query rows (their sigma=0.05 jitter included),
+    # not the raw bases — a base-built clone would sit at cos~0.93
+    # from its query, indistinguishable from the family noise
+    qpdf = (
+        spark.read.parquet(f"{corpus_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") < 100)
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    qm = np.stack(qpdf["embedding"].to_numpy()).astype(np.float64)
+    rng = np.random.default_rng(99)
+    rows = []
+    nid = 10 * n_base * replicas
+    for qi, qv in zip(qpdf["vec_id"], qm):
+        for _ in range(10):
+            rows.append((int(nid), (qv + rng.normal(0, 0.001, qv.shape)).astype(np.float32)))
+            nid += 1
+    spark.createDataFrame(
+        pd.DataFrame({"vec_id": [r[0] for r in rows],
+                      "embedding": [r[1] for r in rows]}),
+        "vec_id long, embedding array<float>",
+    ).coalesce(1).write.mode("append").parquet(f"{corpus_dir}/embeddings.parquet")
     return time.time() - t0
 
 
@@ -110,14 +139,19 @@ def main() -> None:
             emb, threshold=0.9, n_planes=n_planes, n_tables=3, max_bucket=2000
         ),
     )
-    t = time.time()
-    rec = ann_recall(emb, queries, k=10, n_planes=n_planes).agg(
-        F.avg("recall").alias("mean_recall")
-    ).collect()[0]["mean_recall"]
-    out["ann_recall_s"] = round(time.time() - t, 1)
-    out["mean_recall_at_10"] = round(float(rec), 4)
-    print(json.dumps({"recall": out["mean_recall_at_10"],
-                      "recall_s": out["ann_recall_s"]}), file=sys.stderr, flush=True)
+    # recall at BOTH plane counts: more planes = more buckets (needed
+    # for the rerank cap) but also more sign-bit flips between true
+    # near neighbors — the q88 harness is how the trade is measured
+    for planes in (n_planes, 12):
+        t = time.time()
+        rec = ann_recall(emb, queries, k=10, n_planes=planes).agg(
+            F.avg("recall").alias("mean_recall")
+        ).collect()[0]["mean_recall"]
+        out[f"ann_recall_{planes}p_s"] = round(time.time() - t, 1)
+        out[f"mean_recall_at_10_{planes}p"] = round(float(rec), 4)
+        print(json.dumps({f"recall_{planes}p": out[f"mean_recall_at_10_{planes}p"],
+                          "s": out[f"ann_recall_{planes}p_s"]}),
+              file=sys.stderr, flush=True)
 
     shutil.rmtree(corpus_dir, ignore_errors=True)
     print(json.dumps(out))

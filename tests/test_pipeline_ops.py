@@ -1486,3 +1486,19 @@ def test_real_decoder_png_and_wav(spark):
 
     with pytest.raises(NotImplementedError):
         real_decoder(b"\xff\xd8\xff\xe0 fake jpeg", "image")
+
+
+def test_chunked_replay_empty_input_raises(spark):
+    """ADVICE r8: an empty static input must fail loudly (and clean
+    up its replay dir), not crash with max() of an empty dict."""
+    import glob
+
+    import pytest
+
+    from strat_backtest_spark.streaming.documents_stream import _chunked_replay
+
+    empty = spark.range(0).selectExpr("id AS doc_id", "'x' AS text")
+    before = set(glob.glob("/tmp/docs_replay_*"))
+    with pytest.raises(ValueError, match="no parquet files"):
+        _chunked_replay(spark, empty, n_chunks=3)
+    assert set(glob.glob("/tmp/docs_replay_*")) == before, "replay dir leaked"

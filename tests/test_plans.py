@@ -505,3 +505,21 @@ def test_streaming_simhash_upstream_map_only(spark):
     sp = _formatted(simhash_claim_verdicts(stream, bits=32, bands=4))
     assert sp.count("Exchange (") == 1, "claim stage must shuffle exactly once"
     assert "hashpartitioning(band" in sp
+
+
+def test_q92_substring_dedup_plan_shape(spark):
+    """substring_dedup: document text is scanned twice (occurrence
+    stage + reassembly join-back) but never fans out per-shingle —
+    wide stages carry only (id, pos, h) ints and the per-doc start
+    arrays; exactly 2 Python stages; shuffle keys limited to
+    {h, doc_id}; the only join is the final doc-keyed left join."""
+    import re
+
+    from strat_backtest_spark.plans.catalog import CATALOG
+
+    p = _formatted(CATALOG["q92_substring_dedup"].fn(spark, SF_MED))
+    assert p.count("MapInPandas (") == 2, "q92 gained/lost a Python stage"
+    keys = set(re.findall(r"hashpartitioning\((\w+)", p))
+    assert keys <= {"h", "doc_id"}, f"unexpected shuffle keys: {keys}"
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert p.count("Scan parquet  (") == 2, "corpus scan count changed"

@@ -36,7 +36,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The correctness sweep evaluates at most ~50 catalog entries in
 # registration order, so entries past the window never get a gate row.
-# The catalog (73 entries) is larger than the window; rotate which
+# The catalog (92 entries) is larger than the window; rotate which
 # entries sit past it. Rotation policy (codified round 8):
 #   1. EVERY entry whose implementation (or a consumed operator)
 #      changed this round stays IN the window.

@@ -129,6 +129,13 @@ def main() -> None:
               file=sys.stderr, flush=True)
 
     run("ann_topk", lambda: ann_topk(emb, queries, k=10, n_planes=n_planes))
+    # the mega-bucket mitigation: deterministic per-bucket cap
+    run(
+        "ann_topk_capped",
+        lambda: ann_topk(
+            emb, queries, k=10, n_planes=n_planes, max_bucket=2000
+        ),
+    )
     t = time.time()
     cents = train_centroids_kmeans(emb, n_centroids=1024, sample_fraction=0.01)
     out["kmeans_train_s"] = round(time.time() - t, 1)

@@ -85,6 +85,49 @@ def main() -> None:
     run("dup_ngram", CATALOG["q75_dup_ngram_fraction"].fn(spark, corpus_dir))
     run("substring_dedup", CATALOG["q92_substring_dedup"].fn(spark, corpus_dir))
     shutil.rmtree(corpus_dir, ignore_errors=True)
+
+    # sparse-density companion for q92: the family corpus is the
+    # ADVERSARIAL regime (members share nearly all 6-grams, banned
+    # occurrences ~ the whole stream). Real curation corpora are
+    # boilerplate-sparse; build one (every word replaced by a
+    # (doc, replica)-unique token -> no organic cross-doc 6-grams;
+    # only q92's own 1-in-2 injected template is duplicated) and time
+    # the same catalog entry.
+    sparse_dir = f"/tmp/docs_textops_sparse_{replicas}x"
+    t0 = time.time()
+    base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    rep = base.crossJoin(
+        spark.range(replicas).withColumnRenamed("id", "r")
+    )
+    words = F.split(F.col("text"), r"\s+")
+    uniq_tok = lambda i: F.concat(  # noqa: E731
+        F.lit("u"),
+        (F.col("doc_id") + F.col("r") * 5000).cast("string"),
+        F.lit("x"),
+        i.cast("string"),
+    )
+    new_text = F.array_join(F.transform(words, lambda w, i: uniq_tok(i)), " ")
+    (
+        rep.select(
+            (F.col("doc_id") + F.col("r") * 5000).alias("doc_id"),
+            new_text.alias("text"),
+            "lang",
+            "source",
+            F.length(new_text).cast("long").alias("n_chars"),
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{sparse_dir}/documents.parquet")
+    )
+    out["sparse_corpus_build_s"] = round(time.time() - t0, 1)
+    t0 = time.time()
+    CATALOG["q92_substring_dedup"].fn(spark, sparse_dir).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    out["substring_dedup_sparse_s"] = round(time.time() - t0, 1)
+    print(json.dumps({"substring_dedup_sparse": out["substring_dedup_sparse_s"]}),
+          file=sys.stderr, flush=True)
+    shutil.rmtree(sparse_dir, ignore_errors=True)
     print(json.dumps(out))
     spark.stop()
 

@@ -293,18 +293,43 @@ def ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_chunk_rows: int | None = 200_000,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: exact cosine ranking restricted to the
     query's LSH bucket. The candidate structure is a bucket-key
     cogroup — at scale, with the corpus written bucket-partitioned,
     this prunes to one partition per query. ``max_chunk_rows`` bounds
     what one degenerate bucket can materialize per executor (see
-    ``_bucket_rerank_pairs``); results are chunking-invariant."""
+    ``_bucket_rerank_pairs``); results are chunking-invariant.
+
+    ``max_bucket`` bounds the rerank WORK a mega-bucket can cost (the
+    10M-vector rung: a mass-duplicate corpus concentrates millions of
+    vectors over a few thousand natural sign patterns, and the exact
+    in-bucket rerank measured 177.5 s for 100 queries — memory-safe
+    via chunking, but linear in bucket size). When set, each bucket
+    keeps its ``max_bucket`` corpus rows with the smallest
+    ``(xxhash64(id), id)`` — a deterministic uniform sample of the
+    bucket. That is the RIGHT semantics for the regime that produces
+    mega-buckets: bucket-mates are an ε-ball of near-duplicates whose
+    cosine differences are noise, so any members serve as neighbors;
+    but it is lossy for genuinely diverse overfull buckets (raise
+    n_planes first — and near-dup the corpus before indexing, which is
+    what the curation operators are for). None (default) keeps the
+    exact-in-bucket contract; q31's gate pins that path."""
     cb = hyperplane_lsh_buckets(corpus, n_planes, dim, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         "bucket",
     )
+    if max_bucket is not None:
+        wc = Window.partitionBy("bucket").orderBy(
+            F.xxhash64("neighbor_id").asc(), F.col("neighbor_id").asc()
+        )
+        cb = (
+            cb.withColumn("__bn", F.row_number().over(wc))
+            .filter(F.col("__bn") <= int(max_bucket))
+            .drop("__bn")
+        )
     qb = hyperplane_lsh_buckets(queries, n_planes, dim, id_col, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),

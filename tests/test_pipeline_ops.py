@@ -1488,17 +1488,20 @@ def test_real_decoder_png_and_wav(spark):
         real_decoder(b"\xff\xd8\xff\xe0 fake jpeg", "image")
 
 
-def test_chunked_replay_empty_input_raises(spark):
-    """ADVICE r8: an empty static input must fail loudly (and clean
-    up its replay dir), not crash with max() of an empty dict."""
-    import glob
-
-    import pytest
+def test_chunked_replay_empty_input(spark):
+    """ADVICE r8 flagged max() over an empty counts dict. On this
+    Spark, writing an empty chunk still emits schema-only part files,
+    so an empty corpus replays as a valid zero-row stream (the raise
+    guard stays as a backstop for writers that emit nothing). Pin the
+    benign path: no crash, drainable, zero rows."""
+    import shutil
 
     from strat_backtest_spark.streaming.documents_stream import _chunked_replay
+    from strat_backtest_spark.streaming.events_stream import _drain_to_parquet
 
     empty = spark.range(0).selectExpr("id AS doc_id", "'x' AS text")
-    before = set(glob.glob("/tmp/docs_replay_*"))
-    with pytest.raises(ValueError, match="no parquet files"):
-        _chunked_replay(spark, empty, n_chunks=3)
-    assert set(glob.glob("/tmp/docs_replay_*")) == before, "replay dir leaked"
+    stream, replay_dir = _chunked_replay(spark, empty, n_chunks=3)
+    try:
+        assert _drain_to_parquet(stream, spark, "append").count() == 0
+    finally:
+        shutil.rmtree(replay_dir, ignore_errors=True)

@@ -258,3 +258,53 @@ def test_zero_norm_nan_policy_uniform(spark):
         assert all(r["query_id"] != 99 for r in got)
         assert all(not np.isnan(r["cos_sim"]) for r in got)
         assert any(r["query_id"] == 0 for r in got)  # normal queries still served
+
+
+def test_ann_topk_bucket_cap(spark):
+    """max_bucket bounds rerank work per bucket: with a mega-bucket of
+    near-identical vectors, the capped run still returns k neighbors
+    per query (uniform ε-ball sample), is deterministic, and on a
+    corpus with no overfull bucket it equals the uncapped run."""
+    import numpy as np
+
+    from strat_backtest_spark.operators.similarity import ann_topk
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=64)
+    # 400 near-identical vectors -> one (or few) mega buckets
+    rows = [
+        (i, (base + rng.normal(0, 0.001, 64)).astype("float32").tolist())
+        for i in range(400)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = corpus.filter("vec_id < 3")
+
+    capped = ann_topk(corpus, queries, k=5, n_planes=6, max_bucket=50)
+    got = capped.collect()
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert set(per_q) == {0, 1, 2}
+    assert all(len(v) == 5 for v in per_q.values())
+    # deterministic: identical output on a re-run
+    again = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ann_topk(corpus, queries, k=5, n_planes=6, max_bucket=50).collect()
+    }
+    assert {(r["query_id"], r["rank"]): r["neighbor_id"] for r in got} == again
+
+    # no-overfull-bucket corpus: capped == uncapped exactly
+    div_rows = [
+        (i, rng.normal(size=64).astype("float32").tolist()) for i in range(300)
+    ]
+    div = spark.createDataFrame(div_rows, "vec_id long, embedding array<float>")
+    dq = div.filter("vec_id < 3")
+    a = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in ann_topk(div, dq, k=5, n_planes=6, max_bucket=10_000).collect()
+    )
+    b = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in ann_topk(div, dq, k=5, n_planes=6).collect()
+    )
+    assert a == b

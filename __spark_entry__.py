@@ -61,14 +61,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # quota-admission stage extraction, replay empty-input guard, argmin
 # bucket claim), q50 (multimodal.py gained the real PNG/WAV decoders;
 # the catalog path uses the fake decoder but the file changed), and
-# three conservative keepers co-resident in operators/dedup.py with
-# this round's edits (q21 exact dedup, q56 connected components,
-# q77 line dedup — their functions have zero r9 diffs, but rule 1 is
-# applied at file granularity when the file changed). q38 (also
-# multimodal) is in the mandatory 41 already. Head is exactly 50;
-# the tail is the remaining 42 entries, every one all-true in
-# CORRECTNESS_r08 and untouched this round (at most 1 round stale
-# when the tail was formed — rule 3 satisfied with no exceptions).
+# the similarity family touched by the probed-bucket prune and
+# ann_topk's max_bucket cap (q31 ann_topk, q51 ivf_topk, q88
+# ann_recall — which composes both). q38 (also multimodal) is in the
+# mandatory 41 already. The dedup.py co-residents q21/q56/q77 take
+# the freed tail slots: their own functions (exact_dedup,
+# connected_components, line_dedup) have ZERO r9 diffs — dedup.py's
+# r9 changes are confined to dup_ngram_stats, _py_shingle_occurrences,
+# and the new substring_dedup (verifiable: git diff ba23cc1..HEAD --
+# strat_backtest_spark/operators/dedup.py) — the r8 kernel-family
+# precedent applied at function granularity. Head is exactly 50; the
+# tail is 42 entries, every one all-true in CORRECTNESS_r08 and
+# function-level untouched this round (at most 1 round stale when the
+# tail was formed — rule 3 satisfied with no exceptions).
 _SWEEP_TAIL = [
     "q03_top_customers",          # all-true r08, untouched r9
     "q05_status_totals",          # all-true r08, untouched r9
@@ -84,10 +89,11 @@ _SWEEP_TAIL = [
     "q20_json_props",             # all-true r08, untouched r9
     "q26_token_counts",           # all-true r08, untouched r9
     "q30_cosine_topk",            # all-true r08, untouched r9
-    "q31_ann_lsh_topk",           # all-true r08, untouched r9
+    "q21_dedup_exact",            # all-true r08; exact_dedup has zero r9 diffs
+    "q56_dedup_components",       # all-true r08; connected_components zero r9 diffs
+    "q77_line_dedup",             # all-true r08; line_dedup zero r9 diffs
     "q44_common_stock_mentions",  # all-true r08, untouched r9
     "q47_embedding_neardup",      # all-true r08, untouched r9
-    "q51_ivf_topk",               # all-true r08, untouched r9
     "q54_stratified_sample",      # all-true r08, untouched r9
     "q55_curation_pipeline",      # all-true r08, untouched r9
     "q57_kmv_distinct_users",     # all-true r08, untouched r9
@@ -110,7 +116,6 @@ _SWEEP_TAIL = [
     "q85_quota_sample",           # all-true r08, untouched r9
     "q86_ngram_topk",             # all-true r08, untouched r9
     "q87_bigram_logprob",         # all-true r08, untouched r9
-    "q88_ann_recall",             # all-true r08, untouched r9
     "q89_profile_columns",        # all-true r08, untouched r9
 ]
 

@@ -321,7 +321,23 @@ def ann_topk(
         F.col(vec_col).alias("cvec"),
         "bucket",
     )
+    qb = hyperplane_lsh_buckets(queries, n_planes, dim, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        "bucket",
+    )
+    # queries ≪ corpus (the family's standing contract), so the query
+    # bucket set is tiny: broadcast-semi-join it into the corpus side
+    # BEFORE the cogroup. Without this, every corpus vector crosses
+    # the cogroup exchange and the Arrow boundary only for its group
+    # to be discarded against an empty query side — measured 168 s at
+    # the 10M rung for 100 queries; the probed-bucket prune is what
+    # makes the rerank cost track |query buckets|, not |corpus|.
+    # Value-identical: pruned rows share no bucket with any query.
+    cb = cb.join(F.broadcast(qb.select("bucket").distinct()), "bucket", "left_semi")
     if max_bucket is not None:
+        # after the prune, so the sample window sorts only the probed
+        # buckets; prune-then-cap ≡ cap-then-prune (cap is per-bucket)
         wc = Window.partitionBy("bucket").orderBy(
             F.xxhash64("neighbor_id").asc(), F.col("neighbor_id").asc()
         )
@@ -330,11 +346,6 @@ def ann_topk(
             .filter(F.col("__bn") <= int(max_bucket))
             .drop("__bn")
         )
-    qb = hyperplane_lsh_buckets(queries, n_planes, dim, id_col, vec_col).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
-        "bucket",
-    )
     id_type = corpus.schema[id_col].dataType.simpleString()
     scored = _bucket_rerank_pairs(
         cb, qb, "bucket", id_type, n_chunks=_derive_chunks(corpus, max_chunk_rows)
@@ -589,6 +600,10 @@ def ivf_topk(
         F.col(vec_col).alias("qvec"),
         "probe",
     )
+    # prune un-probed inverted lists before the cogroup (same
+    # queries ≪ corpus rationale as ann_topk's bucket prune): only
+    # vectors in some query's nprobe lists cross the exchange
+    cb = cb.join(F.broadcast(qb.select("probe").distinct()), "probe", "left_semi")
     id_type = corpus.schema[id_col].dataType.simpleString()
     scored = _bucket_rerank_pairs(
         cb, qb, "probe", id_type, n_chunks=_derive_chunks(corpus, max_chunk_rows)

@@ -523,3 +523,17 @@ def test_q92_substring_dedup_plan_shape(spark):
     assert keys <= {"h", "doc_id"}, f"unexpected shuffle keys: {keys}"
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
     assert p.count("Scan parquet  (") == 2, "corpus scan count changed"
+
+
+def test_q31_ann_prunes_unprobed_buckets(spark):
+    """ann_topk must semi-join the (broadcast, tiny) query-bucket set
+    into the corpus side BEFORE the cogroup — without it, every corpus
+    vector crosses the cogroup exchange and the Arrow boundary to meet
+    an empty query side (measured 13x at the 10M rung). Ratchet: a
+    broadcast LeftSemi on bucket below the FlatMapCoGroups node."""
+    from strat_backtest_spark.plans.catalog import CATALOG
+
+    p = _formatted(CATALOG["q31_ann_lsh_topk"].fn(spark, SF_MED))
+    assert "FlatMapCoGroupsInPandas" in p
+    assert "LeftSemi" in p, "probed-bucket prune missing"
+    assert "BroadcastExchange" in p, "bucket-set side must broadcast"

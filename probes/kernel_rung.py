@@ -39,23 +39,28 @@ def main() -> None:
            "events": 100_000 * replicas}
     corpus = f"/tmp/kernel_rung_{replicas}x"
 
-    t0 = time.time()
-    ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
-    rep = ev.crossJoin(spark.range(replicas).withColumnRenamed("id", "r"))
-    (
-        rep.select(
-            (F.col("event_id") + F.col("r") * 1_000_000_000).alias("event_id"),
-            "ts",
-            (F.col("user_id") + F.col("r") * 100_000).alias("user_id"),
-            "event_type",
-            (F.col("value") * (1 + 0.003 * F.col("r"))).alias("value"),
-            "props",
+    import os
+
+    if "--reuse" in sys.argv and os.path.exists(f"{corpus}/events.parquet"):
+        out["corpus_build_s"] = 0.0
+    else:
+        t0 = time.time()
+        ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+        rep = ev.crossJoin(spark.range(replicas).withColumnRenamed("id", "r"))
+        (
+            rep.select(
+                (F.col("event_id") + F.col("r") * 1_000_000_000).alias("event_id"),
+                "ts",
+                (F.col("user_id") + F.col("r") * 100_000).alias("user_id"),
+                "event_type",
+                (F.col("value") * (1 + 0.003 * F.col("r"))).alias("value"),
+                "props",
+            )
+            .repartition(64)
+            .write.mode("overwrite")
+            .parquet(f"{corpus}/events.parquet")
         )
-        .repartition(64)
-        .write.mode("overwrite")
-        .parquet(f"{corpus}/events.parquet")
-    )
-    out["corpus_build_s"] = round(time.time() - t0, 1)
+        out["corpus_build_s"] = round(time.time() - t0, 1)
 
     from strat_backtest_spark.plans.catalog import CATALOG
 
@@ -77,8 +82,13 @@ def main() -> None:
         from tests.oracle_utils import compare
 
         # the rung corpus holds only events; the kernel oracles need
-        # nothing else, so register just that view
+        # nothing else, so register just that view. Spill + memory
+        # settings: the q72 stop-loss recursion OOM'd DuckDB's default
+        # allocation budget at 33.4M rows (the recursion's order-table
+        # working set), so give it an explicit limit and a temp dir.
         con = duckdb.connect()
+        con.execute("SET memory_limit='100GB'")
+        con.execute("SET temp_directory='/tmp/duck_spill'")
         con.execute(
             "CREATE VIEW events AS SELECT * FROM "
             f"read_parquet('{corpus}/events.parquet/*.parquet')"
@@ -89,20 +99,25 @@ def main() -> None:
             ("q72_stoploss_networth", "q72"),
         ]:
             t = time.time()
-            res = compare(
-                CATALOG[name].fn(spark, corpus),
-                con,
-                CATALOG[name].oracle_for(corpus),
-                name,
-            )
-            out[key + "_oracle_ok"] = bool(res["ok"])
+            try:
+                res = compare(
+                    CATALOG[name].fn(spark, corpus),
+                    con,
+                    CATALOG[name].oracle_for(corpus),
+                    name,
+                )
+                out[key + "_oracle_ok"] = bool(res["ok"])
+            except Exception as exc:  # noqa: BLE001 — record, keep going
+                out[key + "_oracle_ok"] = None
+                out[key + "_oracle_err"] = f"{type(exc).__name__}: {exc}"[:200]
             out[key + "_oracle_s"] = round(time.time() - t, 1)
-            print(json.dumps({key + "_oracle": res["ok"],
+            print(json.dumps({key + "_oracle": out[key + "_oracle_ok"],
                               "s": out[key + "_oracle_s"],
-                              "detail": res.get("detail", "")[:200]}),
+                              "err": out.get(key + "_oracle_err", "")}),
                   file=sys.stderr, flush=True)
 
-    shutil.rmtree(corpus, ignore_errors=True)
+    if "--keep" not in sys.argv:
+        shutil.rmtree(corpus, ignore_errors=True)
     print(json.dumps(out))
     spark.stop()
 

@@ -1246,8 +1246,10 @@ def substring_dedup(
     line boundaries or carries per-document suffixes — injected
     templates, license headers with serial numbers — because newline is
     just whitespace to the tokenizer. Returns the input schema with
-    ``text_col`` rewritten to the space-joined surviving tokens
-    (whitespace-normalized by construction) plus (n_tokens, n_removed).
+    ``text_col`` rewritten plus (n_tokens, n_removed): UNTOUCHED docs
+    pass through byte-identical (original whitespace preserved); docs
+    that lost tokens come back as the space-joined survivors
+    (whitespace-normalized on the rewritten docs only).
 
     Beyond-reference operator (the pandas reference has no curation
     surface); the suffix-array formulation of the paper is inherently
@@ -1332,13 +1334,31 @@ def substring_dedup(
     covered = F.array_distinct(
         F.flatten(F.transform("__starts", lambda s: F.sequence(s, s + (n - 1))))
     )
-    keep = F.filter(
-        toks, lambda t, i: F.coalesce(~F.array_contains(covered, i), F.lit(True))
-    )
+    # kept indices via ONE hash-based array_except — O(tokens+covered)
+    # per doc; the first cut's per-token array_contains filter was
+    # O(tokens x covered) interpreted, a real cost at boilerplate
+    # density. array_except preserves left-operand order.
+    idx = F.when(
+        F.size(toks) > 0, F.sequence(F.lit(0), F.size(toks) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    kept_idx = F.array_except(idx, covered)
+    clean = F.col("__starts").isNull()
     others = [c for c in df.columns if c != text_col]
     return out.select(
         *others,
         F.size(toks).cast("long").alias("n_tokens"),
-        (F.size(toks) - F.size(keep)).cast("long").alias("n_removed"),
-        F.array_join(keep, " ").alias(text_col),
+        F.when(clean, F.lit(0).cast("long"))
+        .otherwise((F.size(toks) - F.size(kept_idx)).cast("long"))
+        .alias("n_removed"),
+        # untouched docs PASS THROUGH byte-identical (original
+        # whitespace preserved — the property a curation pipeline
+        # wants); only docs that lost tokens are re-joined with
+        # single spaces
+        F.when(clean, F.col(text_col))
+        .otherwise(
+            F.array_join(
+                F.transform(kept_idx, lambda j: F.element_at(toks, j + 1)), " "
+            )
+        )
+        .alias(text_col),
     )

@@ -1604,11 +1604,12 @@ def _q92_shingle6_sql() -> str:
       LEFT JOIN cov ON ti.doc_id = cov.doc_id AND ti.j = cov.j
       GROUP BY ti.doc_id
     )
-    SELECT d.doc_id,
+    SELECT a.doc_id,
            coalesce(f.n_tokens, 0)::BIGINT AS n_tokens,
            coalesce(f.n_removed, 0)::BIGINT AS n_removed,
-           md5(coalesce(f.kept, '')) AS kept_hash
-    FROM documents d LEFT JOIN fin f ON d.doc_id = f.doc_id
+           md5(CASE WHEN coalesce(f.n_removed, 0) = 0
+                    THEN a.text ELSE f.kept END) AS kept_hash
+    FROM aug a LEFT JOIN fin f ON a.doc_id = f.doc_id
     """,
 )
 def q92_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

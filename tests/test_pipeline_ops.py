@@ -1368,8 +1368,15 @@ def test_substring_dedup_edges(spark):
     out = {r["doc_id"]: r for r in substring_dedup(docs, n=6, min_docs=2).collect()}
     assert out[1]["n_tokens"] == 2 and out[1]["n_removed"] == 0
     assert out[1]["text"] == "tiny doc"
-    assert out[2]["n_tokens"] == 0 and out[2]["text"] == ""
+    assert out[2]["n_tokens"] == 0 and out[2]["text"] is None  # passthrough
     assert out[3]["n_removed"] == 0  # same doc twice != two docs
+    assert out[3]["text"] == rep + " " + rep  # untouched -> byte-identical
+    # untouched docs keep ORIGINAL whitespace (no silent normalization)
+    ws = spark.createDataFrame(
+        [(7, "keep\tmy   tabs\nand runs")], "doc_id long, text string"
+    )
+    got = substring_dedup(ws, n=6, min_docs=2).collect()[0]
+    assert got["text"] == "keep\tmy   tabs\nand runs" and got["n_tokens"] == 5
 
 
 def _make_png(img, filters):

@@ -537,3 +537,14 @@ def test_q31_ann_prunes_unprobed_buckets(spark):
     assert "FlatMapCoGroupsInPandas" in p
     assert "LeftSemi" in p, "probed-bucket prune missing"
     assert "BroadcastExchange" in p, "bucket-set side must broadcast"
+
+
+def test_q51_ivf_prunes_unprobed_lists(spark):
+    """ivf_topk mirrors q31's prune: only vectors in some query's
+    nprobe inverted lists may cross the cogroup exchange."""
+    from strat_backtest_spark.plans.catalog import CATALOG
+
+    p = _formatted(CATALOG["q51_ivf_topk"].fn(spark, SF_MED))
+    assert "FlatMapCoGroupsInPandas" in p
+    assert "LeftSemi" in p, "probed-list prune missing"
+    assert "BroadcastExchange" in p

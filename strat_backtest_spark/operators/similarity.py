@@ -580,6 +580,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_chunk_rows: int | None = 200_000,
+    max_list: int | None = None,
 ) -> DataFrame:
     """IVF-flat ANN: coarse-quantize the corpus into inverted lists,
     probe the query's ``nprobe`` nearest lists, exact cosine rerank
@@ -589,7 +590,19 @@ def ivf_topk(
     The codebook here is caller-supplied; ``train_centroids_kmeans``
     learns one (better recall), while any deterministic seed set (e.g.
     the first K corpus vectors) keeps the whole structure reproducible
-    across engines — the plan shape is identical either way."""
+    across engines — the plan shape is identical either way.
+
+    ``max_list`` mirrors ``ann_topk``'s ``max_bucket`` (the r9 10M-vec
+    rung: family-of-5 near-dup corpora concentrate millions of vectors
+    in a few inverted lists, and rerank cost — 39-98 s of host-variant
+    BLAS over mega-lists — is linear in list size). When set, each
+    PROBED list keeps its ``max_list`` corpus rows with the smallest
+    ``(xxhash64(id), id)`` — a deterministic uniform sample of the
+    list. Right semantics for the mega-list regime (list-mates are
+    near-duplicates; any members serve as neighbors), lossy for
+    genuinely diverse overfull lists — grow the codebook first, and
+    near-dup the corpus before indexing. None (default) keeps the
+    exact-in-list contract; q51's gate pins that path."""
     cb = ivf_assign(corpus, centroids, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
@@ -604,6 +617,17 @@ def ivf_topk(
     # queries ≪ corpus rationale as ann_topk's bucket prune): only
     # vectors in some query's nprobe lists cross the exchange
     cb = cb.join(F.broadcast(qb.select("probe").distinct()), "probe", "left_semi")
+    if max_list is not None:
+        # after the prune, so the sample window sorts only probed
+        # lists; prune-then-cap ≡ cap-then-prune (cap is per-list)
+        wl = Window.partitionBy("probe").orderBy(
+            F.xxhash64("neighbor_id").asc(), F.col("neighbor_id").asc()
+        )
+        cb = (
+            cb.withColumn("__ln", F.row_number().over(wl))
+            .filter(F.col("__ln") <= int(max_list))
+            .drop("__ln")
+        )
     id_type = corpus.schema[id_col].dataType.simpleString()
     scored = _bucket_rerank_pairs(
         cb, qb, "probe", id_type, n_chunks=_derive_chunks(corpus, max_chunk_rows)

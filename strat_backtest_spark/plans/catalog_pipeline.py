@@ -1646,3 +1646,171 @@ def q92_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_removed",
         F.md5(F.col("text").cast("binary")).alias("kept_hash"),
     )
+
+
+@query(
+    "q93_incremental_dedup",
+    oracle=_minhash_sigs_cte()
+    + """
+    , banded AS (
+      SELECT doc_id, b.band,
+             CASE b.band
+               WHEN 0 THEN sig_0::VARCHAR || '_' || sig_1::VARCHAR
+               WHEN 1 THEN sig_2::VARCHAR || '_' || sig_3::VARCHAR
+               WHEN 2 THEN sig_4::VARCHAR || '_' || sig_5::VARCHAR
+               ELSE        sig_6::VARCHAR || '_' || sig_7::VARCHAR
+             END AS band_key
+      FROM sigs, (SELECT unnest(range(4)) AS band) b
+      WHERE sig_0 IS NOT NULL
+    ),
+    ex AS (SELECT doc_id, md5(text) AS h FROM documents WHERE text IS NOT NULL),
+    exact_dup AS (
+      SELECT DISTINCT a.doc_id
+      FROM ex a JOIN ex b ON a.h = b.h
+      WHERE a.doc_id % 2 = 1 AND (b.doc_id % 2 = 0 OR b.doc_id < a.doc_id)
+    ),
+    near_dup AS (
+      SELECT DISTINCT a.doc_id
+      FROM banded a JOIN banded b USING (band, band_key)
+      WHERE a.doc_id % 2 = 1 AND (b.doc_id % 2 = 0 OR b.doc_id < a.doc_id)
+    )
+    SELECT d.doc_id,
+           CASE WHEN e.doc_id IS NOT NULL THEN 'dup_exact'
+                WHEN nr.doc_id IS NOT NULL THEN 'dup_near'
+                ELSE 'kept' END AS verdict
+    FROM documents d
+    LEFT JOIN exact_dup e ON d.doc_id = e.doc_id
+    LEFT JOIN near_dup nr ON d.doc_id = nr.doc_id
+    WHERE d.doc_id % 2 = 1
+    """,
+)
+def q93_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against a PERSISTED index — the open-world
+    operator the batch entries (q21/q23/q68) lack: even doc_ids stand
+    in for yesterday's curated corpus (their band buckets + digests are
+    written once to a parquet index), odd doc_ids are today's crawl,
+    and each delta doc gets a verdict (dup_exact / dup_near / kept)
+    from index probes + within-delta priority — signatures are
+    computed for the DELTA ONLY. The index write at construction time
+    is the operator's contract (the decontaminate precedent for eager
+    stages); the oracle mirrors the priority semantics exactly
+    (operators/dedup.dedup_incremental)."""
+    import hashlib as _hl
+
+    from strat_backtest_spark.operators.dedup import (
+        dedup_incremental,
+        dedup_index_write,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    index_docs = docs.filter(F.col("doc_id") % 2 == 0)
+    delta = docs.filter(F.col("doc_id") % 2 == 1)
+    path = "/tmp/spark_graft_q93_index_" + _hl.md5(sf_dir.encode()).hexdigest()[:10]
+    dedup_index_write(index_docs, path)
+    return dedup_incremental(spark, delta, path)
+
+
+def _q94_oracle(sf_dir: str) -> str:
+    """Expected dHash per doc, recomputed INDEPENDENTLY of the engine
+    path (direct pixel formula → exact-block pooling → gradient bits —
+    no PNG encode/decode round trip, no shared pooling code), pinned
+    as a VALUES table; banding + Hamming pairing mirror the Spark join
+    in SQL. A q94 hash match therefore proves encode → real PNG decode
+    → pool → hash lands on the pure-math fixture value."""
+    import duckdb
+    import numpy as np
+
+    ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM '{sf_dir}/documents.parquet' ORDER BY doc_id"
+        ).fetchall()
+    ]
+
+    def _pix(seed: int) -> "np.ndarray":
+        y, x = np.mgrid[0:24, 0:18]
+        v = (
+            np.uint64(seed) * np.uint64(1_000_003)
+            + y.astype(np.uint64) * np.uint64(8_191)
+            + x.astype(np.uint64) * np.uint64(131)
+        )
+        v = (v * np.uint64(2_654_435_761)) & np.uint64(0xFFFFFFFF)
+        v ^= v >> np.uint64(15)
+        return ((v >> np.uint64(8)) & np.uint64(0xFF)).astype(np.int64)
+
+    def _dh(pix: "np.ndarray") -> int:
+        # 24x18 splits exactly into an 8x9 grid of 3x2 blocks
+        pooled = pix.reshape(8, 3, 9, 2).sum(axis=(1, 3))
+        bits = pooled[:, :-1] > pooled[:, 1:]
+        v = 0
+        for i, b in enumerate(bits.ravel().tolist()):
+            if b:
+                v |= 1 << i
+        return v - (1 << 64) if v >= 1 << 63 else v
+
+    memo: dict[int, int] = {}
+    rows = []
+    for d in ids:
+        s = d // 2
+        if s not in memo:
+            memo[s] = _dh(_pix(s))
+        rows.append(f"({d}, {memo[s]}::BIGINT)")
+    values = ", ".join(rows)
+    return f"""
+    WITH ph(doc_id, phash) AS (VALUES {values}),
+    banded AS (
+      SELECT doc_id, phash, j.band, (phash >> (j.band * 8)) & 255 AS band_val
+      FROM ph, (SELECT unnest(range(8)) AS band) j
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.phash, b.phash)) AS hamming
+    FROM banded a JOIN banded b USING (band, band_val)
+    WHERE a.doc_id < b.doc_id
+      AND bit_count(xor(a.phash, b.phash)) <= 4
+    """
+
+
+@query("q94_image_neardup", oracle_builder=_q94_oracle)
+def q94_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup: synthesize one PNG per document
+    (pixels keyed by doc_id // 2, so consecutive ids are
+    pixel-identical but RE-ENCODED with a different filter + zlib
+    level — byte-different payloads exact dedup cannot pair), decode
+    through the REAL pure-zlib PNG path, dHash the pixels, and band
+    the 64-bit hashes through the generic banded-Hamming join
+    (operators/multimodal.perceptual_hash +
+    operators/dedup.hash_neardup_pairs). Payload bytes never shuffle —
+    only (id, long) rows ride the exchange."""
+    import pandas as pd
+
+    from strat_backtest_spark.operators.dedup import hash_neardup_pairs
+    from strat_backtest_spark.operators.multimodal import (
+        encode_png,
+        perceptual_hash,
+        real_decoder,
+        synthetic_pixels,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def _ingest(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            payloads = [
+                encode_png(
+                    synthetic_pixels(i // 2),
+                    *((0, 9) if i % 2 == 0 else (2, 1)),
+                )
+                for i in ids
+            ]
+            yield pd.DataFrame(
+                {"doc_id": ids, "media_type": "image", "payload": payloads}
+            )
+
+    media = docs.mapInPandas(
+        _ingest, "doc_id long, media_type string, payload binary"
+    )
+    hashed = perceptual_hash(media, real_decoder)
+    return hash_neardup_pairs(
+        hashed, "phash", bits=64, bands=8, max_hamming=4, max_bucket_size=2000
+    )

@@ -1512,3 +1512,204 @@ def test_chunked_replay_empty_input(spark):
         assert _drain_to_parquet(stream, spark, "append").count() == 0
     finally:
         shutil.rmtree(replay_dir, ignore_errors=True)
+
+
+def test_dedup_incremental_index_only_dup_dropped(spark, tmp_path):
+    """A delta doc whose only duplicate lives in the INDEX must drop —
+    the property that distinguishes incremental dedup from the
+    closed-world batch entries (which would keep it: nothing inside
+    the delta collides with it)."""
+    from strat_backtest_spark.operators.dedup import (
+        dedup_incremental,
+        dedup_index_write,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    idx_docs = spark.createDataFrame(
+        [(0, base), (2, "completely different historical content " * 3)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "idx")
+    dedup_index_write(idx_docs, path)
+
+    delta = spark.createDataFrame(
+        [
+            (101, base),  # exact dup of index doc 0 only
+            (103, base + " lambda"),  # near dup of index doc 0 only
+            (105, "fresh unrelated delta text with enough tokens here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["verdict"] for r in dedup_incremental(spark, delta, path).collect()}
+    assert got == {101: "dup_exact", 103: "dup_near", 105: "kept"}
+
+
+def test_dedup_incremental_equals_batch_priority(spark, tmp_path):
+    """The q93 oracle's spine as a property: split a corpus by id,
+    build the index from the low half, run incremental over the high
+    half — the verdicts must equal an empty-index incremental run over
+    the WHOLE corpus (the batch priority dedup), restricted to the
+    delta. Uses the real documents table so shingle/banding behavior
+    is exercised on organic text."""
+    from pyspark.sql import functions as F
+
+    from strat_backtest_spark.operators.dedup import (
+        dedup_incremental,
+        dedup_index_write,
+    )
+    from strat_backtest_spark.plans.catalog import _t
+
+    docs = _t(spark, SF_SMALL, "documents").select("doc_id", "text")
+    split = 250
+    idx_docs = docs.filter(F.col("doc_id") < split)
+    delta = docs.filter(F.col("doc_id") >= split)
+
+    p_idx = str(tmp_path / "half_idx")
+    dedup_index_write(idx_docs, p_idx)
+    inc = {
+        r["doc_id"]: r["verdict"]
+        for r in dedup_incremental(spark, delta, p_idx).collect()
+    }
+
+    p_empty = str(tmp_path / "empty_idx")
+    dedup_index_write(docs.filter(F.lit(False)), p_empty)
+    batch = {
+        r["doc_id"]: r["verdict"]
+        for r in dedup_incremental(spark, docs, p_empty).collect()
+        if r["doc_id"] >= split
+    }
+    assert inc == batch
+    assert set(inc.values()) >= {"kept"}, "degenerate fixture: nothing kept"
+
+
+def test_dedup_index_append_closes_the_loop(spark, tmp_path):
+    """Survivor append: after registering day-1 survivors, a day-2 doc
+    duplicating a day-1 SURVIVOR drops, while a day-2 doc duplicating
+    only a day-1 DROPPED doc (whose content the index covers via its
+    canonical) still drops through the canonical's bands — and fresh
+    content is kept."""
+    from strat_backtest_spark.operators.dedup import (
+        dedup_incremental,
+        dedup_index_append,
+        dedup_index_write,
+    )
+
+    path = str(tmp_path / "rolling")
+    seed = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    dedup_index_write(seed, path)
+
+    day1 = spark.createDataFrame(
+        [
+            (10, "brand new survivor content alpha beta gamma delta epsilon"),
+            (11, "the quick brown fox jumps over the lazy dog today"),  # dropped
+        ],
+        "doc_id long, text string",
+    )
+    v1 = dedup_incremental(spark, day1, path)
+    got1 = {r["doc_id"]: r["verdict"] for r in v1.collect()}
+    assert got1 == {10: "kept", 11: "dup_exact"}
+    dedup_index_append(day1, v1, path)
+
+    day2 = spark.createDataFrame(
+        [
+            (20, "brand new survivor content alpha beta gamma delta epsilon"),
+            (21, "totally novel second day text with sufficient tokens inside"),
+        ],
+        "doc_id long, text string",
+    )
+    got2 = {
+        r["doc_id"]: r["verdict"]
+        for r in dedup_incremental(spark, day2, path).collect()
+    }
+    assert got2 == {20: "dup_exact", 21: "kept"}
+
+
+def test_perceptual_hash_pairs_reencoded_image(spark):
+    """Re-encode robustness (VERDICT r9 #3's unit): the same pixels
+    encoded with a different PNG row filter AND zlib level are
+    byte-DIFFERENT payloads (exact dedup can't pair them) but
+    dHash-identical — hash_neardup_pairs emits the pair at Hamming 0.
+    A visually distinct image pairs with neither."""
+    import pandas as pd
+
+    from strat_backtest_spark.operators.dedup import hash_neardup_pairs
+    from strat_backtest_spark.operators.multimodal import (
+        encode_png,
+        perceptual_hash,
+        real_decoder,
+        synthetic_pixels,
+    )
+
+    img = synthetic_pixels(7)
+    other = synthetic_pixels(99)
+    p_a, p_b = encode_png(img, 0, 9), encode_png(img, 2, 1)
+    assert p_a != p_b, "re-encodes should differ at byte level"
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "media_type": ["image"] * 3,
+                "payload": [p_a, p_b, encode_png(other, 1, 6)],
+            }
+        )
+    )
+    hashed = perceptual_hash(media, real_decoder)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hash_neardup_pairs(hashed, max_hamming=4).collect()
+    }
+    assert pairs.get((1, 2)) == 0, f"re-encoded pair missing: {pairs}"
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_decode_png_bounds_untrusted_payloads():
+    """ADVICE r9: a huge-IHDR or oversized-inflate payload must fail
+    BEFORE allocating; sub-filter rows round-trip through the
+    vectorized prefix-sum path."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from strat_backtest_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+        synthetic_pixels,
+    )
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d))
+            + t
+            + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    bomb = (
+        sig
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1 << 20, 1 << 20, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 64))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="outside decoder bounds"):
+        decode_png(bomb)
+
+    tail = (
+        sig
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 100_000))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="size mismatch"):
+        decode_png(tail)
+
+    img = synthetic_pixels(3)
+    rgba = np.dstack([img, img[::-1], img, img])
+    for arr in (img, np.dstack([img, img, img]), rgba):
+        for rf in (0, 1, 2):
+            assert np.array_equal(decode_png(encode_png(arr, rf)), arr)

@@ -548,3 +548,25 @@ def test_q51_ivf_prunes_unprobed_lists(spark):
     assert "FlatMapCoGroupsInPandas" in p
     assert "LeftSemi" in p, "probed-list prune missing"
     assert "BroadcastExchange" in p
+
+
+def test_ivf_max_list_cap_plan_shape(spark):
+    """The per-list cap must sit AFTER the un-probed-list prune (the
+    window sorts only probed lists) and stay a per-list row_number —
+    no global sort, no extra exchange beyond the window's
+    hashpartitioning(probe)."""
+    from pyspark.sql import functions as F
+
+    from strat_backtest_spark.operators.similarity import ivf_topk
+    from strat_backtest_spark.plans.catalog import _t
+
+    emb = _t(spark, SF_MED, "embeddings")
+    codebook = [(i, [1.0 if d == i else 0.1 for d in range(64)]) for i in range(4)]
+    q = emb.filter(F.col("vec_id") < 3)
+    p = _formatted(
+        ivf_topk(emb, q, codebook, k=5, nprobe=2, max_chunk_rows=None, max_list=100)
+    )
+    assert "FlatMapCoGroupsInPandas" in p
+    assert "LeftSemi" in p, "probed-list prune missing"
+    assert p.count("Sort (") >= 1 and "row_number" in p, "per-list cap window missing"
+    assert "Exchange rangepartitioning" not in p, "cap must not global-sort"

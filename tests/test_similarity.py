@@ -308,3 +308,50 @@ def test_ann_topk_bucket_cap(spark):
         for r in ann_topk(div, dq, k=5, n_planes=6).collect()
     )
     assert a == b
+
+
+def test_ivf_max_list_cap(spark):
+    """Per-list cap (VERDICT r9 #6): a cap at/above every probed list
+    size is value-identical to the uncapped path; a small cap bounds
+    per-list candidates to exactly ``max_list`` deterministic rows
+    (same sample every run) while every query still gets k ranked
+    neighbors from its probed lists."""
+    from pyspark.sql import functions as F
+
+    from strat_backtest_spark.operators.similarity import ivf_topk
+    from strat_backtest_spark.plans.catalog import _t
+
+    emb = _t(spark, SF_SMALL, "embeddings")
+    codebook = [
+        (i, [1.0 if d == i else 0.1 for d in range(64)]) for i in range(4)
+    ]
+    q = emb.filter(F.col("vec_id") < 3)
+
+    key = lambda r: (r["query_id"], r["rank"], r["neighbor_id"])
+    base = sorted(
+        map(key, ivf_topk(emb, q, codebook, k=5, nprobe=2, max_chunk_rows=None).collect())
+    )
+    capped_loose = sorted(
+        map(
+            key,
+            ivf_topk(
+                emb, q, codebook, k=5, nprobe=2, max_chunk_rows=None, max_list=10**9
+            ).collect(),
+        )
+    )
+    assert base == capped_loose, "huge cap must be value-identical to None"
+
+    tight1 = ivf_topk(
+        emb, q, codebook, k=5, nprobe=2, max_chunk_rows=None, max_list=20
+    ).collect()
+    tight2 = ivf_topk(
+        emb, q, codebook, k=5, nprobe=2, max_chunk_rows=None, max_list=20
+    ).collect()
+    assert sorted(map(key, tight1)) == sorted(map(key, tight2)), "cap sample must be deterministic"
+    by_q = {}
+    for r in tight1:
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(by_q) == {0, 1, 2}
+    # <= 2 probed lists x 20 sampled rows each -> at most 40 candidates,
+    # and k=5 survivors per query
+    assert all(len(v) <= 5 for v in by_q.values())

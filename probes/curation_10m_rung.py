@@ -79,19 +79,46 @@ def main() -> None:
     new_text = F.concat(
         F.array_join(jittered, " "), F.lit(" u"), F.col("j").cast("string")
     )
+    # TWO-STAGE select (round-10 fix): jitter FIRST with doc_id still
+    # bound to the base id, re-key SECOND. Putting both in one select
+    # hits a Spark resolution quirk — an outer column reference inside
+    # a HIGHER-ORDER-FUNCTION lambda (fam_tok's doc_id inside
+    # F.transform) resolves against the select's OWN output alias
+    # (the NEW doc_id), unlike plain expressions, which resolve
+    # against the input (verified both ways on this pyspark: plain
+    # ref → input, HOF-lambda ref → output). The one-select original
+    # therefore keyed fam tokens by the FINAL doc_id — doc-unique
+    # tokens, NO true families; the r8 10M rows' 35.5M "pairs" were
+    # modular f-token collisions (f-space is 99,991 values), not the
+    # documented family-of-5 structure. The build-time assertion below
+    # pins the corpus property so this class of trap cannot recur
+    # silently.
+    staged = rep.select(
+        "doc_id", "r", "j", "lang", "source", new_text.alias("text")
+    )
     (
-        rep.select(
+        staged.select(
             (F.col("doc_id") + F.col("r") * n_base).alias("doc_id"),
-            new_text.alias("text"),
+            "text",
             "lang",
             "source",
-            F.length(new_text).cast("long").alias("n_chars"),
+            F.length("text").cast("long").alias("n_chars"),
         )
         .repartition(64)
         .write.mode("overwrite")
         .parquet(f"{corpus_dir}/documents.parquet")
     )
     out["corpus_build_s"] = round(time.time() - t0, 1)
+
+    # corpus-property assertion: members 0 and 3 of base doc 7's first
+    # family must be equal except the 3-char " u<j>" suffix
+    chk = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{corpus_dir}/documents.parquet")
+        .filter(F.col("doc_id").isin(7, 7 + 3 * n_base))
+        .collect()
+    }
+    assert chk[7][:-3] == chk[7 + 3 * n_base][:-3], "family construction broken"
 
     from strat_backtest_spark.plans.catalog import CATALOG
 

@@ -1,0 +1,149 @@
+"""Incremental-dedup rung (q93 at scale): a persisted index of ~6M
+docs probed by a multi-million-doc delta — the claim under test is
+that incremental cost tracks the DELTA, not the index.
+
+Corpus: the curation family-of-5 construction (see
+curation_10m_rung.py — bounded families, expanding vocabulary), split
+by family MEMBER: members j in {0,1,2} of every family form the INDEX
+("yesterday's corpus", 60%), members j in {3,4} the DELTA ("today's
+crawl", 40%). Every delta doc therefore has 3 genuine near-duplicates
+in the index (same family) — the verdict distribution exercises the
+index-probe path, not just within-delta priority. j is recoverable
+from doc_id ((doc_id // 5000) % 5), so sub-deltas slice cleanly.
+
+Phases (all walls engine-only, noop-write forced):
+  index_build   — dedup_index_write over the index docs: the ONE-time
+                  signature cost the incremental contract amortizes;
+  inc_full      — dedup_incremental(delta=j∈{3,4}) vs the index;
+  inc_half      — dedup_incremental(delta=j==3 only): half the delta
+                  against the SAME index — if cost tracks the delta,
+                  wall ≈ half of inc_full's;
+  batch_anchor  — minhash_band_rows over index ∪ delta (the signature
+                  recompute a closed-world batch run pays EVERY day).
+
+Verdict counts are collected (3 rows) for the full delta. Corpus and
+index are deleted after. Prints one JSON line.
+
+    python probes/incremental_dedup_rung.py [REPLICAS]
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+
+from strat_backtest_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
+    spark = get_spark(cpus=32)
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    n_base = 5000
+    out = {"replicas": replicas, "docs": n_base * replicas}
+
+    corpus_dir = f"/tmp/incdedup_rung_{replicas}x"
+    index_dir = f"{corpus_dir}/index"
+    t0 = time.time()
+    base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    rep = base.crossJoin(
+        spark.range(replicas).withColumnRenamed("id", "r")
+    ).select(
+        "doc_id",
+        "text",
+        "r",
+        (F.col("r") / 5).cast("long").alias("g"),
+        (F.col("r") % 5).alias("j"),
+    )
+    words = F.split(F.col("text"), r"\s+")
+    fam_tok = lambda i: F.concat(
+        F.lit("f"),
+        ((F.col("doc_id") * 37 + F.col("g") * 101 + i * 13) % 99991).cast("string"),
+    )
+    jittered = F.transform(
+        words, lambda w, i: F.when(i % 2 == 1, fam_tok(i)).otherwise(w)
+    )
+    new_text = F.concat(
+        F.array_join(jittered, " "), F.lit(" u"), F.col("j").cast("string")
+    )
+    # two-stage select: jitter while doc_id is still the BASE id, then
+    # re-key — HOF-lambda outer refs resolve against a same-select
+    # output alias (the curation_10m_rung.py trap note)
+    staged = rep.select("doc_id", "r", "j", new_text.alias("text"))
+    (
+        staged.select(
+            (F.col("doc_id") + F.col("r") * n_base).alias("doc_id"),
+            "text",
+        )
+        .repartition(64)
+        .write.mode("overwrite")
+        .parquet(f"{corpus_dir}/documents.parquet")
+    )
+    out["corpus_build_s"] = round(time.time() - t0, 1)
+
+    chk = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{corpus_dir}/documents.parquet")
+        .filter(F.col("doc_id").isin(7, 7 + 3 * n_base))
+        .collect()
+    }
+    assert chk[7][:-3] == chk[7 + 3 * n_base][:-3], "family construction broken"
+
+    from strat_backtest_spark.operators.dedup import (
+        dedup_incremental,
+        dedup_index_write,
+        minhash_band_rows,
+    )
+
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    member = (F.col("doc_id") / n_base).cast("long") % 5
+    index_docs = docs.filter(member < 3)
+    delta_full = docs.filter(member >= 3)
+    delta_half = docs.filter(member == 3)
+
+    t = time.time()
+    dedup_index_write(index_docs, index_dir)
+    out["index_build_s"] = round(time.time() - t, 1)
+    out["index_docs"] = index_docs.count()
+    print(json.dumps({"index_build": out["index_build_s"],
+                      "index_docs": out["index_docs"]}),
+          file=sys.stderr, flush=True)
+
+    for key, delta in [("inc_full", delta_full), ("inc_half", delta_half)]:
+        t = time.time()
+        dedup_incremental(spark, delta, index_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        out[key + "_s"] = round(time.time() - t, 1)
+        print(json.dumps({key: out[key + "_s"]}), file=sys.stderr, flush=True)
+    out["delta_full_docs"] = delta_full.count()
+    out["delta_half_docs"] = delta_half.count()
+
+    verdicts = (
+        dedup_incremental(spark, delta_full, index_dir)
+        .groupBy("verdict")
+        .count()
+        .collect()
+    )
+    out["verdicts"] = {r["verdict"]: r["count"] for r in verdicts}
+
+    t = time.time()
+    minhash_band_rows(docs).write.format("noop").mode("overwrite").save()
+    out["batch_anchor_s"] = round(time.time() - t, 1)
+    print(json.dumps({"batch_anchor": out["batch_anchor_s"],
+                      "verdicts": out["verdicts"]}),
+          file=sys.stderr, flush=True)
+
+    shutil.rmtree(corpus_dir, ignore_errors=True)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

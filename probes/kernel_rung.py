@@ -13,7 +13,18 @@ so compare shapes, not absolutes). Then each entry's oracle SQL is
 built for the corpus dir and hash-compared via the gate's own
 comparator. Corpus deleted after. Prints one JSON line.
 
-    python probes/kernel_rung.py [REPLICAS] [--no-oracle]
+    python probes/kernel_rung.py [REPLICAS] [--no-oracle] [--only qNN]
+        [--shard-q72 N]
+
+``--shard-q72 N`` closes the r9 comparator boundary: DuckDB's q72
+order-table recursion OOMs between 10M and 15M events (the recursion's
+working set cannot spill), but the simulation is per-ticker
+independent, so the oracle is run N times over disjoint ticker shards
+(``user_id % N = i`` pushed into the events VIEW itself — a WHERE on
+the recursive CTE's output would not shrink the working set) against
+the engine result filtered to the same shard, each shard through the
+gate's own comparator; the receipt is the AND of the shard verdicts.
+``--only`` restricts the timing+oracle loop to one entry.
 """
 
 from __future__ import annotations
@@ -33,6 +44,12 @@ from strat_backtest_spark.session import get_spark  # noqa: E402
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 334
     do_oracle = "--no-oracle" not in sys.argv
+    only = sys.argv[sys.argv.index("--only") + 1] if "--only" in sys.argv else None
+    shard_q72 = (
+        int(sys.argv[sys.argv.index("--shard-q72") + 1])
+        if "--shard-q72" in sys.argv
+        else 0
+    )
     spark = get_spark(cpus=32)
     spark.conf.set("spark.sql.shuffle.partitions", "64")
     out = {"replicas": replicas, "tickers": 1500 * replicas,
@@ -64,11 +81,15 @@ def main() -> None:
 
     from strat_backtest_spark.plans.catalog import CATALOG
 
-    for name, key in [
+    entries = [
         ("q40_backtest_networth", "q40"),
         ("q41_grid_search", "q41"),
         ("q72_stoploss_networth", "q72"),
-    ]:
+    ]
+    if only:
+        entries = [(n, k) for n, k in entries if k == only]
+
+    for name, key in entries:
         t = time.time()
         CATALOG[name].fn(spark, corpus).write.format("noop").mode(
             "overwrite"
@@ -93,11 +114,49 @@ def main() -> None:
             "CREATE VIEW events AS SELECT * FROM "
             f"read_parquet('{corpus}/events.parquet/*.parquet')"
         )
-        for name, key in [
-            ("q40_backtest_networth", "q40"),
-            ("q41_grid_search", "q41"),
-            ("q72_stoploss_networth", "q72"),
-        ]:
+        for name, key in entries:
+            if key == "q72" and shard_q72 > 1:
+                # per-ticker-shard oracle runs: shrink the RECURSION's
+                # working set by filtering the view, not the output
+                shard_ok, shard_s = [], []
+                for i in range(shard_q72):
+                    ts = time.time()
+                    scon = duckdb.connect()  # fresh budget per shard
+                    scon.execute("SET memory_limit='100GB'")
+                    scon.execute("SET temp_directory='/tmp/duck_spill'")
+                    scon.execute(
+                        "CREATE VIEW events AS SELECT * FROM "
+                        f"read_parquet('{corpus}/events.parquet/*.parquet') "
+                        f"WHERE user_id % {shard_q72} = {i}"
+                    )
+                    eng = CATALOG[name].fn(spark, corpus).filter(
+                        F.pmod(F.col("ticker").cast("long"), F.lit(shard_q72))
+                        == i
+                    )
+                    try:
+                        res = compare(
+                            eng, scon, CATALOG[name].oracle_for(corpus), name
+                        )
+                        shard_ok.append(bool(res["ok"]))
+                        if not res["ok"]:
+                            out[f"q72_shard{i}_detail"] = res["detail"][:200]
+                    except Exception as exc:  # noqa: BLE001
+                        shard_ok.append(None)
+                        out[f"q72_shard{i}_err"] = f"{type(exc).__name__}: {exc}"[:200]
+                    finally:
+                        scon.close()
+                    shard_s.append(round(time.time() - ts, 1))
+                    print(
+                        json.dumps({"q72_shard": i, "ok": shard_ok[-1],
+                                    "s": shard_s[-1]}),
+                        file=sys.stderr, flush=True,
+                    )
+                out["q72_oracle_ok"] = all(v is True for v in shard_ok)
+                out["q72_oracle_shards"] = shard_q72
+                out["q72_oracle_shard_ok"] = shard_ok
+                out["q72_oracle_s"] = round(sum(shard_s), 1)
+                out["q72_oracle_shard_s"] = shard_s
+                continue
             t = time.time()
             try:
                 res = compare(

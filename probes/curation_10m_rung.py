@@ -69,9 +69,22 @@ def main() -> None:
         (F.col("r") % 5).alias("j"),
     )
     words = F.split(F.col("text"), r"\s+")
+    # HASHED family tokens (round-10 upgrade): the original arithmetic
+    # generator ((37d + 101g + 13i) % 99991) put every family's token
+    # sequence on the same step-13 progression, so any (d1,g1)/(d2,g2)
+    # with 37Δd + 101Δg ≡ 13k (mod 99991) produced SHIFTED-identical
+    # token runs — with the small base vocabulary those windows really
+    # match, and cross-family near-dup pairs grew with the square of
+    # the family count (measured: 181.8M pairs at 20M docs vs the 40M
+    # true family pairs; survivors merged below the family count). A
+    # per-(d, g, i) hash has no shift structure: families are exactly
+    # the 5-member construction plus the base corpus's own planted
+    # dups.
     fam_tok = lambda i: F.concat(
         F.lit("f"),
-        ((F.col("doc_id") * 37 + F.col("g") * 101 + i * 13) % 99991).cast("string"),
+        F.pmod(F.xxhash64(F.col("doc_id"), F.col("g"), i), F.lit(99991)).cast(
+            "string"
+        ),
     )
     jittered = F.transform(
         words, lambda w, i: F.when(i % 2 == 1, fam_tok(i)).otherwise(w)

@@ -62,9 +62,13 @@ def main() -> None:
         (F.col("r") % 5).alias("j"),
     )
     words = F.split(F.col("text"), r"\s+")
+    # hashed family tokens — no cross-family shift collisions (see the
+    # generator note in curation_10m_rung.py)
     fam_tok = lambda i: F.concat(
         F.lit("f"),
-        ((F.col("doc_id") * 37 + F.col("g") * 101 + i * 13) % 99991).cast("string"),
+        F.pmod(F.xxhash64(F.col("doc_id"), F.col("g"), i), F.lit(99991)).cast(
+            "string"
+        ),
     )
     jittered = F.transform(
         words, lambda w, i: F.when(i % 2 == 1, fam_tok(i)).otherwise(w)

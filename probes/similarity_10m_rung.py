@@ -15,7 +15,16 @@ nprobe=8 scans ~78k vecs/query) at 10M, codebook trained on a 1%
 sample. Recall is spot-checked with the q88 harness at the same
 plane count. Prints one JSON line.
 
-    python probes/similarity_10m_rung.py [REPLICAS]
+    python probes/similarity_10m_rung.py [REPLICAS] [--ivf-only RUNS]
+
+``--ivf-only RUNS`` is the round-10 variance-pinning mode (VERDICT r9
+#6: ivf walls spread 39.4-98.5 s across same-day runs at 10M — family
+mega-lists make probed-list rerank the cost and the host regime the
+variance): build the corpus + codebook once, then run ivf_topk RUNS
+times UNCAPPED and RUNS times with the new ``max_list`` per-list cap,
+reporting each wall and the capped-vs-uncapped (query, neighbor)
+overlap so the cap's recall cost on THIS corpus is measured, not
+assumed.
 """
 
 from __future__ import annotations
@@ -127,6 +136,38 @@ def main() -> None:
         out[key + "_s"] = round(time.time() - t, 1)
         print(json.dumps({key: out[key + "_s"], "rows": n}),
               file=sys.stderr, flush=True)
+
+    if "--ivf-only" in sys.argv:
+        runs = int(sys.argv[sys.argv.index("--ivf-only") + 1])
+        t = time.time()
+        cents = train_centroids_kmeans(emb, n_centroids=1024, sample_fraction=0.01)
+        out["kmeans_train_s"] = round(time.time() - t, 1)
+        pairs = {}
+        for label, max_list in [("uncapped", None), ("capped", 20_000)]:
+            walls = []
+            for i in range(runs):
+                t = time.time()
+                res = ivf_topk(
+                    emb, queries, cents, k=10, nprobe=8, max_list=max_list
+                )
+                got = {
+                    (r["query_id"], r["neighbor_id"]) for r in res.collect()
+                }
+                walls.append(round(time.time() - t, 1))
+                print(json.dumps({f"ivf_{label}_run{i}": walls[-1],
+                                  "rows": len(got)}),
+                      file=sys.stderr, flush=True)
+            pairs[label] = got
+            out[f"ivf_{label}_s"] = walls
+            out[f"ivf_{label}_rows"] = len(got)
+        inter = len(pairs["capped"] & pairs["uncapped"])
+        out["capped_vs_uncapped_overlap"] = round(
+            inter / max(1, len(pairs["uncapped"])), 4
+        )
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+        print(json.dumps(out))
+        spark.stop()
+        return
 
     run("ann_topk", lambda: ann_topk(emb, queries, k=10, n_planes=n_planes))
     # the mega-bucket mitigation: deterministic per-bucket cap

@@ -54,22 +54,28 @@ def entry(spark: SparkSession) -> DataFrame:
 # (rule 3: after r10 no entry's latest green row is older than r9),
 # joined by the entries new or touched this round: q93 (NEW
 # incremental dedup vs persisted index), q94 (NEW perceptual-hash
-# image near-dup), q51 (ivf_topk gained the max_list per-list cap),
+# image near-dup), q95 (NEW audio-fingerprint near-dup — the WAV
+# twin of q94, late-round addition that took the head slot q92
+# vacated), q51 (ivf_topk gained the max_list per-list cap),
 # q38/q50 (multimodal.py: decode_png inflate bound + vectorized sub
 # filter per ADVICE r9, plus the new encode_png/dhash/perceptual_hash
-# functions — catalog paths use the fake decoder, kept in-window per
-# the r9 precedent for co-resident file changes), and q22/q23/q92
-# (dedup.py co-residents of the new q93/q94 functions; their own
-# functions have ZERO r10 diffs — dedup.py's r10 changes are strictly
-# APPENDED new functions: minhash_band_rows, dedup_index_write/
-# append, dedup_incremental, hash_neardup_pairs — verifiable via
+# and encode_wav/audio_fingerprint functions — catalog paths use the
+# fake decoder, kept in-window per the r9 precedent for co-resident
+# file changes), and q22/q23 (dedup.py co-residents of the new
+# q93/q94/q95 functions; their own functions have ZERO r10 diffs —
+# dedup.py's r10 changes are strictly APPENDED new functions:
+# minhash_band_rows, dedup_index_write/append, dedup_incremental,
+# hash_neardup_pairs — verifiable via
 # git diff cf01838..HEAD -- strat_backtest_spark/operators/dedup.py —
 # but they take the spare head slots as the most conservative
-# choice). Head is exactly 50; the tail is 44 entries, every one
-# all-true in CORRECTNESS_r09 and function-level untouched this
-# round (at most 1 round stale when the tail was formed — rule 3
-# satisfied with no exceptions).
+# choice; q92, the third such co-resident, moved to the tail when
+# q95 needed its slot — its substring_dedup functions are untouched
+# and it is all-true r09, so rule 3 holds). Head is exactly 50; the
+# tail is 45 entries, every one all-true in CORRECTNESS_r09 and
+# function-level untouched this round (at most 1 round stale when
+# the tail was formed — rule 3 satisfied with no exceptions).
 _SWEEP_TAIL = [
+    "q92_substring_dedup",        # all-true r09; substring fns zero r10 diffs
     "q01_pricing_summary",        # all-true r09, untouched r10
     "q02_regional_revenue",       # all-true r09, untouched r10
     "q04_orders_with_bigticket_items",  # all-true r09, untouched r10

@@ -9,13 +9,15 @@ Design for 100 TB of mixed media:
 - every per-item transform goes through ``mapInPandas`` so payloads
   cross the Python boundary in Arrow record batches, never row-at-a-
   time;
-- REAL codecs (PIL/ffmpeg/librosa) are not available in this
-  environment, so decoding is STUBBED: ``deterministic_fake_decoder``
-  produces a reproducible array from the payload bytes (tests and the
-  q38 catalog entry run against it), and ``real_decoder`` raises
-  ``NotImplementedError`` marking exactly where a codec slots in. The
-  Spark-side plumbing — schema, batching, partition behavior, UDF
-  signatures — is real and tested either way.
+- the decoder slot takes any ``(payload, media_type) -> ndarray``
+  callable: ``real_decoder`` handles the two containers decodable
+  without external libraries (PNG via pure zlib+numpy, WAV via stdlib
+  ``wave``) and raises ``NotImplementedError`` for formats that need
+  an injected codec (PIL/ffmpeg/librosa — same contract);
+  ``deterministic_fake_decoder`` remains the reproducible stand-in
+  the q38/q50 catalog oracles pin. The Spark-side plumbing — schema,
+  batching, partition behavior, UDF signatures — is identical either
+  way.
 """
 
 from __future__ import annotations
@@ -404,3 +406,131 @@ def synthetic_pixels(seed: int, h: int = 24, w: int = 18) -> np.ndarray:
     v = (v * np.uint64(2_654_435_761)) & np.uint64(0xFFFFFFFF)
     v ^= v >> np.uint64(15)
     return ((v >> np.uint64(8)) & np.uint64(0xFF)).astype(np.uint8)
+
+
+def encode_wav(
+    samples: np.ndarray, sampwidth: int = 2, framerate: int = 8_000
+) -> bytes:
+    """Minimal stdlib WAV/PCM encoder — the ingest-side twin of
+    ``decode_wav``. Quantization is pinned so oracles can replicate it
+    in pure math: 16-bit writes ``round(x * 32767)`` clipped to int16,
+    8-bit writes ``round(x * 127) + 128`` clipped to uint8 (np.round =
+    round-half-to-even, deterministic). Two encodes of the SAME
+    waveform at different sample widths (or amplitude scales) are
+    byte-different payloads that byte-level dedup cannot pair but an
+    envelope fingerprint (q95) can."""
+    import io
+    import wave
+
+    x = np.asarray(samples, dtype=np.float32)
+    if sampwidth == 2:
+        q = np.clip(np.round(x * 32767.0), -32768, 32767).astype("<i2")
+    elif sampwidth == 1:
+        q = (np.clip(np.round(x * 127.0), -128, 127) + 128).astype(np.uint8)
+    else:
+        raise NotImplementedError(f"WAV sample width {sampwidth} unsupported")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(sampwidth)
+        wf.setframerate(framerate)
+        wf.writeframes(q.tobytes())
+    return buf.getvalue()
+
+
+def audio_fingerprint_bits(
+    samples: np.ndarray, grid_h: int = 8, grid_w: int = 8
+) -> int:
+    """Envelope-gradient audio fingerprint: split the waveform into
+    ``grid_h * (grid_w + 1)`` consecutive frames, take each frame's
+    L1 energy (sum of |x|), and emit one bit per adjacent-frame pair —
+    bit (r*grid_w + c) set iff frame (r, c) is strictly louder than
+    frame (r, c+1). The Haitsma–Kalker band-energy-difference idea
+    collapsed to the time envelope, which is what's computable
+    exactly: ``decode_wav`` normalizes by powers of two, so decoded
+    float32 samples are exact dyadic rationals and float64 energy sums
+    of <= 2^26 scaled units are EXACT — comparisons are bit-
+    reproducible on any platform and the q95 oracle can pin them.
+    Invariant under global amplitude scaling (both sides of each
+    comparison scale together); re-quantization (16-bit -> 8-bit)
+    perturbs energies by <= half a quantization step per sample, so
+    re-encoded audio lands within a few bits, not zero — pair it with
+    ``hash_neardup_pairs(max_hamming=...)``, not exact equality.
+
+    Unequal frame lengths (when n is not divisible by the frame
+    count) compare via count-cross-multiplied sums, mirroring
+    ``dhash_bits``."""
+    a = np.abs(np.asarray(samples, dtype=np.float64).ravel())
+    nf = grid_h * (grid_w + 1)
+    n = a.size
+    if n < nf:
+        raise ValueError(f"waveform of {n} samples shorter than {nf} frames")
+    fi = (np.arange(n) * nf) // n
+    energy = np.zeros(nf, dtype=np.float64)
+    np.add.at(energy, fi, a)
+    cnt = np.bincount(fi, minlength=nf).astype(np.float64)
+    e = energy.reshape(grid_h, grid_w + 1)
+    c = cnt.reshape(grid_h, grid_w + 1)
+    bits = e[:, :-1] * c[:, 1:] > e[:, 1:] * c[:, :-1]
+    v = 0
+    for i, b in enumerate(bits.ravel().tolist()):
+        if b:
+            v |= 1 << i
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+def audio_fingerprint(
+    media: DataFrame,
+    decoder: Optional[Decoder] = None,
+    grid_h: int = 8,
+    grid_w: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, afp) per media row: decode the payload (Arrow-batched) and
+    fingerprint the waveform envelope. Map-only — payloads never
+    shuffle; compose with ``operators.dedup.hash_neardup_pairs`` for
+    audio near-dup (q95): the same recording re-encoded at a different
+    bit depth or volume fingerprints within a few Hamming bits."""
+    dec = decoder or real_decoder
+    gh, gw = int(grid_h), int(grid_w)
+    id_type = media.schema[id_col].dataType.simpleString()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fps = [
+                audio_fingerprint_bits(dec(bytes(p), m), gh, gw)
+                for p, m in zip(pdf["payload"], pdf["media_type"])
+            ]
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "afp": np.array(fps, dtype=np.int64)}
+            )
+
+    return media.select(id_col, "media_type", "payload").mapInPandas(
+        run, f"{id_col} {id_type}, afp long"
+    )
+
+
+def synthetic_waveform(
+    seed: int, n_frames: int = 72, frame_len: int = 16
+) -> np.ndarray:
+    """Deterministic test waveform for a given seed: a fixed sawtooth
+    carrier amplitude-modulated per frame by the same integer hash-mix
+    ``synthetic_pixels`` uses — distinct seeds give distinct envelope
+    fingerprints, zero RNG state. The q95 fixture derives
+    seed = doc_id // 2, so consecutive doc ids carry the same
+    recording (then re-encoded at different width/volume); the oracle
+    builder recomputes the same waveform independently."""
+    j = np.arange(n_frames, dtype=np.uint64)
+    v = (
+        np.uint64(seed) * np.uint64(1_000_003)
+        + j * np.uint64(8_191)
+        + np.uint64(131)
+    )
+    v = (v * np.uint64(2_654_435_761)) & np.uint64(0xFFFFFFFF)
+    v ^= v >> np.uint64(15)
+    amp = (
+        0.25 + 0.7 * (((v >> np.uint64(8)) & np.uint64(0xFF)).astype(np.float32) / 255.0)
+    ).astype(np.float32)
+    k = np.arange(frame_len, dtype=np.float32)
+    saw = (k - (frame_len - 1) / 2.0) / ((frame_len - 1) / 2.0)
+    return (amp[:, None] * saw[None, :]).astype(np.float32).ravel()

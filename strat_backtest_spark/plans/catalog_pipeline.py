@@ -1814,3 +1814,131 @@ def q94_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_neardup_pairs(
         hashed, "phash", bits=64, bands=8, max_hamming=4, max_bucket_size=2000
     )
+
+
+def _q95_oracle(sf_dir: str) -> str:
+    """Expected envelope fingerprint per doc, recomputed INDEPENDENTLY
+    of the engine path (waveform formula → pinned quantization →
+    decode normalization → plain frame-energy sums — no WAV container
+    encode/decode round trip, no shared fingerprint code), pinned as a
+    VALUES table; banding + Hamming pairing mirror the Spark join in
+    SQL. A q95 hash match therefore proves encode_wav → stdlib wave
+    decode → envelope fingerprint lands on the pure-math fixture
+    value for BOTH re-encodes (16-bit full volume / 8-bit at 0.8×)."""
+    import duckdb
+    import numpy as np
+
+    ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM '{sf_dir}/documents.parquet' ORDER BY doc_id"
+        ).fetchall()
+    ]
+
+    def _wave(seed: int) -> "np.ndarray":
+        j = np.arange(72, dtype=np.uint64)
+        v = (
+            np.uint64(seed) * np.uint64(1_000_003)
+            + j * np.uint64(8_191)
+            + np.uint64(131)
+        )
+        v = (v * np.uint64(2_654_435_761)) & np.uint64(0xFFFFFFFF)
+        v ^= v >> np.uint64(15)
+        amp = (
+            0.25
+            + 0.7 * (((v >> np.uint64(8)) & np.uint64(0xFF)).astype(np.float32) / 255.0)
+        ).astype(np.float32)
+        k = np.arange(16, dtype=np.float32)
+        saw = (k - 7.5) / 7.5
+        return (amp[:, None] * saw[None, :]).astype(np.float32).ravel()
+
+    def _fp(decoded: "np.ndarray") -> int:
+        e = np.abs(decoded.astype(np.float64)).reshape(8, 9, 16).sum(axis=2)
+        bits = e[:, :-1] > e[:, 1:]
+        v = 0
+        for i, b in enumerate(bits.ravel().tolist()):
+            if b:
+                v |= 1 << i
+        return v - (1 << 64) if v >= 1 << 63 else v
+
+    memo: dict[tuple[int, int], int] = {}
+    rows = []
+    for d in ids:
+        key = (d // 2, d % 2)
+        if key not in memo:
+            w = _wave(key[0])
+            if key[1] == 0:  # 16-bit, full volume
+                q = np.clip(np.round(w * 32767.0), -32768, 32767)
+                dec = q.astype(np.float32) / 32768.0
+            else:  # 8-bit, 0.8x volume
+                w8 = (np.float32(0.8) * w).astype(np.float32)
+                q = np.clip(np.round(w8 * 127.0), -128, 127)
+                dec = q.astype(np.float32) / 128.0
+            memo[key] = _fp(dec)
+        rows.append(f"({d}, {memo[key]}::BIGINT)")
+    values = ", ".join(rows)
+    return f"""
+    WITH fp(doc_id, afp) AS (VALUES {values}),
+    banded AS (
+      SELECT doc_id, afp, j.band, (afp >> (j.band * 8)) & 255 AS band_val
+      FROM fp, (SELECT unnest(range(8)) AS band) j
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.afp, b.afp)) AS hamming
+    FROM banded a JOIN banded b USING (band, band_val)
+    WHERE a.doc_id < b.doc_id
+      AND bit_count(xor(a.afp, b.afp)) <= 4
+    """
+
+
+@query("q95_audio_neardup", oracle_builder=_q95_oracle)
+def q95_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-fingerprint near-dup: synthesize one WAV per document
+    (waveform keyed by doc_id // 2, so consecutive ids carry the SAME
+    recording but RE-ENCODED — even ids 16-bit PCM at full volume, odd
+    ids 8-bit PCM at 0.8× volume: byte-different payloads, different
+    sample values, that byte-level dedup cannot pair), decode through
+    the REAL stdlib-wave path, fingerprint the envelope (amplitude-
+    scale-invariant by construction), and band the 64-bit fingerprints
+    through the generic banded-Hamming join
+    (operators/multimodal.audio_fingerprint +
+    operators/dedup.hash_neardup_pairs — the same machinery as the
+    image path, proving the near-dup core is modality-agnostic).
+    Payload bytes never shuffle — only (id, long) rows ride the
+    exchange."""
+    import pandas as pd
+
+    from strat_backtest_spark.operators.dedup import hash_neardup_pairs
+    from strat_backtest_spark.operators.multimodal import (
+        audio_fingerprint,
+        encode_wav,
+        real_decoder,
+        synthetic_waveform,
+    )
+    import numpy as np
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def _ingest(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            payloads = []
+            for i in ids:
+                w = synthetic_waveform(i // 2)
+                if i % 2 == 0:
+                    payloads.append(encode_wav(w, 2))
+                else:
+                    payloads.append(
+                        encode_wav((np.float32(0.8) * w).astype(np.float32), 1)
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "media_type": "audio", "payload": payloads}
+            )
+
+    media = docs.mapInPandas(
+        _ingest, "doc_id long, media_type string, payload binary"
+    )
+    hashed = audio_fingerprint(media, real_decoder)
+    return hash_neardup_pairs(
+        hashed, "afp", bits=64, bands=8, max_hamming=4, max_bucket_size=2000
+    )

@@ -1713,3 +1713,91 @@ def test_decode_png_bounds_untrusted_payloads():
     for arr in (img, np.dstack([img, img, img]), rgba):
         for rf in (0, 1, 2):
             assert np.array_equal(decode_png(encode_png(arr, rf)), arr)
+
+
+def test_encode_wav_roundtrip_exact():
+    """encode_wav's quantization is PINNED (the q95 oracle replicates
+    it in pure math): decoding a 16-bit/8-bit encode must land exactly
+    on round(x*K)/S for the pinned (K, S) pairs; unsupported widths
+    raise."""
+    import numpy as np
+    import pytest
+
+    from strat_backtest_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+        synthetic_waveform,
+    )
+
+    w = synthetic_waveform(11)
+    d16 = decode_wav(encode_wav(w, 2))
+    q16 = np.clip(np.round(w * 32767.0), -32768, 32767)
+    assert np.array_equal(d16, (q16.astype(np.float32) / 32768.0))
+    d8 = decode_wav(encode_wav(w, 1))
+    q8 = np.clip(np.round(w * 127.0), -128, 127)
+    assert np.array_equal(d8, (q8.astype(np.float32) / 128.0))
+    with pytest.raises(NotImplementedError, match="sample width"):
+        encode_wav(w, 3)
+
+
+def test_audio_fingerprint_scale_invariant_and_ragged():
+    """The envelope fingerprint compares frame energies WITHIN a
+    waveform, so a global volume change cannot flip any bit in exact
+    math; waveforms whose length doesn't divide the frame count go
+    through the count-cross-multiplied comparison and still
+    fingerprint identically after scaling."""
+    import numpy as np
+
+    from strat_backtest_spark.operators.multimodal import (
+        audio_fingerprint_bits,
+        synthetic_waveform,
+    )
+
+    w = synthetic_waveform(5).astype(np.float64)
+    assert audio_fingerprint_bits(w) == audio_fingerprint_bits(0.5 * w)
+    ragged = np.concatenate([w, w[:37]])  # 1189 samples over 72 frames
+    assert audio_fingerprint_bits(ragged) == audio_fingerprint_bits(
+        0.25 * ragged
+    )
+
+
+def test_audio_fingerprint_pairs_reencoded_audio(spark):
+    """Re-encode robustness, audio edition (the q94 unit's WAV twin):
+    the same recording written as 16-bit PCM at full volume and as
+    8-bit PCM at 0.8x volume is byte-DIFFERENT with different sample
+    values (exact dedup can't pair it) but fingerprints within
+    Hamming 4 — hash_neardup_pairs emits the pair. A different
+    recording pairs with neither."""
+    import numpy as np
+    import pandas as pd
+
+    from strat_backtest_spark.operators.dedup import hash_neardup_pairs
+    from strat_backtest_spark.operators.multimodal import (
+        audio_fingerprint,
+        decode_wav,
+        encode_wav,
+        real_decoder,
+        synthetic_waveform,
+    )
+
+    w, other = synthetic_waveform(7), synthetic_waveform(99)
+    p_a = encode_wav(w, 2)
+    p_b = encode_wav((np.float32(0.8) * w).astype(np.float32), 1)
+    assert p_a != p_b
+    assert not np.array_equal(decode_wav(p_a), decode_wav(p_b))
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "media_type": ["audio"] * 3,
+                "payload": [p_a, p_b, encode_wav(other, 2)],
+            }
+        )
+    )
+    hashed = audio_fingerprint(media, real_decoder)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hash_neardup_pairs(hashed, "afp", max_hamming=4).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 4, f"re-encoded pair missing: {pairs}"
+    assert (1, 3) not in pairs and (2, 3) not in pairs

@@ -1467,6 +1467,16 @@ def dedup_index_append(
     )
 
 
+# Broadcast the delta's probe rows into the index scan when the delta
+# has at most this many docs. Band rows are docs x bands and digests
+# are docs x 1; at 2M docs / 4 bands that is ~8M slim rows (~300 MB
+# broadcast) — inside executor budgets, and the daily-crawl regime is
+# orders of magnitude below it. Above the gate the semi-join fallback
+# keeps both sides distributed (path-equivalence unit pins the two
+# plans to identical verdicts).
+DELTA_BROADCAST_MAX_DOCS = 2_000_000
+
+
 def dedup_incremental(
     spark,
     delta: DataFrame,
@@ -1476,6 +1486,7 @@ def dedup_incremental(
     shingle_n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_delta: bool | None = None,
 ) -> DataFrame:
     """Incremental dedup of a delta batch against a persisted index
     (``dedup_index_write``): one verdict row per delta doc —
@@ -1506,24 +1517,37 @@ def dedup_incremental(
     - signatures (the dominant cost: hashlib shingles, ~87 s for 10M
       docs at the r9 rung) are computed for DELTA docs only; the
       index contributes pre-computed slim rows;
-    - the index probes are joins on 16-byte digests / short band keys;
-      AQE broadcasts the delta side when it is small (the daily-crawl
-      regime), so the index is SCANNED but never shuffled — and a
-      bucketed index (see ``dedup_index_write``) drops even the
-      residual delta-side exchange;
+    - the index probes are joins on 16-byte digests / short band keys.
+      When the delta is small (≤ ``DELTA_BROADCAST_MAX_DOCS``, or
+      ``broadcast_delta=True``), the delta's probe rows are BROADCAST
+      into an inner join with the index as the streamed side — the
+      index is SCANNED, never shuffled, never sorted, which is the
+      only shape that survives a 100 TB index (a left-semi cannot
+      broadcast its probe side, so the semi formulation necessarily
+      exchanged the index). Above the gate the semi-join fallback
+      keeps both sides distributed; plan ratchet + path-equivalence
+      unit in tests. ``broadcast_delta=None`` auto-picks via one
+      ``delta.count()`` (trivial next to the signature pass);
     - within-delta priority is a window min over the delta's own band
       rows — a shuffle of (id, band, band_key) sized by the delta.
     - delta text never shuffles anywhere.
     """
     idx_digests = spark.read.parquet(f"{index_path}/digests")
     idx_bands = spark.read.parquet(f"{index_path}/bands")
+    if broadcast_delta is None:
+        broadcast_delta = delta.count() <= DELTA_BROADCAST_MAX_DOCS
 
     digs = delta.select(
         F.md5(F.col(text_col).cast("binary")).alias("text_hash"), F.col(id_col)
     )
-    exact_vs_index = digs.join(
-        idx_digests.select("text_hash").distinct(), "text_hash", "left_semi"
-    ).select(id_col)
+    if broadcast_delta:
+        exact_vs_index = idx_digests.select("text_hash").join(
+            F.broadcast(digs), "text_hash", "inner"
+        ).select(id_col)
+    else:
+        exact_vs_index = digs.join(
+            idx_digests.select("text_hash"), "text_hash", "left_semi"
+        ).select(id_col)
     wh = Window.partitionBy("text_hash")
     exact_within = (
         digs.withColumn("__min_id", F.min(id_col).over(wh))
@@ -1533,11 +1557,16 @@ def dedup_incremental(
     exact_dup = exact_vs_index.unionByName(exact_within).distinct()
 
     dbands = minhash_band_rows(delta, k, bands, shingle_n, text_col, id_col)
-    near_vs_index = dbands.join(
-        idx_bands.select("band", "band_key").distinct(),
-        ["band", "band_key"],
-        "left_semi",
-    ).select(id_col)
+    if broadcast_delta:
+        near_vs_index = idx_bands.select("band", "band_key").join(
+            F.broadcast(dbands), ["band", "band_key"], "inner"
+        ).select(id_col)
+    else:
+        near_vs_index = dbands.join(
+            idx_bands.select("band", "band_key"),
+            ["band", "band_key"],
+            "left_semi",
+        ).select(id_col)
     wb = Window.partitionBy("band", "band_key")
     near_within = (
         dbands.withColumn("__min_id", F.min(id_col).over(wb))

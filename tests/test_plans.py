@@ -570,3 +570,44 @@ def test_ivf_max_list_cap_plan_shape(spark):
     assert "LeftSemi" in p, "probed-list prune missing"
     assert p.count("Sort (") >= 1 and "row_number" in p, "per-list cap window missing"
     assert "Exchange rangepartitioning" not in p, "cap must not global-sort"
+
+
+def test_incremental_dedup_broadcast_delta_plan(spark, tmp_path):
+    """The daily-crawl regime's load-bearing shape: with
+    broadcast_delta=True the 100 TB-scale INDEX side is scanned and
+    streamed into BroadcastHashJoins (delta probe rows broadcast) and
+    is never hash-exchanged — a left-semi cannot broadcast its probe
+    side, so the semi fallback necessarily exchanges the index.
+    Ratchet: auto-broadcast disabled so tiny test tables can't fake
+    the shape; the hint path must still broadcast, and must carry
+    strictly fewer hash exchanges than the semi fallback."""
+    from strat_backtest_spark.operators.dedup import (
+        dedup_incremental,
+        dedup_index_write,
+    )
+
+    idx_docs = spark.createDataFrame(
+        [(i, f"historical doc {i} alpha beta gamma delta {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "plan_idx")
+    dedup_index_write(idx_docs, path)
+    delta = spark.createDataFrame(
+        [(100 + i, f"todays doc {i} epsilon zeta eta theta {i}") for i in range(5)],
+        "doc_id long, text string",
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p_bc = _formatted(
+            dedup_incremental(spark, delta, path, broadcast_delta=True)
+        )
+        p_semi = _formatted(
+            dedup_incremental(spark, delta, path, broadcast_delta=False)
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert p_bc.count("BroadcastHashJoin") >= 2, "index probes must broadcast"
+    n_bc = p_bc.count("hashpartitioning(")
+    n_semi = p_semi.count("hashpartitioning(")
+    assert n_bc < n_semi, f"broadcast path lost its exchange win: {n_bc} vs {n_semi}"

@@ -119,15 +119,28 @@ def main() -> None:
                       "index_docs": out["index_docs"]}),
           file=sys.stderr, flush=True)
 
-    for key, delta in [("inc_full", delta_full), ("inc_half", delta_half)]:
+    # inc_half runs BOTH plans on the same delta/index — the
+    # broadcast-vs-semi A/B at the gate boundary; inc_small_bc is the
+    # daily-crawl regime (1% of the delta vs the full index), where
+    # the broadcast plan's index-scan-only property should dominate.
+    delta_small = delta_half.filter(F.col("doc_id") % 50 == 0)
+    runs = [
+        ("inc_full", delta_full, None),
+        ("inc_half_semi", delta_half, False),
+        ("inc_half_bc", delta_half, True),
+        ("inc_small_bc", delta_small, True),
+        ("inc_small_semi", delta_small, False),
+    ]
+    for key, delta, bc in runs:
         t = time.time()
-        dedup_incremental(spark, delta, index_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
+        dedup_incremental(
+            spark, delta, index_dir, broadcast_delta=bc
+        ).write.format("noop").mode("overwrite").save()
         out[key + "_s"] = round(time.time() - t, 1)
         print(json.dumps({key: out[key + "_s"]}), file=sys.stderr, flush=True)
     out["delta_full_docs"] = delta_full.count()
     out["delta_half_docs"] = delta_half.count()
+    out["delta_small_docs"] = delta_small.count()
 
     verdicts = (
         dedup_incremental(spark, delta_full, index_dir)

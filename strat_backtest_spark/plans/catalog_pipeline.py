@@ -1942,3 +1942,84 @@ def q95_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_neardup_pairs(
         hashed, "afp", bits=64, bands=8, max_hamming=4, max_bucket_size=2000
     )
+
+
+def _q96_oracle_sql(n_chunks: int = 3) -> str:
+    """The survivor-only index recursion UNROLLED per chunk: chunk k's
+    exact/near dup sets join against (kept docs of chunks < k) — built
+    iteratively from the previous v_* CTEs — plus same-chunk
+    smaller-id priority; the union of per-chunk verdict CTEs is the
+    whole stream's output. Mirrors streaming_incremental_dedup's
+    composition of dedup_incremental + dedup_index_append exactly
+    (docstring there spells out why cross-chunk collisions see only
+    KEPT docs while within-chunk priority ignores verdicts)."""
+    parts = [
+        """
+    , banded AS (
+      SELECT doc_id, b.band,
+             CASE b.band
+               WHEN 0 THEN sig_0::VARCHAR || '_' || sig_1::VARCHAR
+               WHEN 1 THEN sig_2::VARCHAR || '_' || sig_3::VARCHAR
+               WHEN 2 THEN sig_4::VARCHAR || '_' || sig_5::VARCHAR
+               ELSE        sig_6::VARCHAR || '_' || sig_7::VARCHAR
+             END AS band_key
+      FROM sigs, (SELECT unnest(range(4)) AS band) b
+      WHERE sig_0 IS NOT NULL
+    ),
+    ex AS (SELECT doc_id, md5(text) AS h FROM documents WHERE text IS NOT NULL)
+    """
+    ]
+    for k in range(n_chunks):
+        if k == 0:
+            idx_cond = "FALSE"
+        else:
+            kept_union = " UNION ALL ".join(
+                f"SELECT doc_id FROM v_{j} WHERE verdict = 'kept'"
+                for j in range(k)
+            )
+            idx_cond = f"b.doc_id IN ({kept_union})"
+        parts.append(
+            f"""
+    , exact_{k} AS (
+      SELECT DISTINCT a.doc_id
+      FROM ex a JOIN ex b ON a.h = b.h
+      WHERE a.doc_id % {n_chunks} = {k}
+        AND ({idx_cond}
+             OR (b.doc_id % {n_chunks} = {k} AND b.doc_id < a.doc_id))
+    ),
+    near_{k} AS (
+      SELECT DISTINCT a.doc_id
+      FROM banded a JOIN banded b USING (band, band_key)
+      WHERE a.doc_id % {n_chunks} = {k}
+        AND ({idx_cond.replace("b.doc_id", "b.doc_id")}
+             OR (b.doc_id % {n_chunks} = {k} AND b.doc_id < a.doc_id))
+    ),
+    v_{k} AS (
+      SELECT d.doc_id,
+             CASE WHEN e.doc_id IS NOT NULL THEN 'dup_exact'
+                  WHEN nr.doc_id IS NOT NULL THEN 'dup_near'
+                  ELSE 'kept' END AS verdict
+      FROM (SELECT doc_id FROM documents WHERE doc_id % {n_chunks} = {k}) d
+      LEFT JOIN exact_{k} e ON d.doc_id = e.doc_id
+      LEFT JOIN near_{k} nr ON d.doc_id = nr.doc_id
+    )
+    """
+        )
+    final = " UNION ALL ".join(
+        f"SELECT doc_id, verdict FROM v_{k}" for k in range(n_chunks)
+    )
+    return _minhash_sigs_cte() + "".join(parts) + final
+
+
+@query("q96_stream_incremental_dedup", oracle=_q96_oracle_sql())
+def q96_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental dedup: the q93 operator driven by
+    foreachBatch over a chunked replay, survivors appended to the
+    persisted index between micro-batches — the full production
+    crawl-ingest loop from an empty day-zero index
+    (streaming/documents_stream.streaming_incremental_dedup)."""
+    from strat_backtest_spark.streaming.documents_stream import (
+        streaming_incremental_dedup,
+    )
+
+    return streaming_incremental_dedup(spark, sf_dir)

@@ -364,3 +364,69 @@ def quota_admission_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_incremental_dedup(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 3
+) -> DataFrame:
+    """The production crawl-ingest loop as ONE streaming job: each
+    micro-batch (one replay chunk = one day's crawl) is deduped
+    against the PERSISTED index with ``dedup_incremental`` (delta
+    signatures only; small batches broadcast into the index scan),
+    then its SURVIVORS are registered with ``dedup_index_append`` so
+    the next batch is judged against everything kept so far — the
+    open-world composition q93 exercises for a single delta, here
+    driven by ``foreachBatch`` across the whole stream starting from
+    an EMPTY day-zero index.
+
+    Semantics are deterministic because the replay feeds whole chunks
+    (doc_id % n_chunks) in chunk order: verdict(doc) depends on
+    (chunk, doc_id) priority with the survivor-only index — a doc
+    collides cross-chunk only with KEPT earlier docs, but within its
+    own chunk with every smaller-id doc regardless of that doc's
+    verdict (dedup_incremental's contract). The q96 oracle unrolls
+    this recursion per chunk in SQL.
+
+    State lives in the INDEX (parquet on shared storage), not the
+    stream: the streaming query itself is stateless, so a restart
+    resumes from the checkpoint + the index as-is — at 100 TB the
+    index is the durable artifact and micro-batch cost tracks the
+    day's delta exactly as the q93 rung measures."""
+    import shutil
+    import tempfile
+
+    from strat_backtest_spark.operators.dedup import (
+        dedup_incremental,
+        dedup_index_append,
+        dedup_index_write,
+    )
+
+    static = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    stream, replay_dir = _chunked_replay(spark, static, n_chunks)
+    index_dir = tempfile.mkdtemp(prefix="stream_dedup_index_")
+    out_dir = tempfile.mkdtemp(prefix="stream_dedup_verdicts_")
+    dedup_index_write(static.limit(0), index_dir)  # day-zero: empty
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():  # replay padding trigger
+            return
+        verdicts = dedup_incremental(
+            spark, batch_df, index_dir
+        ).localCheckpoint()
+        verdicts.write.mode("append").parquet(out_dir)
+        dedup_index_append(batch_df, verdicts, index_dir)
+
+    q = stream.writeStream.foreachBatch(process).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    shutil.rmtree(replay_dir, ignore_errors=True)
+    shutil.rmtree(index_dir, ignore_errors=True)
+    import os
+
+    if not any(f.endswith(".parquet") for f in os.listdir(out_dir)):
+        return spark.createDataFrame([], "doc_id long, verdict string")
+    return spark.read.schema("doc_id long, verdict string").parquet(out_dir)

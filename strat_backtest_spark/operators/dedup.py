@@ -1440,6 +1440,57 @@ def dedup_index_write(
     ).write.mode(mode).parquet(f"{path}/digests")
 
 
+def dedup_index_write_bucketed(
+    spark,
+    df: DataFrame,
+    table: str,
+    path: str,
+    n_buckets: int = 64,
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "overwrite",
+) -> None:
+    """``dedup_index_write`` for the BIG-delta regime: persist the two
+    index tables as EXTERNAL BUCKETED catalog tables
+    (``{table}_bands`` bucketed+sorted on band_key at ``{path}/bands``,
+    ``{table}_digests`` on text_hash) so the semi-join fallback in
+    ``dedup_incremental`` never shuffles the index either — the
+    bucketed scan's HashPartitioning(key, n_buckets) already satisfies
+    the join's clustered distribution, and only the delta side
+    exchanges (to the bucket count). Combined with the broadcast-delta
+    path this makes the index shuffle-free in BOTH regimes:
+    broadcast when the delta is small, bucket-aligned semi when it is
+    not. Bucket metadata lives in the session catalog (that is what
+    records it — sources/bucketed.py), so a new application re-creates
+    the table entries over the same external ``path``;
+    ``mode="append"`` appends with the identical bucket spec (the
+    survivor-append path)."""
+    (
+        minhash_band_rows(df, k, bands, shingle_n, text_col, id_col)
+        .write.mode(mode)
+        .format("parquet")
+        .bucketBy(n_buckets, "band_key")
+        .sortBy("band_key")
+        .option("path", f"{path}/bands")
+        .saveAsTable(f"{table}_bands")
+    )
+    (
+        df.select(
+            F.md5(F.col(text_col).cast("binary")).alias("text_hash"),
+            F.col(id_col),
+        )
+        .write.mode(mode)
+        .format("parquet")
+        .bucketBy(n_buckets, "text_hash")
+        .sortBy("text_hash")
+        .option("path", f"{path}/digests")
+        .saveAsTable(f"{table}_digests")
+    )
+
+
 def dedup_index_append(
     delta: DataFrame,
     verdicts: DataFrame,
@@ -1487,6 +1538,7 @@ def dedup_incremental(
     text_col: str = "text",
     id_col: str = "doc_id",
     broadcast_delta: bool | None = None,
+    index_table: str | None = None,
 ) -> DataFrame:
     """Incremental dedup of a delta batch against a persisted index
     (``dedup_index_write``): one verdict row per delta doc —
@@ -1531,9 +1583,19 @@ def dedup_incremental(
     - within-delta priority is a window min over the delta's own band
       rows — a shuffle of (id, band, band_key) sized by the delta.
     - delta text never shuffles anywhere.
+
+    ``index_table`` (from ``dedup_index_write_bucketed``) switches the
+    index side to the bucketed catalog tables: in the semi fallback
+    the index scan then arrives pre-partitioned on the join key and
+    ONLY the delta exchanges — the big-delta complement of the
+    broadcast path (plan-ratcheted in tests/test_plans.py).
     """
-    idx_digests = spark.read.parquet(f"{index_path}/digests")
-    idx_bands = spark.read.parquet(f"{index_path}/bands")
+    if index_table is not None:
+        idx_digests = spark.table(f"{index_table}_digests")
+        idx_bands = spark.table(f"{index_table}_bands")
+    else:
+        idx_digests = spark.read.parquet(f"{index_path}/digests")
+        idx_bands = spark.read.parquet(f"{index_path}/bands")
     if broadcast_delta is None:
         broadcast_delta = delta.count() <= DELTA_BROADCAST_MAX_DOCS
 

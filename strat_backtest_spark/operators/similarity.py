@@ -581,11 +581,19 @@ def ivf_topk(
     vec_col: str = "embedding",
     max_chunk_rows: int | None = 200_000,
     max_list: int | None = None,
+    pre_assigned: bool = False,
 ) -> DataFrame:
     """IVF-flat ANN: coarse-quantize the corpus into inverted lists,
     probe the query's ``nprobe`` nearest lists, exact cosine rerank
     inside them. Same output contract as ``ann_topk``; recall is
     governed by (n_centroids, nprobe) instead of hyperplane count.
+
+    ``pre_assigned=True`` takes a corpus that already carries a
+    ``centroid_id`` column — the persisted-index path (q97): the
+    assignment ran ONCE at write time and the corpus lives
+    ``partitionBy(centroid_id)``, so a probe's ``isin`` filter on it
+    becomes a PartitionFilter and un-probed lists are never even
+    scanned (path-equivalent to assigning on the fly; unit-pinned).
 
     The codebook here is caller-supplied; ``train_centroids_kmeans``
     learns one (better recall), while any deterministic seed set (e.g.
@@ -603,10 +611,11 @@ def ivf_topk(
     genuinely diverse overfull lists — grow the codebook first, and
     near-dup the corpus before indexing. None (default) keeps the
     exact-in-list contract; q51's gate pins that path."""
-    cb = ivf_assign(corpus, centroids, vec_col).select(
+    assigned = corpus if pre_assigned else ivf_assign(corpus, centroids, vec_col)
+    cb = assigned.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
-        F.col("centroid_id").alias("probe"),
+        F.col("centroid_id").cast("long").alias("probe"),
     )
     qb = ivf_probes(queries, centroids, nprobe, vec_col).select(
         F.col(id_col).alias("query_id"),

@@ -384,9 +384,10 @@ _IVF_NPROBE = 2
 _L2_AC = "round(list_sum(list_transform(range(1, 65), i -> (a.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE) * (a.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE))), 9)"
 
 
-@query(
-    "q51_ivf_topk",
-    oracle=f"""
+# Shared by q51 (assign-on-the-fly) and q97 (persisted partitioned
+# corpus): the IVF result is a function of (codebook, corpus, queries)
+# only — where the assignment ran must not change a single value.
+_IVF_ORACLE = f"""
     WITH cents AS (
       SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {_IVF_K}
     ), dist AS (
@@ -412,8 +413,10 @@ _L2_AC = "round(list_sum(list_transform(range(1, 65), i -> (a.embedding[i]::DOUB
                                    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
       FROM scored
     ) WHERE rank <= 5
-    """,
-)
+    """
+
+
+@query("q51_ivf_topk", oracle=_IVF_ORACLE)
 def q51_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN: deterministic seed codebook (first 16 vectors),
     corpus coarse-quantized into inverted lists (at scale: the
@@ -2023,3 +2026,47 @@ def q96_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return streaming_incremental_dedup(spark, sf_dir)
+
+
+@query("q97_ivf_persisted_topk", oracle=_IVF_ORACLE)
+def q97_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN against a PERSISTED partitioned corpus — the similarity
+    analog of q93's persisted dedup index: ``ivf_assign`` runs ONCE at
+    write time and the corpus lands ``partitionBy(centroid_id)``; each
+    query batch then collects its tiny probe-list set (queries x
+    nprobe ids — the same queries ≪ corpus contract as the grid spec
+    collect) and reads ONLY those lists' directories, a literal
+    PartitionFilter that prunes at planning time
+    (tests/test_plans.py::test_q97_partition_pruning). Values are
+    identical to q51's assign-on-the-fly path — same oracle, pinned by
+    the shared _IVF_ORACLE and a path-equivalence unit."""
+    import hashlib as _hl
+
+    from strat_backtest_spark.operators.similarity import ivf_probes, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < _IVF_K).orderBy("vec_id").collect()
+    ]
+    path = "/tmp/spark_graft_q97_ivf_" + _hl.md5(sf_dir.encode()).hexdigest()[:10]
+    from strat_backtest_spark.operators.similarity import ivf_assign
+
+    ivf_assign(emb, cents).write.mode("overwrite").partitionBy(
+        "centroid_id"
+    ).parquet(path)
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    probe_ids = sorted(
+        r["probe"]
+        for r in ivf_probes(queries, cents, _IVF_NPROBE)
+        .select("probe")
+        .distinct()
+        .collect()
+    )
+    corpus = spark.read.parquet(path).filter(
+        F.col("centroid_id").isin(probe_ids)
+    )
+    return ivf_topk(
+        corpus, queries, cents, k=5, nprobe=_IVF_NPROBE, pre_assigned=True
+    )

@@ -1838,3 +1838,39 @@ def test_dedup_incremental_broadcast_equals_semi(spark, tmp_path):
     # sf0.001 documents have no exact dup across the parity split;
     # near-dups and kept docs must both occur or the fixture is dead
     assert {"dup_near", "kept"} <= set(bc.values()) <= {"dup_exact", "dup_near", "kept"}
+
+
+def test_ivf_pre_assigned_equals_on_the_fly(spark, tmp_path):
+    """Path equivalence for the persisted-IVF corpus: assignment at
+    write time + partition-pruned read must give value-identical top-k
+    to assign-on-the-fly (same codebook, same queries)."""
+    from pyspark.sql import functions as F
+
+    from strat_backtest_spark.operators.similarity import (
+        ivf_assign,
+        ivf_probes,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    cents = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    queries = emb.filter(F.col("vec_id") < 6)
+
+    fly = ivf_topk(emb, queries, cents, k=4, nprobe=2)
+    path = str(tmp_path / "ivf_corpus")
+    ivf_assign(emb, cents).write.partitionBy("centroid_id").parquet(path)
+    probe_ids = sorted(
+        r["probe"]
+        for r in ivf_probes(queries, cents, 2).select("probe").distinct().collect()
+    )
+    corpus = spark.read.parquet(path).filter(F.col("centroid_id").isin(probe_ids))
+    persisted = ivf_topk(corpus, queries, cents, k=4, nprobe=2, pre_assigned=True)
+
+    key = lambda df: sorted(
+        (r["query_id"], r["neighbor_id"], r["cos_sim"], r["rank"])
+        for r in df.collect()
+    )
+    assert key(fly) == key(persisted) and len(key(fly)) > 0

@@ -660,3 +660,22 @@ def test_incremental_dedup_bucketed_index_plan(spark, tmp_path):
     n_plain = p_plain_s.count("hashpartitioning(")
     n_buck = p_buck_s.count("hashpartitioning(")
     assert n_buck < n_plain, f"bucketed index still exchanges: {n_buck} vs {n_plain}"
+
+
+def test_q97_partition_pruning(spark):
+    """The persisted-IVF promise: the corpus scan must carry a
+    non-empty PartitionFilters on centroid_id (the probe set as
+    LITERALS, pruned at planning time) — at 100 TB this is the index
+    lookup; losing it means scanning every inverted list's directory."""
+    from strat_backtest_spark.plans.catalog import CATALOG
+
+    p = _formatted(CATALOG["q97_ivf_persisted_topk"].fn(spark, SF_MED))
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*centroid_id[^\]]*)\]", p)
+    assert m and "centroid_id" in m.group(1), f"partition pruning lost:\n{p[:800]}"
+    # the literal probe-set prune ("INSET 0, 1, ...") must be there;
+    # Spark additionally layers dynamicpruningexpression from the
+    # probed-list semi join — both are welcome, the literal is the
+    # ratchet (planning-time, stats-independent)
+    assert "INSET" in m.group(1), f"literal probe-set prune lost: {m.group(1)}"

@@ -102,6 +102,7 @@ def main() -> None:
     from strat_backtest_spark.operators.dedup import (
         dedup_incremental,
         dedup_index_write,
+        dedup_index_write_bucketed,
         minhash_band_rows,
     )
 
@@ -123,18 +124,30 @@ def main() -> None:
     # broadcast-vs-semi A/B at the gate boundary; inc_small_bc is the
     # daily-crawl regime (1% of the delta vs the full index), where
     # the broadcast plan's index-scan-only property should dominate.
+    # the bucketed index: one-time extra write cost (it IS a shuffle —
+    # that is the point: pay it once, skip the index exchange on every
+    # probe), then the big-delta semi runs against it
+    t = time.time()
+    dedup_index_write_bucketed(
+        spark, index_docs, "rung_bidx", f"{corpus_dir}/bidx"
+    )
+    out["index_build_bucketed_s"] = round(time.time() - t, 1)
+    print(json.dumps({"index_build_bucketed": out["index_build_bucketed_s"]}),
+          file=sys.stderr, flush=True)
+
     delta_small = delta_half.filter(F.col("doc_id") % 50 == 0)
     runs = [
-        ("inc_full", delta_full, None),
-        ("inc_half_semi", delta_half, False),
-        ("inc_half_bc", delta_half, True),
-        ("inc_small_bc", delta_small, True),
-        ("inc_small_semi", delta_small, False),
+        ("inc_full", delta_full, None, None),
+        ("inc_full_bucketed", delta_full, False, "rung_bidx"),
+        ("inc_half_semi", delta_half, False, None),
+        ("inc_half_bc", delta_half, True, None),
+        ("inc_small_bc", delta_small, True, None),
+        ("inc_small_semi", delta_small, False, None),
     ]
-    for key, delta, bc in runs:
+    for key, delta, bc, tbl in runs:
         t = time.time()
         dedup_incremental(
-            spark, delta, index_dir, broadcast_delta=bc
+            spark, delta, index_dir, broadcast_delta=bc, index_table=tbl
         ).write.format("noop").mode("overwrite").save()
         out[key + "_s"] = round(time.time() - t, 1)
         print(json.dumps({key: out[key + "_s"]}), file=sys.stderr, flush=True)

@@ -78,6 +78,7 @@ _SWEEP_TAIL = [
     "q92_substring_dedup",        # all-true r09; substring fns zero r10 diffs
     "q22_minhash_signatures",     # all-true r09; sig fns zero r10 diffs — slot freed for NEW q96 (same co-resident reasoning as q92/q95)
     "q23_minhash_lsh_pairs",      # all-true r09; pair fns zero r10 diffs — slot freed for NEW q97
+    "q50_multimodal_frames",      # all-true r09; its consumed fns (sample_frames/resize_meta) have zero r10 diffs — slot freed for NEW q98; q38 keeps the in-window seat for the multimodal file
     "q01_pricing_summary",        # all-true r09, untouched r10
     "q02_regional_revenue",       # all-true r09, untouched r10
     "q04_orders_with_bigticket_items",  # all-true r09, untouched r10

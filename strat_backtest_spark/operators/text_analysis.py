@@ -910,3 +910,85 @@ def _bigram_join_path(
             F.round(F.avg(F.log(F.col("c2") / F.col("c1"))), 6).alias("logprob"),
         )
     )
+
+
+def quality_classifier(
+    docs: DataFrame,
+    weights,
+    bias: int = 0,
+    threshold: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Model-based quality filtering — the CCNet/fastText-style gate a
+    production curation pipeline runs after the heuristic scores: a
+    linear classifier over hashed bag-of-words features,
+    ``logit = bias + Σ_tokens w[md5_hash(token) % dim]``, keep iff
+    ``logit > threshold``. The WEIGHTS are injected (train the model
+    offline — fastText, scikit logreg — and export integer
+    micro-units); the engine's job is scoring 100 TB, which is this
+    one map-only Arrow pass: no shuffle, no vocabulary table, feature
+    hashing replaces the embedding lookup exactly as in the original
+    fastText trick.
+
+    Integer weights make the logit an EXACT sum — addition order
+    cannot change it, so any engine computes the identical value
+    (the q98 oracle reproduces weights and hash in pure SQL;
+    probability needs only a driver-side sigmoid(logit/scale) and is
+    deliberately NOT computed here: exp() differs across engines,
+    comparisons don't). Tokenizer is the module's mirrored ASCII-\\s
+    convention; the md5-prefix hash is ``functions/hashing.md5_hash``
+    (byte-identical in any engine with md5). Per-worker token→index
+    memo: vocabulary ≪ token stream, so the md5 runs once per distinct
+    token per batch, not once per occurrence."""
+    import hashlib
+
+    from strat_backtest_spark.functions.hashing import P
+
+    w = np.asarray(weights, dtype=np.int64)
+    dim = len(w)
+    b, thr = int(bias), int(threshold)
+    ws = _WS_RE
+    id_type = docs.schema[id_col].dataType.simpleString()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[str, int] = {}
+        for pdf in batches:
+            logits = np.empty(len(pdf), dtype=np.int64)
+            for i, txt in enumerate(pdf[text_col]):
+                s = b
+                if isinstance(txt, str):
+                    for t in ws.split(txt):
+                        if not t:
+                            continue
+                        ix = memo.get(t)
+                        if ix is None:
+                            ix = (
+                                int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+                                % P
+                                % dim
+                            )
+                            memo[t] = ix
+                        s += int(w[ix])
+                logits[i] = s
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "logit": logits,
+                    "keep": logits > thr,
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        run, f"{id_col} {id_type}, logit long, keep boolean"
+    )
+
+
+def fixture_weights(dim: int = 4096) -> list[int]:
+    """Deterministic stand-in for trained classifier weights, spanning
+    ±1e6 micro-units — pure integer arithmetic so the q98 oracle
+    regenerates it in SQL: w[i] = ((i*2654435761 + 12345) % 2000001)
+    - 1000000."""
+    return [
+        int((i * 2654435761 + 12345) % 2_000_001) - 1_000_000 for i in range(dim)
+    ]

@@ -2070,3 +2070,39 @@ def q97_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         corpus, queries, cents, k=5, nprobe=_IVF_NPROBE, pre_assigned=True
     )
+
+
+_Q98_DIM = 4096
+
+
+@query(
+    "q98_quality_classifier",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    scored AS (
+      SELECT doc_id,
+             coalesce(list_sum(list_transform(toks,
+               t -> ((({md5_hash_sql("t")} % {_Q98_DIM}) * 2654435761 + 12345)
+                     % 2000001) - 1000000
+             )), 0) AS logit
+      FROM tok
+    )
+    SELECT doc_id, logit, logit > 0 AS keep FROM scored
+    """,
+)
+def q98_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter: hashed-feature linear classifier
+    (the fastText/CCNet-style gate) scoring every document in one
+    map-only Arrow pass — integer micro-unit weights make the logit an
+    exact, order-free sum, so the oracle regenerates weights AND
+    feature hashing in pure SQL and the verdicts pin value-exactly
+    (operators/text_analysis.quality_classifier; weights are the
+    injection slot — fixture_weights stands in for a trained
+    export)."""
+    from strat_backtest_spark.operators.text_analysis import (
+        fixture_weights,
+        quality_classifier,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_classifier(docs, fixture_weights(_Q98_DIM))

@@ -1874,3 +1874,31 @@ def test_ivf_pre_assigned_equals_on_the_fly(spark, tmp_path):
         for r in df.collect()
     )
     assert key(fly) == key(persisted) and len(key(fly)) > 0
+
+
+def test_quality_classifier_exact_and_null_safe(spark):
+    """The logit must equal the direct per-token recompute (exact
+    integer sum, order-free) and a null/empty text must score exactly
+    bias."""
+    import hashlib
+
+    from strat_backtest_spark.functions.hashing import P
+    from strat_backtest_spark.operators.text_analysis import (
+        fixture_weights,
+        quality_classifier,
+    )
+
+    w = fixture_weights(64)
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox the"), (2, None), (3, "   ")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["logit"], r["keep"])
+           for r in quality_classifier(docs, w, bias=7, threshold=10).collect()}
+
+    def hix(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % P % 64
+
+    expect = 7 + sum(w[hix(t)] for t in ["the", "quick", "brown", "fox", "the"])
+    assert got[1] == (expect, expect > 10)
+    assert got[2] == (7, False) and got[3] == (7, False)

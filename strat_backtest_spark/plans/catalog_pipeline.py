@@ -2084,7 +2084,7 @@ _Q98_DIM = 4096
              coalesce(list_sum(list_transform(toks,
                t -> ((({md5_hash_sql("t")} % {_Q98_DIM}) * 2654435761 + 12345)
                      % 2000001) - 1000000
-             )), 0) AS logit
+             )), 0)::BIGINT AS logit -- list_sum promotes to HUGEINT (the q53 trap)
       FROM tok
     )
     SELECT doc_id, logit, logit > 0 AS keep FROM scored

@@ -52,27 +52,22 @@ def entry(spark: SparkSession) -> DataFrame:
 #      rotation returns it first. Head is exactly 50.
 # Round-10 application: the 42-entry r8 tail returns to the window
 # (rule 3: after r10 no entry's latest green row is older than r9),
-# joined by the entries new or touched this round: q93 (NEW
-# incremental dedup vs persisted index), q94 (NEW perceptual-hash
-# image near-dup), q95 (NEW audio-fingerprint near-dup — the WAV
-# twin of q94, late-round addition that took the head slot q92
-# vacated), q51 (ivf_topk gained the max_list per-list cap),
-# q38/q50 (multimodal.py: decode_png inflate bound + vectorized sub
-# filter per ADVICE r9, plus the new encode_png/dhash/perceptual_hash
-# and encode_wav/audio_fingerprint functions — catalog paths use the
-# fake decoder, kept in-window per the r9 precedent for co-resident
-# file changes), and q22/q23 (dedup.py co-residents of the new
-# q93/q94/q95 functions; their own functions have ZERO r10 diffs —
-# dedup.py's r10 changes are strictly APPENDED new functions:
-# minhash_band_rows, dedup_index_write/append, dedup_incremental,
-# hash_neardup_pairs — verifiable via
-# git diff cf01838..HEAD -- strat_backtest_spark/operators/dedup.py —
-# but they take the spare head slots as the most conservative
-# choice; q92, the third such co-resident, moved to the tail when
-# q95 needed its slot — its substring_dedup functions are untouched
-# and it is all-true r09, so rule 3 holds). Head is exactly 50; the
-# tail is 45 entries, every one all-true in CORRECTNESS_r09 and
-# function-level untouched this round (at most 1 round stale when
+# joined by everything new or touched this round — six NEW entries:
+# q93 (incremental dedup vs persisted index, + broadcast-delta and
+# bucketed-index plans), q94 (perceptual-hash image near-dup), q95
+# (audio-fingerprint near-dup), q96 (streaming incremental dedup),
+# q97 (persisted partition-pruned IVF), q98 (hashed-linear quality
+# classifier) — plus the touched q51 (ivf_topk: max_list cap +
+# pre_assigned) and q38 (multimodal.py: ADVICE-r9 decode_png
+# hardening + the new encoder/fingerprint functions; its own path
+# uses the fake decoder but it keeps the file's in-window seat).
+# Six new entries needed six head slots, vacated by untouched
+# all-true-r09 co-residents whose functions have ZERO r10 diffs
+# (each verifiable via git diff cf01838..HEAD on its file — the r10
+# changes are strictly APPENDED functions): q92, q22, q23 (dedup.py),
+# q50 (multimodal.py sample_frames/resize_meta path). Head is exactly
+# 50; the tail is 48 entries, every one all-true in CORRECTNESS_r09
+# and function-level untouched this round (at most 1 round stale when
 # the tail was formed — rule 3 satisfied with no exceptions).
 _SWEEP_TAIL = [
     "q92_substring_dedup",        # all-true r09; substring fns zero r10 diffs

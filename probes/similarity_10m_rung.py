@@ -169,6 +169,61 @@ def main() -> None:
         spark.stop()
         return
 
+    if "--ivf-persist" in sys.argv:
+        # persisted-IVF A/B (q97 at scale): assignment+layout cost is
+        # paid ONCE at write time; the query then READS only its
+        # probed lists' directories — unlike the bucketed dedup index
+        # (exchange-only win, measured slower single-node), partition
+        # pruning here avoids ~99% of the SCAN, which is a single-node
+        # win too. repartition on centroid_id keeps files-per-dir ~1.
+        from strat_backtest_spark.operators.similarity import (
+            ivf_assign,
+            ivf_probes,
+        )
+
+        t = time.time()
+        cents = train_centroids_kmeans(emb, n_centroids=1024, sample_fraction=0.01)
+        out["kmeans_train_s"] = round(time.time() - t, 1)
+        t = time.time()
+        ivf_dir = f"{corpus_dir}/ivf_corpus"
+        (
+            ivf_assign(emb, cents)
+            .repartition(64, F.col("centroid_id"))
+            .write.mode("overwrite")
+            .partitionBy("centroid_id")
+            .parquet(ivf_dir)
+        )
+        out["ivf_layout_write_s"] = round(time.time() - t, 1)
+        print(json.dumps({"ivf_layout_write": out["ivf_layout_write_s"]}),
+              file=sys.stderr, flush=True)
+        pairs = {}
+        for label in ("onthefly", "persisted", "onthefly2", "persisted2"):
+            t = time.time()
+            if label.startswith("persisted"):
+                probe_ids = sorted(
+                    r["probe"]
+                    for r in ivf_probes(queries, cents, 8)
+                    .select("probe").distinct().collect()
+                )
+                corpus = spark.read.parquet(ivf_dir).filter(
+                    F.col("centroid_id").isin(probe_ids)
+                )
+                res = ivf_topk(corpus, queries, cents, k=10, nprobe=8,
+                               pre_assigned=True)
+            else:
+                res = ivf_topk(emb, queries, cents, k=10, nprobe=8)
+            got = {(r["query_id"], r["neighbor_id"]) for r in res.collect()}
+            pairs[label] = got
+            out[f"ivf_{label}_s"] = round(time.time() - t, 1)
+            print(json.dumps({f"ivf_{label}": out[f"ivf_{label}_s"],
+                              "rows": len(got)}),
+                  file=sys.stderr, flush=True)
+        out["persisted_equals_onthefly"] = pairs["persisted"] == pairs["onthefly"]
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+        print(json.dumps(out))
+        spark.stop()
+        return
+
     run("ann_topk", lambda: ann_topk(emb, queries, k=10, n_planes=n_planes))
     # the mega-bucket mitigation: deterministic per-bucket cap
     run(

@@ -1610,9 +1610,16 @@ def dedup_incremental(
         exact_vs_index = digs.join(
             idx_digests.select("text_hash"), "text_hash", "left_semi"
         ).select(id_col)
+    # md5(NULL text) is NULL and Spark windows group NULLs into ONE
+    # partition — without this filter every null-text delta doc but
+    # the min-id one would be flagged dup_exact, diverging from the
+    # pinned contract (content-less docs are kept: the index probes
+    # drop nulls via equi-join semantics and the near path's band
+    # rows never emit for null signatures).
     wh = Window.partitionBy("text_hash")
     exact_within = (
-        digs.withColumn("__min_id", F.min(id_col).over(wh))
+        digs.filter(F.col("text_hash").isNotNull())
+        .withColumn("__min_id", F.min(id_col).over(wh))
         .filter(F.col(id_col) > F.col("__min_id"))
         .select(id_col)
     )

@@ -1994,7 +1994,7 @@ def _q96_oracle_sql(n_chunks: int = 3) -> str:
       SELECT DISTINCT a.doc_id
       FROM banded a JOIN banded b USING (band, band_key)
       WHERE a.doc_id % {n_chunks} = {k}
-        AND ({idx_cond.replace("b.doc_id", "b.doc_id")}
+        AND ({idx_cond}
              OR (b.doc_id % {n_chunks} = {k} AND b.doc_id < a.doc_id))
     ),
     v_{k} AS (

@@ -392,8 +392,9 @@ def streaming_incremental_dedup(
     resumes from the checkpoint + the index as-is — at 100 TB the
     index is the durable artifact and micro-batch cost tracks the
     day's delta exactly as the q93 rung measures."""
+    import hashlib
+    import os
     import shutil
-    import tempfile
 
     from strat_backtest_spark.operators.dedup import (
         dedup_incremental,
@@ -405,9 +406,15 @@ def streaming_incremental_dedup(
         "doc_id", "text"
     )
     stream, replay_dir = _chunked_replay(spark, static, n_chunks)
-    index_dir = tempfile.mkdtemp(prefix="stream_dedup_index_")
-    out_dir = tempfile.mkdtemp(prefix="stream_dedup_verdicts_")
-    dedup_index_write(static.limit(0), index_dir)  # day-zero: empty
+    # deterministic scratch dirs (the q93/q97 convention): repeated
+    # gate runs REUSE the paths instead of accumulating tempdirs;
+    # out_dir is the returned DataFrame's backing store, so it is
+    # wiped at the START of the next run rather than on exit
+    tag = hashlib.md5(f"{sf_dir}|{n_chunks}".encode()).hexdigest()[:10]
+    index_dir = f"/tmp/stream_dedup_index_{tag}"
+    out_dir = f"/tmp/stream_dedup_verdicts_{tag}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    dedup_index_write(static.limit(0), index_dir)  # day-zero: empty (overwrite)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():  # replay padding trigger
@@ -423,10 +430,11 @@ def streaming_incremental_dedup(
         q.processAllAvailable()
     finally:
         q.stop()
-    shutil.rmtree(replay_dir, ignore_errors=True)
-    shutil.rmtree(index_dir, ignore_errors=True)
-    import os
+        shutil.rmtree(replay_dir, ignore_errors=True)
+        shutil.rmtree(index_dir, ignore_errors=True)
 
-    if not any(f.endswith(".parquet") for f in os.listdir(out_dir)):
+    if not os.path.isdir(out_dir) or not any(
+        f.endswith(".parquet") for f in os.listdir(out_dir)
+    ):
         return spark.createDataFrame([], "doc_id long, verdict string")
     return spark.read.schema("doc_id long, verdict string").parquet(out_dir)

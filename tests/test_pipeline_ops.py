@@ -1902,3 +1902,46 @@ def test_quality_classifier_exact_and_null_safe(spark):
     expect = 7 + sum(w[hix(t)] for t in ["the", "quick", "brown", "fox", "the"])
     assert got[1] == (expect, expect > 10)
     assert got[2] == (7, False) and got[3] == (7, False)
+
+
+def test_dedup_incremental_null_text_kept(spark, tmp_path):
+    """ADVICE-r10 regression: md5(NULL text) is NULL and Spark windows
+    group NULLs into one partition — without the isNotNull filter the
+    within-delta exact window flagged all-but-min-id null-text docs
+    dup_exact. The pinned contract (the q93/q96 oracles' WHERE text IS
+    NOT NULL) treats content-less docs as kept; two null-text delta
+    docs must BOTH come back kept, and real dups must be unaffected."""
+    from strat_backtest_spark.operators.dedup import (
+        dedup_incremental,
+        dedup_index_write,
+    )
+
+    idx_docs = spark.createDataFrame(
+        [(0, "historical alpha beta gamma delta epsilon zeta eta")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "null_idx")
+    dedup_index_write(idx_docs, path)
+
+    delta = spark.createDataFrame(
+        [
+            (101, None),  # content-less: must be kept
+            (103, None),  # second null-text doc: must ALSO be kept
+            (105, "historical alpha beta gamma delta epsilon zeta eta"),
+            (107, "fresh delta content with plenty of unique tokens"),
+        ],
+        "doc_id long, text string",
+    )
+    for bc in (True, False):
+        got = {
+            r["doc_id"]: r["verdict"]
+            for r in dedup_incremental(
+                spark, delta, path, broadcast_delta=bc
+            ).collect()
+        }
+        assert got == {
+            101: "kept",
+            103: "kept",
+            105: "dup_exact",
+            107: "kept",
+        }, f"broadcast_delta={bc}: {got}"

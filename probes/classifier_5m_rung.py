@@ -51,14 +51,29 @@ def main() -> None:
     )
 
     docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    # warm-up: page the corpus + start Python workers OUTSIDE the
+    # timed window (the r11 first-timed-run-vs-second skew: 7.0 s
+    # unigram before 5.2 s unigram+bigram was pure scan warmup)
+    docs.select("doc_id", "text").write.format("noop").mode("overwrite").save()
     t = time.time()
     quality_classifier(docs, fixture_weights(4096)).write.format("noop").mode(
         "overwrite"
     ).save()
     out["classify_s"] = round(time.time() - t, 1)
     out["docs_per_s"] = int(out["docs"] / out["classify_s"])
+
+    # round-11 variant: unigram + hashed-bigram features (the fastText
+    # pair table roughly doubles the feature stream; vectorized scorer)
+    t = time.time()
+    quality_classifier(
+        docs, fixture_weights(4096), bigram_weights=fixture_weights(2048)
+    ).write.format("noop").mode("overwrite").save()
+    out["classify_bigram_s"] = round(time.time() - t, 1)
+    out["docs_per_s_bigram"] = int(out["docs"] / out["classify_bigram_s"])
     print(json.dumps({"classify": out["classify_s"],
-                      "docs_per_s": out["docs_per_s"]}),
+                      "docs_per_s": out["docs_per_s"],
+                      "classify_bigram": out["classify_bigram_s"],
+                      "docs_per_s_bigram": out["docs_per_s_bigram"]}),
           file=sys.stderr, flush=True)
 
     shutil.rmtree(corpus_dir, ignore_errors=True)

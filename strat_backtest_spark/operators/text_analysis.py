@@ -919,6 +919,7 @@ def quality_classifier(
     threshold: int = 0,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bigram_weights=None,
 ) -> DataFrame:
     """Model-based quality filtering — the CCNet/fastText-style gate a
     production curation pipeline runs after the heuristic scores: a
@@ -938,39 +939,116 @@ def quality_classifier(
     deliberately NOT computed here: exp() differs across engines,
     comparisons don't). Tokenizer is the module's mirrored ASCII-\\s
     convention; the md5-prefix hash is ``functions/hashing.md5_hash``
-    (byte-identical in any engine with md5). Per-worker token→index
-    memo: vocabulary ≪ token stream, so the md5 runs once per distinct
-    token per batch, not once per occurrence."""
+    (byte-identical in any engine with md5).
+
+    ``bigram_weights`` (optional) adds fastText-style hashed bigram
+    features over the SAME filtered token sequence:
+    ``logit += Σ_adjacent_pairs w2[md5_hash(t_i || ' ' || t_{i+1}) %
+    dim2]`` — the bigram string uses a single-space joiner, so the SQL
+    mirror is ``toks[i] || ' ' || toks[i+1]``. Same map-only shape:
+    the feature hash replaces any pair vocabulary.
+
+    Scoring is fully vectorized per Arrow batch. Tokenization takes
+    the C fast path when it can: the batch's texts are joined into one
+    mega-string with a NUL sentinel token between rows and split with
+    ``str.split()`` (C loop, drops empties, splits on exactly the
+    ASCII ``\\s`` set PLUS the unicode-whitespace/NUL characters the
+    per-batch guard regex rules out first — any hit falls back to the
+    per-row ``_WS_RE.split``, so semantics are identical either way).
+    ``pd.factorize`` over the flat token stream means md5 runs once
+    per DISTINCT token per batch (memoized across batches per
+    worker); bigrams factorize as INT PAIRS of unigram codes, so the
+    pair string is built and hashed once per distinct pair, never per
+    occurrence. Per-doc sums are int64 cumsum prefix-differences —
+    exact integer arithmetic end to end, no float accumulation."""
     import hashlib
 
     from strat_backtest_spark.functions.hashing import P
 
     w = np.asarray(weights, dtype=np.int64)
     dim = len(w)
+    w2 = None if bigram_weights is None else np.asarray(bigram_weights, dtype=np.int64)
+    dim2 = 0 if w2 is None else len(w2)
     b, thr = int(bias), int(threshold)
     ws = _WS_RE
     id_type = docs.schema[id_col].dataType.simpleString()
 
+    def _hash_token(t: str, d: int) -> int:
+        return int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % P % d
+
+    def _hash_uniques(uniques, memo: dict, d: int) -> "np.ndarray":
+        uw = np.empty(len(uniques), dtype=np.int64)
+        for j, t in enumerate(uniques):
+            ix = memo.get(t)
+            if ix is None:
+                ix = _hash_token(t, d)
+                memo[t] = ix
+            uw[j] = ix
+        return uw
+
+    def _segment_sums(vals: "np.ndarray", rows: "np.ndarray", n: int) -> "np.ndarray":
+        # rows is non-decreasing (token order preserves row order);
+        # exact int64 prefix sums handle empty segments for free
+        cs = np.concatenate(([0], np.cumsum(vals, dtype=np.int64)))
+        per_row = np.bincount(rows, minlength=n).astype(np.int64)
+        ends = np.cumsum(per_row)
+        return cs[ends] - cs[ends - per_row]
+
+    # characters where str.split() and ASCII \s+ disagree: unicode
+    # whitespace outside [ \t\n\r\f\v], plus the \x01 row sentinel
+    # itself (NOT \x00: numpy's str-scalar coercion strips trailing
+    # NULs, so an object-array == "\x00" comparison silently never
+    # matches — pinned by the parity unit's sentinel-collision doc)
+    _fallback_det = re.compile(
+        "[\\x01\\x1c-\\x1f\\x85\\xa0\\u1680\\u2000-\\u200a"
+        "\\u2028\\u2029\\u202f\\u205f\\u3000]"
+    )
+
+    def _tokens(texts: "pd.Series", n: int):
+        """(token array, row index array) under the module's ASCII-\\s
+        convention — C mega-split fast path, exact regex fallback."""
+        joined = "\n".join(texts)
+        if _fallback_det.search(joined) is None:
+            flat = np.array(("\n\x01\n".join(texts)).split(), dtype=object)
+            is_sep = flat == "\x01"
+            return flat[~is_sep], np.cumsum(is_sep)[~is_sep]
+        exploded = texts.str.split(ws).explode()
+        keep_tok = exploded.notna() & (exploded != "")
+        toks = exploded[keep_tok]
+        return toks.to_numpy(), toks.index.to_numpy(dtype=np.int64)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        memo: dict[str, int] = {}
+        memo1: dict[str, int] = {}
+        memo2: dict[str, int] = {}
         for pdf in batches:
-            logits = np.empty(len(pdf), dtype=np.int64)
-            for i, txt in enumerate(pdf[text_col]):
-                s = b
-                if isinstance(txt, str):
-                    for t in ws.split(txt):
-                        if not t:
-                            continue
-                        ix = memo.get(t)
-                        if ix is None:
-                            ix = (
-                                int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
-                                % P
-                                % dim
-                            )
-                            memo[t] = ix
-                        s += int(w[ix])
-                logits[i] = s
+            n = len(pdf)
+            tarr, rows = _tokens(
+                pdf[text_col].reset_index(drop=True).fillna(""), n
+            )
+            logits = np.full(n, b, dtype=np.int64)
+            if len(tarr):
+                codes, uniques = pd.factorize(tarr, sort=False)
+                uw = w[_hash_uniques(uniques, memo1, dim)]
+                logits += _segment_sums(uw[codes], rows, n)
+                if w2 is not None and len(tarr) > 1:
+                    adj = rows[:-1] == rows[1:]
+                    if adj.any():
+                        nu = len(uniques)
+                        pair = (
+                            codes[:-1].astype(np.int64) * nu + codes[1:]
+                        )[adj]
+                        pcodes, puniq = pd.factorize(pair, sort=False)
+                        bw = np.empty(len(puniq), dtype=np.int64)
+                        for j, pu in enumerate(puniq):
+                            bg = uniques[pu // nu] + " " + uniques[pu % nu]
+                            ix = memo2.get(bg)
+                            if ix is None:
+                                ix = _hash_token(bg, dim2)
+                                memo2[bg] = ix
+                            bw[j] = ix
+                        logits += _segment_sums(
+                            w2[bw[pcodes]], rows[:-1][adj], n
+                        )
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(),

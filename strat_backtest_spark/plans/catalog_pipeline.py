@@ -2075,6 +2075,15 @@ def q97_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q98_DIM = 4096
 
 
+_Q98_DIM2 = 2048  # hashed-bigram feature table (fastText-style)
+_BIGRAM_T = "toks[i] || ' ' || toks[i+1]"  # single-space joiner (engine parity)
+
+
+def _fixture_weight_sql(ix: str) -> str:
+    """DuckDB mirror of text_analysis.fixture_weights[ix]."""
+    return f"((({ix}) * 2654435761 + 12345) % 2000001) - 1000000"
+
+
 @query(
     "q98_quality_classifier",
     oracle=f"""
@@ -2082,9 +2091,12 @@ _Q98_DIM = 4096
     scored AS (
       SELECT doc_id,
              coalesce(list_sum(list_transform(toks,
-               t -> ((({md5_hash_sql("t")} % {_Q98_DIM}) * 2654435761 + 12345)
-                     % 2000001) - 1000000
-             )), 0)::BIGINT AS logit -- list_sum promotes to HUGEINT (the q53 trap)
+               t -> {_fixture_weight_sql(f"{md5_hash_sql('t')} % {_Q98_DIM}")}
+             )), 0)::BIGINT -- list_sum promotes to HUGEINT (the q53 trap)
+             + coalesce(list_sum(list_transform(
+                 CASE WHEN len(toks) >= 2 THEN range(1, len(toks)) ELSE [] END,
+                 i -> {_fixture_weight_sql(f"{md5_hash_sql(_BIGRAM_T)} % {_Q98_DIM2}")}
+             )), 0)::BIGINT AS logit
       FROM tok
     )
     SELECT doc_id, logit, logit > 0 AS keep FROM scored
@@ -2095,9 +2107,12 @@ def q98_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the fastText/CCNet-style gate) scoring every document in one
     map-only Arrow pass — integer micro-unit weights make the logit an
     exact, order-free sum, so the oracle regenerates weights AND
-    feature hashing in pure SQL and the verdicts pin value-exactly
-    (operators/text_analysis.quality_classifier; weights are the
-    injection slot — fixture_weights stands in for a trained
+    feature hashing in pure SQL and the verdicts pin value-exactly.
+    Round 11 adds the fastText bigram half: hashed adjacent-pair
+    features over the same filtered token sequence, mirrored in SQL as
+    ``toks[i] || ' ' || toks[i+1]`` over a separate {_Q98_DIM2}-slot
+    table (operators/text_analysis.quality_classifier; weights are
+    the injection slot — fixture_weights stands in for a trained
     export)."""
     from strat_backtest_spark.operators.text_analysis import (
         fixture_weights,
@@ -2105,4 +2120,8 @@ def q98_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    return quality_classifier(docs, fixture_weights(_Q98_DIM))
+    return quality_classifier(
+        docs,
+        fixture_weights(_Q98_DIM),
+        bigram_weights=fixture_weights(_Q98_DIM2),
+    )

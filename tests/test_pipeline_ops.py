@@ -1945,3 +1945,61 @@ def test_dedup_incremental_null_text_kept(spark, tmp_path):
             105: "dup_exact",
             107: "kept",
         }, f"broadcast_delta={bc}: {got}"
+
+
+def test_quality_classifier_bigrams_and_vectorized_parity(spark):
+    """Round-11 vectorization + bigram features: the logit must equal
+    the scalar per-token/per-pair recompute on adversarial inputs —
+    multi-space runs, leading/trailing whitespace, a non-breaking
+    space (ASCII \\s must NOT split it: one token), repeated tokens,
+    single-token docs (no bigram), null text (bias only)."""
+    import hashlib
+
+    from strat_backtest_spark.functions.hashing import P
+    from strat_backtest_spark.operators.text_analysis import (
+        fixture_weights,
+        quality_classifier,
+    )
+
+    w1, w2 = fixture_weights(64), fixture_weights(32)
+    texts = {
+        1: "the quick  brown\tfox the",
+        2: "  leading and trailing  ",
+        3: "nbsp\u00a0joined stays",
+        4: "solo",
+        5: None,
+        6: "a b a b a",
+        7: "sentinel\x01collision forces the exact fallback path",
+        8: "shared tail tokens overlap across rows in one batch",
+        9: "shared tail tokens overlap across rows in one batch too",
+    }
+    # ONE partition → all docs share an Arrow batch, so the mega-split
+    # fast path's row-boundary bookkeeping is actually exercised
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    ).coalesce(1)
+    got = {
+        r["doc_id"]: r["logit"]
+        for r in quality_classifier(
+            docs, w1, bias=3, bigram_weights=w2
+        ).collect()
+    }
+
+    import re
+
+    ws = re.compile(r"\s+", re.ASCII)
+
+    def hix(t, d):
+        return int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % P % d
+
+    for did, txt in texts.items():
+        s = 3
+        if isinstance(txt, str):
+            toks = [t for t in ws.split(txt) if t]
+            s += sum(int(w1[hix(t, 64)]) for t in toks)
+            s += sum(
+                int(w2[hix(f"{a} {b}", 32)]) for a, b in zip(toks, toks[1:])
+            )
+        assert got[did] == s, (did, got[did], s)
+    # the NBSP doc really kept the joined token (2 tokens, 1 bigram)
+    assert "nbsp\u00a0joined" in texts[3]

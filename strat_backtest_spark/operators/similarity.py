@@ -716,3 +716,145 @@ def ann_recall(
             ).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# persisted-IVF index maintenance (q99): append + drift gate
+# ---------------------------------------------------------------------------
+
+def _assigned_mean_dist(assigned: DataFrame, centroids, vec_col: str) -> float:
+    """Mean L2 distance-to-assigned-centroid over ``assigned`` rows —
+    the assignment-quality scalar the drift gate compares. JVM-side
+    (broadcast codebook join + an array fold), one aggregate job; at
+    100 TB run it on a sample (``ivf_index_drift`` does)."""
+    spark = assigned.sparkSession
+    cents = spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in centroids],
+        "centroid_id long, cvec array<double>",
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.col("cvec"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    row = (
+        assigned.join(F.broadcast(cents), "centroid_id")
+        .agg(F.avg(F.sqrt(d2)).alias("mean_dist"))
+        .collect()[0]
+    )
+    return float(row["mean_dist"]) if row["mean_dist"] is not None else 0.0
+
+
+def ivf_index_write(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+    drift_sample: float | None = None,
+) -> None:
+    """Persist the q97 partitioned-IVF layout: assign ONCE, land
+    ``partitionBy(centroid_id)`` so probe-time ``isin`` filters become
+    literal INSET PartitionFilters (plans/catalog_pipeline.py q97).
+    Also records the write-time assignment quality (mean
+    distance-to-centroid, optionally on a ``drift_sample`` fraction)
+    at ``{path}/_drift_baseline`` — the denominator of the drift gate.
+    The codebook itself is persisted at ``{path}/_centroids`` so a
+    reader never depends on the caller re-supplying it."""
+    spark = corpus.sparkSession
+    assigned = ivf_assign(corpus, centroids, vec_col)
+    assigned.write.mode(mode).partitionBy("centroid_id").parquet(
+        f"{path}/vectors"
+    )
+    persisted = spark.read.parquet(f"{path}/vectors")
+    sample = persisted if drift_sample is None else persisted.sample(
+        drift_sample, seed=7
+    )
+    base = _assigned_mean_dist(sample, centroids, vec_col)
+    spark.createDataFrame(
+        [(base,)], "mean_dist double"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_drift_baseline")
+    spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in centroids],
+        "centroid_id long, cvec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_centroids")
+
+
+def ivf_index_append(
+    delta: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Register newly-embedded vectors in a persisted IVF layout — the
+    similarity analog of ``dedup_index_append`` (operators/dedup.py):
+    assign the DELTA against the index's OWN persisted codebook and
+    append into the same ``partitionBy(centroid_id)`` directories.
+    Cost tracks the delta (one assign pass + append writes into the
+    touched lists); the existing index is never read, rewritten, or
+    shuffled. Centroids do NOT move on append — that is the point
+    (moving them would orphan every previously-assigned vector); when
+    accumulated drift degrades assignment quality past the gate
+    (``ivf_index_needs_retrain``), re-train and rebuild instead."""
+    spark = delta.sparkSession
+    centroids = [
+        (int(r["centroid_id"]), [float(x) for x in r["cvec"]])
+        for r in spark.read.parquet(f"{path}/_centroids").collect()
+    ]
+    ivf_assign(delta, centroids, vec_col).write.mode("append").partitionBy(
+        "centroid_id"
+    ).parquet(f"{path}/vectors")
+
+
+def ivf_index_drift(
+    spark,
+    path: str,
+    vec_col: str = "embedding",
+    sample_fraction: float | None = None,
+) -> dict:
+    """Assignment-quality drift of a persisted IVF index: current mean
+    distance-to-assigned-centroid (over a ``sample_fraction`` when
+    given — at 100 TB you never measure drift on the full corpus)
+    relative to the write-time baseline. Returns ``{"mean_dist",
+    "baseline", "ratio"}``; ratio grows past 1.0 as appended vectors
+    land ever farther from the frozen codebook."""
+    centroids = [
+        (int(r["centroid_id"]), [float(x) for x in r["cvec"]])
+        for r in spark.read.parquet(f"{path}/_centroids").collect()
+    ]
+    cur = spark.read.parquet(f"{path}/vectors")
+    if sample_fraction is not None:
+        cur = cur.sample(sample_fraction, seed=7)
+    mean_dist = _assigned_mean_dist(cur, centroids, vec_col)
+    base = float(
+        spark.read.parquet(f"{path}/_drift_baseline").collect()[0]["mean_dist"]
+    )
+    ratio = mean_dist / base if base > 0 else float("inf") if mean_dist else 1.0
+    return {"mean_dist": mean_dist, "baseline": base, "ratio": ratio}
+
+
+def ivf_index_needs_retrain(
+    spark,
+    path: str,
+    threshold: float = 1.25,
+    vec_col: str = "embedding",
+    sample_fraction: float | None = None,
+) -> bool:
+    """The drift GATE: True when the index's mean distance-to-centroid
+    has grown past ``threshold`` × the write-time baseline — the
+    signal to re-train the codebook (``train_centroids_kmeans`` on a
+    sample) and rebuild via ``ivf_index_write``. A daily-embedding
+    pipeline calls this after ``ivf_index_append``; rebuilds are
+    RARE-cadence batch jobs, appends are the steady state. Rebuild
+    into a FRESH path and swap (Spark scans lazily — an in-place
+    overwrite whose source is the index itself deletes files
+    mid-scan; pinned by the drift-gate unit)."""
+    return (
+        ivf_index_drift(spark, path, vec_col, sample_fraction)["ratio"]
+        > threshold
+    )

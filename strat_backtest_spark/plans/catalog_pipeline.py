@@ -2125,3 +2125,54 @@ def q98_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         fixture_weights(_Q98_DIM),
         bigram_weights=fixture_weights(_Q98_DIM2),
     )
+
+
+@query("q99_ivf_index_append", oracle=_IVF_ORACLE)
+def q99_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-IVF index MAINTENANCE — the open-world half q97
+    lacks, mirroring q93's dedup-index append: even vec_ids are
+    yesterday's index (ivf_index_write: assign once, land
+    partitionBy(centroid_id), record the drift baseline + codebook),
+    odd vec_ids are today's embedding run appended with
+    ivf_index_append (assigned against the index's own persisted
+    codebook — the index is never read or rewritten), then the same
+    probe-pruned partition-filtered read as q97 answers the queries.
+    The union equals the full corpus, so the shared _IVF_ORACLE pins
+    append-then-query ≡ rebuild-then-query value-exactly (also a
+    direct unit: tests/test_pipeline_ops.py::
+    test_ivf_index_append_equals_rebuild). The drift gate
+    (ivf_index_needs_retrain) is the re-train trigger a
+    daily-embedding pipeline polls after each append
+    (operators/similarity.py)."""
+    import hashlib as _hl
+
+    from strat_backtest_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_write,
+        ivf_probes,
+        ivf_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < _IVF_K).orderBy("vec_id").collect()
+    ]
+    path = "/tmp/spark_graft_q99_ivf_" + _hl.md5(sf_dir.encode()).hexdigest()[:10]
+    ivf_index_write(emb.filter(F.col("vec_id") % 2 == 0), cents, path)
+    ivf_index_append(emb.filter(F.col("vec_id") % 2 == 1), path)
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    probe_ids = sorted(
+        r["probe"]
+        for r in ivf_probes(queries, cents, _IVF_NPROBE)
+        .select("probe")
+        .distinct()
+        .collect()
+    )
+    corpus = spark.read.parquet(f"{path}/vectors").filter(
+        F.col("centroid_id").isin(probe_ids)
+    )
+    return ivf_topk(
+        corpus, queries, cents, k=5, nprobe=_IVF_NPROBE, pre_assigned=True
+    )

@@ -2003,3 +2003,99 @@ def test_quality_classifier_bigrams_and_vectorized_parity(spark):
         assert got[did] == s, (did, got[did], s)
     # the NBSP doc really kept the joined token (2 tokens, 1 bigram)
     assert "nbsp\u00a0joined" in texts[3]
+
+
+def test_ivf_index_append_equals_rebuild(spark, tmp_path):
+    """q99's contract: ivf_index_write(half) + ivf_index_append(rest)
+    must answer probe-pruned queries value-identically to a one-shot
+    rebuild over the union (same codebook — append assigns against
+    the index's own persisted centroids)."""
+    from pyspark.sql import functions as F
+
+    from strat_backtest_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_write,
+        ivf_probes,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    cents = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    queries = emb.filter(F.col("vec_id") < 6)
+
+    p_inc = str(tmp_path / "ivf_inc")
+    ivf_index_write(emb.filter(F.col("vec_id") % 2 == 0), cents, p_inc)
+    ivf_index_append(emb.filter(F.col("vec_id") % 2 == 1), p_inc)
+    p_full = str(tmp_path / "ivf_full")
+    ivf_index_write(emb, cents, p_full)
+
+    def topk(path):
+        probe_ids = sorted(
+            r["probe"]
+            for r in ivf_probes(queries, cents, 2)
+            .select("probe")
+            .distinct()
+            .collect()
+        )
+        corpus = spark.read.parquet(f"{path}/vectors").filter(
+            F.col("centroid_id").isin(probe_ids)
+        )
+        return sorted(
+            (r["query_id"], r["neighbor_id"], r["cos_sim"], r["rank"])
+            for r in ivf_topk(
+                corpus, queries, cents, k=4, nprobe=2, pre_assigned=True
+            ).collect()
+        )
+
+    inc, full = topk(p_inc), topk(p_full)
+    assert inc == full and len(inc) > 0
+
+
+def test_ivf_index_drift_gate(spark, tmp_path):
+    """The re-train trigger: a snug index (vectors near their
+    centroids) passes the gate; appending a drifted batch (vectors far
+    from every centroid) trips it; re-training on the drifted corpus
+    and rebuilding clears it again."""
+    import numpy as np
+    from strat_backtest_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_drift,
+        ivf_index_needs_retrain,
+        ivf_index_write,
+        train_centroids_kmeans,
+    )
+
+    rng = np.random.default_rng(11)
+    dim = 8
+    cents = [(i, [10.0 * (i + 1) if d == i else 0.0 for d in range(dim)]) for i in range(4)]
+    snug = [
+        (i, [float(x) for x in np.asarray(cents[i % 4][1]) + rng.normal(0, 0.05, dim)])
+        for i in range(200)
+    ]
+    far = [
+        (1000 + i, [float(x) for x in rng.normal(50, 1.0, dim)])
+        for i in range(200)
+    ]
+    schema = "vec_id long, embedding array<double>"
+    path = str(tmp_path / "drift_idx")
+    ivf_index_write(spark.createDataFrame(snug, schema), cents, path)
+    d0 = ivf_index_drift(spark, path)
+    assert 0.9 < d0["ratio"] < 1.1
+    assert not ivf_index_needs_retrain(spark, path, threshold=1.25)
+
+    ivf_index_append(spark.createDataFrame(far, schema), path)
+    d1 = ivf_index_drift(spark, path)
+    assert d1["ratio"] > 1.25, d1
+    assert ivf_index_needs_retrain(spark, path, threshold=1.25)
+
+    # the prescribed response: re-train on the drifted corpus and
+    # rebuild into a FRESH path (in-place overwrite would delete the
+    # lazily-read source files mid-scan), then swap
+    corpus = spark.read.parquet(f"{path}/vectors").select("vec_id", "embedding")
+    new_cents = train_centroids_kmeans(corpus, n_centroids=5, seed=7)
+    path2 = str(tmp_path / "drift_idx_rebuilt")
+    ivf_index_write(corpus, new_cents, path2)
+    assert not ivf_index_needs_retrain(spark, path2, threshold=1.25)

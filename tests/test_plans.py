@@ -679,3 +679,16 @@ def test_q97_partition_pruning(spark):
     # probed-list semi join — both are welcome, the literal is the
     # ratchet (planning-time, stats-independent)
     assert "INSET" in m.group(1), f"literal probe-set prune lost: {m.group(1)}"
+
+
+def test_q99_partition_pruning(spark):
+    """The appended layout must keep q97's planning-time prune: after
+    ivf_index_write + ivf_index_append, the probe-pruned read still
+    carries the literal INSET PartitionFilters on centroid_id (append
+    only adds files under the same centroid_id= directories)."""
+    from strat_backtest_spark.plans.catalog import CATALOG
+    import re
+
+    p = _formatted(CATALOG["q99_ivf_index_append"].fn(spark, SF_MED))
+    m = re.search(r"PartitionFilters: \[([^\]]*centroid_id[^\]]*)\]", p)
+    assert m and "INSET" in m.group(1), f"append path lost the prune: {m}"

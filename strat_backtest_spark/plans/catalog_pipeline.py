@@ -2176,3 +2176,149 @@ def q99_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         corpus, queries, cents, k=5, nprobe=_IVF_NPROBE, pre_assigned=True
     )
+
+
+def _q100_oracle_sql(n_chunks: int = 3, cap: int = 18) -> str:
+    """The whole one-job curation loop unrolled per chunk in SQL —
+    scrub (verbatim q74 regex mirror over the FIXED suffix
+    augmentation), quota (ONE window over (chunk, doc_id): earlier
+    chunks' admissions are unaffected by later arrivals, so cumulative
+    per-batch admission telescopes, the q90 argument), incremental
+    dedup (the q96 survivor-only recursion, b-side restricted to
+    ADMITTED docs because quota-rejected docs never enter the dedup
+    stage or the index), classifier (the q98 unigram+bigram logit over
+    the SCRUBBED text). Survivors feeding chunk k's index condition
+    are v_j rows with status kept OR low_quality: classifier-rejected
+    docs are dedup survivors and ARE appended
+    (streaming/documents_stream.streaming_curation_loop)."""
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\d{3}-\d{3}-\d{4}"
+    ip = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+    aug = (
+        "CASE WHEN doc_id % 2 = 0 THEN text || "
+        "' contact admin@example.com call 555-123-4567 host 10.0.0.7' "
+        "ELSE text END"
+    )
+    scrub_expr = (
+        "regexp_replace(regexp_replace(regexp_replace(" + aug + ", '"
+        + email + "', '<EMAIL>', 'g'), '"
+        + phone + "', '<PHONE>', 'g'), '"
+        + ip + "', '<IP>', 'g')"
+    )
+    sig_cols = ", ".join(
+        f"list_min(list_transform(sh, x -> (x * {a} + {b}) % {P})) AS sig_{i}"
+        for i, (a, b) in enumerate(perm_params(_MINHASH_K))
+    )
+    uni = (
+        f"coalesce(list_sum(list_transform(toks, "
+        f"t -> {_fixture_weight_sql(f'{md5_hash_sql(chr(116))} % {_Q98_DIM}')}"
+        f")), 0)::BIGINT"
+    )
+    big = (
+        f"coalesce(list_sum(list_transform("
+        f"CASE WHEN len(toks) >= 2 THEN range(1, len(toks)) ELSE [] END, "
+        f"i -> {_fixture_weight_sql(f'{md5_hash_sql(_BIGRAM_T)} % {_Q98_DIM2}')}"
+        f")), 0)::BIGINT"
+    )
+    head = f"""
+    WITH scrub AS (
+      SELECT doc_id, source, {scrub_expr} AS text FROM documents
+    ),
+    tok AS (SELECT doc_id, {_TOKS} AS toks FROM scrub),
+    shing AS (SELECT doc_id, {_shingle_hashes_sql(3)} AS sh FROM tok),
+    sigs AS (SELECT doc_id, {sig_cols} FROM shing),
+    banded AS (
+      SELECT doc_id, b.band,
+             CASE b.band
+               WHEN 0 THEN sig_0::VARCHAR || '_' || sig_1::VARCHAR
+               WHEN 1 THEN sig_2::VARCHAR || '_' || sig_3::VARCHAR
+               WHEN 2 THEN sig_4::VARCHAR || '_' || sig_5::VARCHAR
+               ELSE        sig_6::VARCHAR || '_' || sig_7::VARCHAR
+             END AS band_key
+      FROM sigs, (SELECT unnest(range(4)) AS band) b
+      WHERE sig_0 IS NOT NULL
+    ),
+    ex AS (SELECT doc_id, md5(text) AS h FROM scrub WHERE text IS NOT NULL),
+    adm AS (
+      SELECT doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY doc_id % {n_chunks}, doc_id
+             ) AS rn
+      FROM scrub
+    ),
+    admitted AS (SELECT doc_id FROM adm WHERE rn <= {cap}),
+    logits AS (SELECT doc_id, {uni} + {big} AS logit FROM tok)
+    """
+    parts = [head]
+    for k in range(n_chunks):
+        if k == 0:
+            idx_cond = "FALSE"
+        else:
+            surv_union = " UNION ALL ".join(
+                f"SELECT doc_id FROM v_{j} WHERE status IN ('kept', 'low_quality')"
+                for j in range(k)
+            )
+            idx_cond = f"b.doc_id IN ({surv_union})"
+        parts.append(
+            f"""
+    , exact_{k} AS (
+      SELECT DISTINCT a.doc_id
+      FROM ex a JOIN ex b ON a.h = b.h
+      WHERE a.doc_id % {n_chunks} = {k}
+        AND a.doc_id IN (SELECT doc_id FROM admitted)
+        AND ({idx_cond}
+             OR (b.doc_id % {n_chunks} = {k}
+                 AND b.doc_id IN (SELECT doc_id FROM admitted)
+                 AND b.doc_id < a.doc_id))
+    ),
+    near_{k} AS (
+      SELECT DISTINCT a.doc_id
+      FROM banded a JOIN banded b USING (band, band_key)
+      WHERE a.doc_id % {n_chunks} = {k}
+        AND a.doc_id IN (SELECT doc_id FROM admitted)
+        AND ({idx_cond}
+             OR (b.doc_id % {n_chunks} = {k}
+                 AND b.doc_id IN (SELECT doc_id FROM admitted)
+                 AND b.doc_id < a.doc_id))
+    ),
+    v_{k} AS (
+      SELECT s.doc_id, s.scrub_hash,
+             CASE WHEN ad.doc_id IS NULL THEN 'quota_rejected'
+                  WHEN e.doc_id IS NOT NULL THEN 'dup_exact'
+                  WHEN nr.doc_id IS NOT NULL THEN 'dup_near'
+                  WHEN lg.logit > 0 THEN 'kept'
+                  ELSE 'low_quality' END AS status,
+             CASE WHEN ad.doc_id IS NOT NULL
+                       AND e.doc_id IS NULL AND nr.doc_id IS NULL
+                  THEN lg.logit END AS logit
+      FROM (SELECT doc_id, md5(text) AS scrub_hash FROM scrub
+            WHERE doc_id % {n_chunks} = {k}) s
+      LEFT JOIN admitted ad ON s.doc_id = ad.doc_id
+      LEFT JOIN exact_{k} e ON s.doc_id = e.doc_id
+      LEFT JOIN near_{k} nr ON s.doc_id = nr.doc_id
+      LEFT JOIN logits lg ON s.doc_id = lg.doc_id
+    )
+    """
+        )
+    final = " UNION ALL ".join(
+        f"SELECT doc_id, scrub_hash, status, logit FROM v_{k}"
+        for k in range(n_chunks)
+    )
+    return "".join(parts) + final
+
+
+@query("q100_stream_curation_loop", oracle=_q100_oracle_sql())
+def q100_stream_curation_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ingest shape as ONE streaming job: every
+    micro-batch composes PII scrub → per-source quota admission →
+    incremental dedup vs the persisted index → quality classifier
+    inside a single foreachBatch, survivors appended to the index
+    between triggers — the one-job composition of q74/q90/q93/q98
+    that q69 proves for batch and q96 for dedup alone
+    (streaming/documents_stream.streaming_curation_loop)."""
+    from strat_backtest_spark.streaming.documents_stream import (
+        streaming_curation_loop,
+    )
+
+    return streaming_curation_loop(spark, sf_dir)

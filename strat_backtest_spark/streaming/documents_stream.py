@@ -438,3 +438,183 @@ def streaming_incremental_dedup(
     ):
         return spark.createDataFrame([], "doc_id long, verdict string")
     return spark.read.schema("doc_id long, verdict string").parquet(out_dir)
+
+
+def streaming_curation_loop(
+    spark: SparkSession,
+    sf_dir: str,
+    cap: int = 18,
+    n_chunks: int = 3,
+    dim: int = 4096,
+    dim2: int = 2048,
+) -> DataFrame:
+    """The production ingest shape as ONE streaming job (q100): every
+    micro-batch (one replay chunk = one day's crawl) runs the full
+    curation chain inside a single foreachBatch —
+
+      PII scrub → per-source quota admission → incremental dedup
+      against the persisted index → hashed-linear quality classifier
+
+    — composing the operators q74/q90/q93/q98 gate individually
+    (operators/pii.pii_scrub, operators/dedup.dedup_incremental +
+    dedup_index_append, operators/text_analysis.quality_classifier).
+    One verdict row per doc: (doc_id, scrub_hash, status, logit) with
+    status ∈ quota_rejected | dup_exact | dup_near | low_quality |
+    kept and logit non-null only for docs that reached the classifier
+    (dedup survivors).
+
+    Cross-batch state is two artifacts, each the durable kind a
+    cluster restart resumes from:
+    - the dedup INDEX (parquet on shared storage) — appended with each
+      batch's dedup survivors (including classifier-rejected docs:
+      their content has been seen and judged novel; re-crawls must
+      collide with it), exactly q96's composition;
+    - per-source admitted COUNTS — one long per source (collected per
+      batch: the source key space, not the corpus), replayable from
+      the verdict store on restart. Quota outranks dedup (a
+      quota-rejected doc is never signatured and never enters the
+      index), dedup outranks the classifier.
+
+    Determinism: chunk k holds doc_id % n_chunks == k, quota ranks by
+    doc_id within a batch, and since earlier chunks' admissions are
+    unaffected by later arrivals the drained quota equals ONE SQL
+    window over (chunk, doc_id) — which is how the q100 oracle unrolls
+    the whole loop per chunk (plans/catalog_pipeline._q100_oracle_sql).
+
+    Every second doc (doc_id % 2 == 0) gets a FIXED email+phone+IP
+    suffix appended before the stream so the scrub stage is exercised
+    against text that actually contains each pattern class — fixed,
+    not doc-unique like q74's, so exact-duplicate classes inside the
+    stratum survive the augmentation and the dedup stage still sees
+    its collisions. Dedup and the classifier run on the SCRUBBED text:
+    redaction-then-curation is the real pipeline order (raw PII must
+    not enter the persisted index)."""
+    import hashlib
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    from strat_backtest_spark.operators.dedup import (
+        dedup_incremental,
+        dedup_index_append,
+        dedup_index_write,
+    )
+    from strat_backtest_spark.operators.pii import pii_scrub
+    from strat_backtest_spark.operators.text_analysis import (
+        fixture_weights,
+        quality_classifier,
+    )
+
+    static = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    aug = static.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(
+                    " contact admin@example.com call 555-123-4567 host 10.0.0.7"
+                ),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    stream, replay_dir = _chunked_replay(spark, aug, n_chunks)
+    tag = hashlib.md5(f"{sf_dir}|{n_chunks}|{cap}".encode()).hexdigest()[:10]
+    index_dir = f"/tmp/stream_curation_index_{tag}"
+    out_dir = f"/tmp/stream_curation_out_{tag}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    dedup_index_write(static.limit(0), index_dir)  # day-zero: empty
+
+    w1, w2 = fixture_weights(dim), fixture_weights(dim2)
+    admitted_counts: dict[str, int] = {}
+    out_schema = "doc_id long, scrub_hash string, status string, logit long"
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():  # replay padding trigger
+            return
+        scrubbed = (
+            pii_scrub(batch_df)
+            .select(
+                "doc_id",
+                "source",
+                "text",
+                F.md5(F.col("text").cast("binary")).alias("scrub_hash"),
+            )
+            .localCheckpoint()
+        )
+        prior = spark.createDataFrame(
+            list(admitted_counts.items()) or [("", 0)],
+            "source string, prior long",
+        )
+        wq = Window.partitionBy("source").orderBy("doc_id")
+        ranked = (
+            scrubbed.withColumn("rn", F.row_number().over(wq))
+            .join(F.broadcast(prior), "source", "left")
+            .withColumn("prior", F.coalesce(F.col("prior"), F.lit(0)))
+            .localCheckpoint()
+        )
+        adm = ranked.filter(F.col("rn") + F.col("prior") <= cap)
+        rejected = ranked.filter(F.col("rn") + F.col("prior") > cap).select(
+            "doc_id",
+            "scrub_hash",
+            F.lit("quota_rejected").alias("status"),
+            F.lit(None).cast("long").alias("logit"),
+        )
+
+        verdicts = dedup_incremental(
+            spark, adm.select("doc_id", "text"), index_dir
+        ).localCheckpoint()
+        dedup_index_append(adm, verdicts, index_dir)
+        dups = adm.join(
+            verdicts.filter(F.col("verdict") != "kept"), "doc_id"
+        ).select(
+            "doc_id",
+            "scrub_hash",
+            F.col("verdict").alias("status"),
+            F.lit(None).cast("long").alias("logit"),
+        )
+
+        survivors = adm.join(
+            verdicts.filter(F.col("verdict") == "kept").select("doc_id"),
+            "doc_id",
+        )
+        classified = (
+            quality_classifier(survivors, w1, bigram_weights=w2)
+            .join(survivors.select("doc_id", "scrub_hash"), "doc_id")
+            .select(
+                "doc_id",
+                "scrub_hash",
+                F.when(F.col("keep"), F.lit("kept"))
+                .otherwise(F.lit("low_quality"))
+                .alias("status"),
+                "logit",
+            )
+        )
+
+        rejected.unionByName(dups).unionByName(classified).write.mode(
+            "append"
+        ).parquet(out_dir)
+        for r in adm.groupBy("source").count().collect():
+            admitted_counts[r["source"]] = admitted_counts.get(
+                r["source"], 0
+            ) + int(r["count"])
+
+    q = stream.writeStream.foreachBatch(process).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(replay_dir, ignore_errors=True)
+        shutil.rmtree(index_dir, ignore_errors=True)
+
+    if not os.path.isdir(out_dir) or not any(
+        f.endswith(".parquet") for f in os.listdir(out_dir)
+    ):
+        return spark.createDataFrame([], out_schema)
+    return spark.read.schema(out_schema).parquet(out_dir)

@@ -757,6 +757,7 @@ def ivf_index_write(
     vec_col: str = "embedding",
     mode: str = "overwrite",
     drift_sample: float | None = None,
+    n_files: int = 64,
 ) -> None:
     """Persist the q97 partitioned-IVF layout: assign ONCE, land
     ``partitionBy(centroid_id)`` so probe-time ``isin`` filters become
@@ -768,9 +769,13 @@ def ivf_index_write(
     reader never depends on the caller re-supplying it."""
     spark = corpus.sparkSession
     assigned = ivf_assign(corpus, centroids, vec_col)
-    assigned.write.mode(mode).partitionBy("centroid_id").parquet(
-        f"{path}/vectors"
-    )
+    # repartition ON the partition column first: without it every
+    # write task emits a file into every list's directory (tasks x
+    # lists files — the r10 probe-layout trap); with it files-per-dir
+    # stays ~n_files/n_lists
+    assigned.repartition(n_files, F.col("centroid_id")).write.mode(
+        mode
+    ).partitionBy("centroid_id").parquet(f"{path}/vectors")
     persisted = spark.read.parquet(f"{path}/vectors")
     sample = persisted if drift_sample is None else persisted.sample(
         drift_sample, seed=7
@@ -790,6 +795,7 @@ def ivf_index_append(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_files: int = 64,
 ) -> None:
     """Register newly-embedded vectors in a persisted IVF layout — the
     similarity analog of ``dedup_index_append`` (operators/dedup.py):
@@ -806,9 +812,11 @@ def ivf_index_append(
         (int(r["centroid_id"]), [float(x) for x in r["cvec"]])
         for r in spark.read.parquet(f"{path}/_centroids").collect()
     ]
-    ivf_assign(delta, centroids, vec_col).write.mode("append").partitionBy(
-        "centroid_id"
-    ).parquet(f"{path}/vectors")
+    ivf_assign(delta, centroids, vec_col).repartition(
+        n_files, F.col("centroid_id")
+    ).write.mode("append").partitionBy("centroid_id").parquet(
+        f"{path}/vectors"
+    )
 
 
 def ivf_index_drift(

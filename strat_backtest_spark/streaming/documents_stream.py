@@ -447,6 +447,7 @@ def streaming_curation_loop(
     n_chunks: int = 3,
     dim: int = 4096,
     dim2: int = 2048,
+    phase_timers: list | None = None,
 ) -> DataFrame:
     """The production ingest shape as ONE streaming job (q100): every
     micro-batch (one replay chunk = one day's crawl) runs the full
@@ -535,9 +536,13 @@ def streaming_curation_loop(
     admitted_counts: dict[str, int] = {}
     out_schema = "doc_id long, scrub_hash string, status string, logit long"
 
+    import time as _time
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():  # replay padding trigger
             return
+        tm: dict = {"batch_id": batch_id}
+        t0 = _time.time()
         scrubbed = (
             pii_scrub(batch_df)
             .select(
@@ -548,6 +553,8 @@ def streaming_curation_loop(
             )
             .localCheckpoint()
         )
+        tm["scrub_s"] = round(_time.time() - t0, 1)
+        t0 = _time.time()
         prior = spark.createDataFrame(
             list(admitted_counts.items()) or [("", 0)],
             "source string, prior long",
@@ -567,10 +574,16 @@ def streaming_curation_loop(
             F.lit(None).cast("long").alias("logit"),
         )
 
+        tm["quota_s"] = round(_time.time() - t0, 1)
+        t0 = _time.time()
         verdicts = dedup_incremental(
             spark, adm.select("doc_id", "text"), index_dir
         ).localCheckpoint()
+        tm["dedup_s"] = round(_time.time() - t0, 1)
+        t0 = _time.time()
         dedup_index_append(adm, verdicts, index_dir)
+        tm["index_append_s"] = round(_time.time() - t0, 1)
+        t0 = _time.time()
         dups = adm.join(
             verdicts.filter(F.col("verdict") != "kept"), "doc_id"
         ).select(
@@ -600,10 +613,13 @@ def streaming_curation_loop(
         rejected.unionByName(dups).unionByName(classified).write.mode(
             "append"
         ).parquet(out_dir)
+        tm["classify_write_s"] = round(_time.time() - t0, 1)
         for r in adm.groupBy("source").count().collect():
             admitted_counts[r["source"]] = admitted_counts.get(
                 r["source"], 0
             ) + int(r["count"])
+        if phase_timers is not None:
+            phase_timers.append(tm)
 
     q = stream.writeStream.foreachBatch(process).start()
     try:

@@ -73,7 +73,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # ivf_index_* functions only), documents_stream.py
 # (streaming_incremental_dedup + appended streaming_curation_loop),
 # catalog_pipeline.py (q96 oracle no-op cleanup, q98 entry, appended
-# q99/q100).
+# q99/q100), multimodal.py (decode_png average/paeth unfilter loop
+# only — consumed by q94, rule-1 in the head; q38's tail seat is safe
+# because it uses its own inline extractor, not decode_png).
 _SWEEP_TAIL = [
     "q03_top_customers",  # all-true r10, untouched r11
     "q05_status_totals",  # all-true r10, untouched r11

@@ -31,7 +31,11 @@ from d; n_chars recomputed; 64 parquet files (probe-layout row).
 Chain wall times run the CATALOG entries against the corpus dir —
 identical code paths to the gate. Prints one JSON line.
 
-    python probes/curation_10m_rung.py [REPLICAS]
+    python probes/curation_10m_rung.py [REPLICAS] [keep]
+
+``keep`` skips the corpus delete so a follow-on probe (e.g.
+incremental_dedup_rung.py with an explicit corpus dir) can reuse the
+build instead of paying it twice.
 """
 
 from __future__ import annotations
@@ -148,9 +152,10 @@ def main() -> None:
     run("q23_minhash_lsh_pairs", "lsh_pairs")
     run("q68_dedup_apply", "dedup_apply")
     run("q69_curation_end_to_end", "curation")
-    import shutil
+    if "keep" not in sys.argv[2:]:
+        import shutil
 
-    shutil.rmtree(corpus_dir, ignore_errors=True)
+        shutil.rmtree(corpus_dir, ignore_errors=True)
     print(json.dumps(out))
     spark.stop()
 

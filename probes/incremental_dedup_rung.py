@@ -24,7 +24,20 @@ Phases (all walls engine-only, noop-write forced):
 Verdict counts are collected (3 rows) for the full delta. Corpus and
 index are deleted after. Prints one JSON line.
 
-    python probes/incremental_dedup_rung.py [REPLICAS]
+    python probes/incremental_dedup_rung.py [REPLICAS] \
+        [--corpus DIR] [--index-members K] [--delta-members D] [--big-delta]
+
+``--corpus DIR``     reuse an existing family-of-5 corpus (e.g. kept by
+                     curation_10m_rung.py ``keep``) instead of building
+                     and deleting one — REPLICAS must still match it.
+``--index-members K``  index = family members j < K (default 3).
+``--delta-members D``  delta = family members j >= 5-D (default 2).
+                     K + D < 5 leaves middle members out of both sides
+                     (how the 20M-index/20M-delta regime is cut from a
+                     50M corpus: K=2, D=2, j=2 unused).
+``--big-delta``      run only the big-delta A/B (auto plan vs bucketed
+                     index) — skips the half/small sub-delta runs whose
+                     point is the small-delta regime.
 """
 
 from __future__ import annotations
@@ -41,55 +54,71 @@ sys.path.insert(0, "/root/repo")
 from strat_backtest_spark.session import get_spark  # noqa: E402
 
 
+def _opt(flag: str, default: str | None = None) -> str | None:
+    return sys.argv[sys.argv.index(flag) + 1] if flag in sys.argv else default
+
+
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
+    reuse_corpus = _opt("--corpus")
+    idx_members = int(_opt("--index-members", "3"))
+    delta_members = int(_opt("--delta-members", "2"))
+    big_delta = "--big-delta" in sys.argv
     spark = get_spark(cpus=32)
     spark.conf.set("spark.sql.shuffle.partitions", "64")
     n_base = 5000
-    out = {"replicas": replicas, "docs": n_base * replicas}
+    out = {
+        "replicas": replicas,
+        "docs": n_base * replicas,
+        "index_members": idx_members,
+        "delta_members": delta_members,
+    }
 
-    corpus_dir = f"/tmp/incdedup_rung_{replicas}x"
-    index_dir = f"{corpus_dir}/index"
-    t0 = time.time()
-    base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-    rep = base.crossJoin(
-        spark.range(replicas).withColumnRenamed("id", "r")
-    ).select(
-        "doc_id",
-        "text",
-        "r",
-        (F.col("r") / 5).cast("long").alias("g"),
-        (F.col("r") % 5).alias("j"),
-    )
-    words = F.split(F.col("text"), r"\s+")
-    # hashed family tokens — no cross-family shift collisions (see the
-    # generator note in curation_10m_rung.py)
-    fam_tok = lambda i: F.concat(
-        F.lit("f"),
-        F.pmod(F.xxhash64(F.col("doc_id"), F.col("g"), i), F.lit(99991)).cast(
-            "string"
-        ),
-    )
-    jittered = F.transform(
-        words, lambda w, i: F.when(i % 2 == 1, fam_tok(i)).otherwise(w)
-    )
-    new_text = F.concat(
-        F.array_join(jittered, " "), F.lit(" u"), F.col("j").cast("string")
-    )
-    # two-stage select: jitter while doc_id is still the BASE id, then
-    # re-key — HOF-lambda outer refs resolve against a same-select
-    # output alias (the curation_10m_rung.py trap note)
-    staged = rep.select("doc_id", "r", "j", new_text.alias("text"))
-    (
-        staged.select(
-            (F.col("doc_id") + F.col("r") * n_base).alias("doc_id"),
+    corpus_dir = reuse_corpus or f"/tmp/incdedup_rung_{replicas}x"
+    scratch = f"/tmp/incdedup_rung_{replicas}x_scratch"
+    shutil.rmtree(scratch, ignore_errors=True)
+    index_dir = f"{scratch}/index"
+    if reuse_corpus is None:
+        t0 = time.time()
+        base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+        rep = base.crossJoin(
+            spark.range(replicas).withColumnRenamed("id", "r")
+        ).select(
+            "doc_id",
             "text",
+            "r",
+            (F.col("r") / 5).cast("long").alias("g"),
+            (F.col("r") % 5).alias("j"),
         )
-        .repartition(64)
-        .write.mode("overwrite")
-        .parquet(f"{corpus_dir}/documents.parquet")
-    )
-    out["corpus_build_s"] = round(time.time() - t0, 1)
+        words = F.split(F.col("text"), r"\s+")
+        # hashed family tokens — no cross-family shift collisions (see
+        # the generator note in curation_10m_rung.py)
+        fam_tok = lambda i: F.concat(
+            F.lit("f"),
+            F.pmod(
+                F.xxhash64(F.col("doc_id"), F.col("g"), i), F.lit(99991)
+            ).cast("string"),
+        )
+        jittered = F.transform(
+            words, lambda w, i: F.when(i % 2 == 1, fam_tok(i)).otherwise(w)
+        )
+        new_text = F.concat(
+            F.array_join(jittered, " "), F.lit(" u"), F.col("j").cast("string")
+        )
+        # two-stage select: jitter while doc_id is still the BASE id,
+        # then re-key — HOF-lambda outer refs resolve against a
+        # same-select output alias (the curation_10m_rung.py trap note)
+        staged = rep.select("doc_id", "r", "j", new_text.alias("text"))
+        (
+            staged.select(
+                (F.col("doc_id") + F.col("r") * n_base).alias("doc_id"),
+                "text",
+            )
+            .repartition(64)
+            .write.mode("overwrite")
+            .parquet(f"{corpus_dir}/documents.parquet")
+        )
+        out["corpus_build_s"] = round(time.time() - t0, 1)
 
     chk = {
         r["doc_id"]: r["text"]
@@ -106,11 +135,13 @@ def main() -> None:
         minhash_band_rows,
     )
 
-    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
     member = (F.col("doc_id") / n_base).cast("long") % 5
-    index_docs = docs.filter(member < 3)
-    delta_full = docs.filter(member >= 3)
-    delta_half = docs.filter(member == 3)
+    index_docs = docs.filter(member < idx_members)
+    delta_full = docs.filter(member >= 5 - delta_members)
+    delta_half = docs.filter(member == 5 - delta_members)
 
     t = time.time()
     dedup_index_write(index_docs, index_dir)
@@ -129,7 +160,7 @@ def main() -> None:
     # probe), then the big-delta semi runs against it
     t = time.time()
     dedup_index_write_bucketed(
-        spark, index_docs, "rung_bidx", f"{corpus_dir}/bidx"
+        spark, index_docs, "rung_bidx", f"{scratch}/bidx"
     )
     out["index_build_bucketed_s"] = round(time.time() - t, 1)
     print(json.dumps({"index_build_bucketed": out["index_build_bucketed_s"]}),
@@ -138,12 +169,16 @@ def main() -> None:
     delta_small = delta_half.filter(F.col("doc_id") % 50 == 0)
     runs = [
         ("inc_full", delta_full, None, None),
+        ("inc_full_semi", delta_full, False, None),
         ("inc_full_bucketed", delta_full, False, "rung_bidx"),
-        ("inc_half_semi", delta_half, False, None),
-        ("inc_half_bc", delta_half, True, None),
-        ("inc_small_bc", delta_small, True, None),
-        ("inc_small_semi", delta_small, False, None),
     ]
+    if not big_delta:
+        runs = runs[:1] + runs[2:] + [
+            ("inc_half_semi", delta_half, False, None),
+            ("inc_half_bc", delta_half, True, None),
+            ("inc_small_bc", delta_small, True, None),
+            ("inc_small_semi", delta_small, False, None),
+        ]
     for key, delta, bc, tbl in runs:
         t = time.time()
         dedup_incremental(
@@ -163,14 +198,19 @@ def main() -> None:
     )
     out["verdicts"] = {r["verdict"]: r["count"] for r in verdicts}
 
+    # the anchor covers exactly index ∪ delta (middle members a K+D<5
+    # split leaves out of both sides are not the batch run's work)
     t = time.time()
-    minhash_band_rows(docs).write.format("noop").mode("overwrite").save()
+    anchor_docs = docs.filter((member < idx_members) | (member >= 5 - delta_members))
+    minhash_band_rows(anchor_docs).write.format("noop").mode("overwrite").save()
     out["batch_anchor_s"] = round(time.time() - t, 1)
     print(json.dumps({"batch_anchor": out["batch_anchor_s"],
                       "verdicts": out["verdicts"]}),
           file=sys.stderr, flush=True)
 
-    shutil.rmtree(corpus_dir, ignore_errors=True)
+    shutil.rmtree(scratch, ignore_errors=True)
+    if reuse_corpus is None:
+        shutil.rmtree(corpus_dir, ignore_errors=True)
     print(json.dumps(out))
     spark.stop()
 

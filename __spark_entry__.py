@@ -59,8 +59,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # (vectorized classifier + hashed-bigram features, oracle extended in
 # lockstep), q94/q95 (hash_neardup_pairs hot-bucket-cap fold), q58
 # (same fold in simhash_neardup_pairs — it returns from the r10 tail
-# AND is rule-1 touched). 43 returning + 5 touched-from-head + q58 +
-# 2 new = 50 exactly. The five r9-green seats that did not fit —
+# AND is rule-1 touched). 42 returning + q58 (returning and rule-1
+# touched, counted once) + 5 touched-from-head + 2 new = 50 exactly. The five r9-green seats that did not fit —
 # q01, q02, q04, q14, q18, chosen as the most change-stable plan
 # entries (pure catalog.py TPC-H shapes, zero diffs since r7) — are
 # flagged r11-MANDATORY below per rule 3 and MUST return in round 12

@@ -1707,11 +1707,18 @@ def hash_neardup_pairs(
     Size ``bands`` so the band-value SPACE stays sparse:
     ``2^(bits/bands)`` must be ≫ ``n_docs / max_bucket_size``, or
     every bucket saturates at the cap and the candidate join
-    degenerates (measured at the 500k rung: the default 8-bit slices
-    give 256 values/band, so a uniform 500k corpus averages ~1950
-    rows/bucket — half the buckets blow the cap and the rest emit
-    ~2000² candidates each; bands=4 → 65k values/band restores
-    sparse buckets at identical recall radius 3)."""
+    degenerates (measured at the 500k rung: 8-bit slices give 256
+    values/band, so a uniform 500k corpus averages ~1950 rows/bucket
+    — half the buckets blow the cap and the rest emit ~2000²
+    candidates each; bands=4 → 65k values/band restores sparse
+    buckets at identical recall radius 3). The sparsest safe choice
+    is ``bands = max_hamming + 1`` — the pigeonhole minimum (q94/q95
+    run 5 bands for radius 4). When ``bands`` does not divide
+    ``bits``, the top ``bits - bands*(bits//bands)`` bits are simply
+    not banded: the recall guarantee is UNAFFECTED (an uncovered
+    differing bit never consumes a clean band; pairs differing only
+    in uncovered bits collide in every band and are exact-filtered
+    like any other candidate)."""
     width = bits // bands
     mask = (1 << width) - 1
     sh = hashed.select(

@@ -722,11 +722,17 @@ def ann_recall(
 # persisted-IVF index maintenance (q99): append + drift gate
 # ---------------------------------------------------------------------------
 
-def _assigned_mean_dist(assigned: DataFrame, centroids, vec_col: str) -> float:
+def _assigned_mean_dist(
+    assigned: DataFrame, centroids, vec_col: str
+) -> float | None:
     """Mean L2 distance-to-assigned-centroid over ``assigned`` rows —
     the assignment-quality scalar the drift gate compares. JVM-side
     (broadcast codebook join + an array fold), one aggregate job; at
-    100 TB run it on a sample (``ivf_index_drift`` does)."""
+    100 TB run it on a sample (``ivf_index_drift`` does). Returns
+    ``None`` when ``assigned`` has no rows (a Bernoulli sample can
+    come back empty on a small index) — callers must fall back to the
+    unsampled scan rather than persist a 0.0 baseline, which would pin
+    the drift ratio at inf and trip the re-train gate forever."""
     spark = assigned.sparkSession
     cents = spark.createDataFrame(
         [(int(c), [float(x) for x in v]) for c, v in centroids],
@@ -746,14 +752,13 @@ def _assigned_mean_dist(assigned: DataFrame, centroids, vec_col: str) -> float:
         .agg(F.avg(F.sqrt(d2)).alias("mean_dist"))
         .collect()[0]
     )
-    return float(row["mean_dist"]) if row["mean_dist"] is not None else 0.0
+    return float(row["mean_dist"]) if row["mean_dist"] is not None else None
 
 
 def ivf_index_write(
     corpus: DataFrame,
     centroids: list[tuple[int, list[float]]],
     path: str,
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
     mode: str = "overwrite",
     drift_sample: float | None = None,
@@ -781,6 +786,8 @@ def ivf_index_write(
         drift_sample, seed=7
     )
     base = _assigned_mean_dist(sample, centroids, vec_col)
+    if base is None:  # empty sample — fall back to the full scan
+        base = _assigned_mean_dist(persisted, centroids, vec_col) or 0.0
     spark.createDataFrame(
         [(base,)], "mean_dist double"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_drift_baseline")
@@ -793,7 +800,6 @@ def ivf_index_write(
 def ivf_index_append(
     delta: DataFrame,
     path: str,
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_files: int = 64,
 ) -> None:
@@ -836,9 +842,10 @@ def ivf_index_drift(
         for r in spark.read.parquet(f"{path}/_centroids").collect()
     ]
     cur = spark.read.parquet(f"{path}/vectors")
-    if sample_fraction is not None:
-        cur = cur.sample(sample_fraction, seed=7)
-    mean_dist = _assigned_mean_dist(cur, centroids, vec_col)
+    sampled = cur if sample_fraction is None else cur.sample(sample_fraction, seed=7)
+    mean_dist = _assigned_mean_dist(sampled, centroids, vec_col)
+    if mean_dist is None:  # empty sample — fall back to the full scan
+        mean_dist = _assigned_mean_dist(cur, centroids, vec_col) or 0.0
     base = float(
         spark.read.parquet(f"{path}/_drift_baseline").collect()[0]["mean_dist"]
     )

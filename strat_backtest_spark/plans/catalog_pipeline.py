@@ -1762,8 +1762,8 @@ def _q94_oracle(sf_dir: str) -> str:
     return f"""
     WITH ph(doc_id, phash) AS (VALUES {values}),
     banded AS (
-      SELECT doc_id, phash, j.band, (phash >> (j.band * 8)) & 255 AS band_val
-      FROM ph, (SELECT unnest(range(8)) AS band) j
+      SELECT doc_id, phash, j.band, (phash >> (j.band * 12)) & 4095 AS band_val
+      FROM ph, (SELECT unnest(range(5)) AS band) j
     )
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
            bit_count(xor(a.phash, b.phash)) AS hamming
@@ -1814,8 +1814,15 @@ def q94_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ingest, "doc_id long, media_type string, payload binary"
     )
     hashed = perceptual_hash(media, real_decoder)
+    # bands=5 (12-bit slices): the minimum band count that keeps the
+    # pigeonhole recall guarantee at max_hamming=4 — and 4096 values
+    # per band instead of 8-bit banding's 256, so buckets stay sparse
+    # on ~uniform million-image corpora (the r11 cap-fold A/B measured
+    # 8-bit banding saturating every bucket at 500k docs). The pair
+    # SET is identical either way: candidates are exact-Hamming
+    # filtered.
     return hash_neardup_pairs(
-        hashed, "phash", bits=64, bands=8, max_hamming=4, max_bucket_size=2000
+        hashed, "phash", bits=64, bands=5, max_hamming=4, max_bucket_size=2000
     )
 
 
@@ -1883,8 +1890,8 @@ def _q95_oracle(sf_dir: str) -> str:
     return f"""
     WITH fp(doc_id, afp) AS (VALUES {values}),
     banded AS (
-      SELECT doc_id, afp, j.band, (afp >> (j.band * 8)) & 255 AS band_val
-      FROM fp, (SELECT unnest(range(8)) AS band) j
+      SELECT doc_id, afp, j.band, (afp >> (j.band * 12)) & 4095 AS band_val
+      FROM fp, (SELECT unnest(range(5)) AS band) j
     )
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
            bit_count(xor(a.afp, b.afp)) AS hamming
@@ -1942,8 +1949,10 @@ def q95_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ingest, "doc_id long, media_type string, payload binary"
     )
     hashed = audio_fingerprint(media, real_decoder)
+    # bands=5: same regime note as q94 — minimum bands for the
+    # max_hamming=4 pigeonhole guarantee, 16× sparser band space
     return hash_neardup_pairs(
-        hashed, "afp", bits=64, bands=8, max_hamming=4, max_bucket_size=2000
+        hashed, "afp", bits=64, bands=5, max_hamming=4, max_bucket_size=2000
     )
 
 

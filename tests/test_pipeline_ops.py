@@ -2004,6 +2004,41 @@ def test_quality_classifier_bigrams_and_vectorized_parity(spark):
     # the NBSP doc really kept the joined token (2 tokens, 1 bigram)
     assert "nbsp\u00a0joined" in texts[3]
 
+    # second batch: NO fallback characters anywhere, so the C
+    # mega-split fast path (sentinel bookkeeping + cumsum row indices)
+    # is the code that actually runs \u2014 the first batch's NBSP/\x01
+    # docs trip the per-batch guard and exercise only the regex
+    # fallback. Adversaries: an empty text between non-empty rows
+    # (consecutive sentinels \u2192 empty segment), leading/trailing
+    # whitespace at row boundaries, a single-token last row, and
+    # adjacent rows whose boundary tokens ("tail"/"head") would form
+    # a bigram iff row attribution leaked across the sentinel.
+    clean = {
+        21: "alpha beta gamma",
+        22: "",
+        23: "  padded   run  ",
+        24: "cross tail",
+        25: "head boundary pair check",
+        26: "solo",
+    }
+    got2 = {
+        r["doc_id"]: r["logit"]
+        for r in quality_classifier(
+            spark.createDataFrame(
+                list(clean.items()), "doc_id long, text string"
+            ).coalesce(1),
+            w1,
+            bias=3,
+            bigram_weights=w2,
+        ).collect()
+    }
+    for did, txt in clean.items():
+        toks = [t for t in ws.split(txt) if t]
+        s = 3
+        s += sum(int(w1[hix(t, 64)]) for t in toks)
+        s += sum(int(w2[hix(f"{a} {b}", 32)]) for a, b in zip(toks, toks[1:]))
+        assert got2[did] == s, (did, got2[did], s)
+
 
 def test_ivf_index_append_equals_rebuild(spark, tmp_path):
     """q99's contract: ivf_index_write(half) + ivf_index_append(rest)
@@ -2099,3 +2134,15 @@ def test_ivf_index_drift_gate(spark, tmp_path):
     path2 = str(tmp_path / "drift_idx_rebuilt")
     ivf_index_write(corpus, new_cents, path2)
     assert not ivf_index_needs_retrain(spark, path2, threshold=1.25)
+
+    # empty-sample hardening: a drift_sample small enough to come back
+    # with zero rows on a tiny index must fall back to the full scan,
+    # not persist a 0.0 baseline (which pins ratio=inf and trips the
+    # gate forever); same fallback on the read side
+    path3 = str(tmp_path / "drift_idx_sampled")
+    ivf_index_write(
+        spark.createDataFrame(snug, schema), cents, path3, drift_sample=1e-9
+    )
+    d3 = ivf_index_drift(spark, path3, sample_fraction=1e-9)
+    assert d3["baseline"] > 0 and 0.9 < d3["ratio"] < 1.1, d3
+    assert not ivf_index_needs_retrain(spark, path3, threshold=1.25)

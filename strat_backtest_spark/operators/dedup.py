@@ -1510,6 +1510,34 @@ def dedup_index_write_bucketed(
     )
 
 
+def delta_probe_rows(
+    delta: DataFrame,
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """The delta's slim probe rows — ``(digests, band_rows)`` =
+    ((text_hash, id), (id, band, band_key)) — computed ONCE and
+    localCheckpointed, for callers that consume them more than once
+    in a single job. The MinHash signature pass (Arrow hashlib over
+    the text) is the dominant cost of incremental dedup; a
+    foreachBatch that runs ``dedup_incremental`` and then
+    ``dedup_index_append`` would otherwise pay it twice per
+    micro-batch (exchange reuse does NOT fire across PythonUDF
+    subtrees — the r7 LSH finding — so only an explicit checkpoint
+    makes the pass single). Pass the tuple to both via their
+    ``probe_rows`` parameter."""
+    digs = delta.select(
+        F.md5(F.col(text_col).cast("binary")).alias("text_hash"), F.col(id_col)
+    ).localCheckpoint()
+    band_rows = minhash_band_rows(
+        delta, k, bands, shingle_n, text_col, id_col
+    ).localCheckpoint()
+    return digs, band_rows
+
+
 def dedup_index_append(
     delta: DataFrame,
     verdicts: DataFrame,
@@ -1519,6 +1547,7 @@ def dedup_index_append(
     shingle_n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    probe_rows: tuple[DataFrame, DataFrame] | None = None,
 ) -> None:
     """Register a delta's SURVIVORS (verdict == 'kept') in the index:
     append their band rows + digests. After this, a future delta that
@@ -1526,12 +1555,24 @@ def dedup_index_append(
     alone — the incremental invariant. Dropped docs are NOT appended:
     their content is (near-)covered by what the index already holds,
     so appending them would only grow the index without changing any
-    future verdict."""
-    kept = delta.join(
-        verdicts.filter(F.col("verdict") == "kept").select(id_col),
-        id_col,
-        "left_semi",
-    )
+    future verdict.
+
+    ``probe_rows`` (from ``delta_probe_rows``): reuse the delta's
+    already-computed digests + band rows instead of re-shingling the
+    survivors' text — the verdict pass just computed them; appending
+    is then two kept-filtered slim writes with NO text scan at all."""
+    kept_ids = verdicts.filter(F.col("verdict") == "kept").select(id_col)
+    if probe_rows is not None:
+        digs, band_rows = probe_rows
+        # canonical column order of dedup_index_write's two tables
+        band_rows.join(kept_ids, id_col, "left_semi").select(
+            id_col, "band", "band_key"
+        ).write.mode("append").parquet(f"{path}/bands")
+        digs.join(kept_ids, id_col, "left_semi").select(
+            "text_hash", id_col
+        ).write.mode("append").parquet(f"{path}/digests")
+        return
+    kept = delta.join(kept_ids, id_col, "left_semi")
     dedup_index_write(
         kept, path, k, bands, shingle_n, text_col, id_col, mode="append"
     )
@@ -1558,6 +1599,7 @@ def dedup_incremental(
     id_col: str = "doc_id",
     broadcast_delta: bool | None = None,
     index_table: str | None = None,
+    probe_rows: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Incremental dedup of a delta batch against a persisted index
     (``dedup_index_write``): one verdict row per delta doc —
@@ -1608,6 +1650,11 @@ def dedup_incremental(
     the index scan then arrives pre-partitioned on the join key and
     ONLY the delta exchanges — the big-delta complement of the
     broadcast path (plan-ratcheted in tests/test_plans.py).
+
+    ``probe_rows`` (from ``delta_probe_rows``): reuse precomputed
+    digests + band rows so a caller that also appends survivors to
+    the index (``dedup_index_append``) pays the signature pass once
+    per micro-batch, not twice.
     """
     if index_table is not None:
         idx_digests = spark.table(f"{index_table}_digests")
@@ -1616,10 +1663,16 @@ def dedup_incremental(
         idx_digests = spark.read.parquet(f"{index_path}/digests")
         idx_bands = spark.read.parquet(f"{index_path}/bands")
     if broadcast_delta is None:
-        broadcast_delta = delta.count() <= DELTA_BROADCAST_MAX_DOCS
+        gate_df = probe_rows[0] if probe_rows is not None else delta
+        broadcast_delta = gate_df.count() <= DELTA_BROADCAST_MAX_DOCS
 
-    digs = delta.select(
-        F.md5(F.col(text_col).cast("binary")).alias("text_hash"), F.col(id_col)
+    digs = (
+        probe_rows[0]
+        if probe_rows is not None
+        else delta.select(
+            F.md5(F.col(text_col).cast("binary")).alias("text_hash"),
+            F.col(id_col),
+        )
     )
     if broadcast_delta:
         exact_vs_index = idx_digests.select("text_hash").join(
@@ -1644,7 +1697,11 @@ def dedup_incremental(
     )
     exact_dup = exact_vs_index.unionByName(exact_within).distinct()
 
-    dbands = minhash_band_rows(delta, k, bands, shingle_n, text_col, id_col)
+    dbands = (
+        probe_rows[1]
+        if probe_rows is not None
+        else minhash_band_rows(delta, k, bands, shingle_n, text_col, id_col)
+    )
     if broadcast_delta:
         near_vs_index = idx_bands.select("band", "band_key").join(
             F.broadcast(dbands), ["band", "band_key"], "inner"

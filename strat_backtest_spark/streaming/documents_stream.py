@@ -400,6 +400,7 @@ def streaming_incremental_dedup(
         dedup_incremental,
         dedup_index_append,
         dedup_index_write,
+        delta_probe_rows,
     )
 
     static = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
@@ -409,7 +410,11 @@ def streaming_incremental_dedup(
     # deterministic scratch dirs (the q93/q97 convention): repeated
     # gate runs REUSE the paths instead of accumulating tempdirs;
     # out_dir is the returned DataFrame's backing store, so it is
-    # wiped at the START of the next run rather than on exit
+    # wiped at the START of the next run rather than on exit.
+    # Single-writer assumption: two CONCURRENT runs with identical
+    # (sf_dir, n_chunks) would share and corrupt these paths — the
+    # gate (and any sane caller) serializes runs per input; a
+    # production loop keys the index path per pipeline, not per call
     tag = hashlib.md5(f"{sf_dir}|{n_chunks}".encode()).hexdigest()[:10]
     index_dir = f"/tmp/stream_dedup_index_{tag}"
     out_dir = f"/tmp/stream_dedup_verdicts_{tag}"
@@ -419,11 +424,14 @@ def streaming_incremental_dedup(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():  # replay padding trigger
             return
+        # one signature pass per micro-batch, shared by the verdict
+        # probe and the survivor append
+        probe = delta_probe_rows(batch_df)
         verdicts = dedup_incremental(
-            spark, batch_df, index_dir
+            spark, batch_df, index_dir, probe_rows=probe
         ).localCheckpoint()
         verdicts.write.mode("append").parquet(out_dir)
-        dedup_index_append(batch_df, verdicts, index_dir)
+        dedup_index_append(batch_df, verdicts, index_dir, probe_rows=probe)
 
     q = stream.writeStream.foreachBatch(process).start()
     try:
@@ -500,6 +508,7 @@ def streaming_curation_loop(
         dedup_incremental,
         dedup_index_append,
         dedup_index_write,
+        delta_probe_rows,
     )
     from strat_backtest_spark.operators.pii import pii_scrub
     from strat_backtest_spark.operators.text_analysis import (
@@ -526,6 +535,9 @@ def streaming_curation_loop(
         .alias("text"),
     )
     stream, replay_dir = _chunked_replay(spark, aug, n_chunks)
+    # deterministic scratch (same single-writer assumption as
+    # streaming_incremental_dedup's note: concurrent identical-param
+    # runs are not supported; gate runs are serialized per input)
     tag = hashlib.md5(f"{sf_dir}|{n_chunks}|{cap}".encode()).hexdigest()[:10]
     index_dir = f"/tmp/stream_curation_index_{tag}"
     out_dir = f"/tmp/stream_curation_out_{tag}"
@@ -576,12 +588,16 @@ def streaming_curation_loop(
 
         tm["quota_s"] = round(_time.time() - t0, 1)
         t0 = _time.time()
+        # ONE signature pass per micro-batch (eager checkpoint),
+        # shared by the verdict probe and the survivor append — the
+        # append is then two kept-filtered slim writes, no re-shingle
+        probe = delta_probe_rows(adm.select("doc_id", "text"))
         verdicts = dedup_incremental(
-            spark, adm.select("doc_id", "text"), index_dir
+            spark, adm.select("doc_id", "text"), index_dir, probe_rows=probe
         ).localCheckpoint()
         tm["dedup_s"] = round(_time.time() - t0, 1)
         t0 = _time.time()
-        dedup_index_append(adm, verdicts, index_dir)
+        dedup_index_append(adm, verdicts, index_dir, probe_rows=probe)
         tm["index_append_s"] = round(_time.time() - t0, 1)
         t0 = _time.time()
         dups = adm.join(

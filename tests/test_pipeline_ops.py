@@ -1627,6 +1627,60 @@ def test_dedup_index_append_closes_the_loop(spark, tmp_path):
     assert got2 == {20: "dup_exact", 21: "kept"}
 
 
+def test_delta_probe_rows_path_equals_recompute(spark, tmp_path):
+    """The one-signature-pass fold (delta_probe_rows → probe_rows=):
+    verdicts AND the post-append index content must be byte-identical
+    to the recompute-from-text path — the q96/q100 micro-batch shape
+    pays the shingle pass once, with nothing else changing. Includes
+    a null-text doc (probe digests carry the NULL hash row exactly
+    like dedup_index_write does)."""
+    from strat_backtest_spark.operators.dedup import (
+        dedup_incremental,
+        dedup_index_append,
+        dedup_index_write,
+        delta_probe_rows,
+    )
+
+    seed = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [
+            (10, "brand new survivor content alpha beta gamma delta epsilon"),
+            (11, "the quick brown fox jumps over the lazy dog today"),
+            (12, "brand new survivor content alpha beta gamma delta epsilon"),
+            (13, None),
+            (14, "totally novel second day text with sufficient tokens inside"),
+        ],
+        "doc_id long, text string",
+    )
+
+    def run(use_probe):
+        path = str(tmp_path / f"idx_{use_probe}")
+        dedup_index_write(seed, path)
+        probe = delta_probe_rows(delta) if use_probe else None
+        v = dedup_incremental(spark, delta, path, probe_rows=probe)
+        verdicts = sorted(
+            (r["doc_id"], r["verdict"]) for r in v.collect()
+        )
+        dedup_index_append(delta, v, path, probe_rows=probe)
+        nonesafe = lambda t: tuple((x is None, x) for x in t)
+        bands = sorted(
+            (tuple(r) for r in spark.read.parquet(f"{path}/bands").collect()),
+            key=nonesafe,
+        )
+        digs = sorted(
+            (tuple(r) for r in spark.read.parquet(f"{path}/digests").collect()),
+            key=nonesafe,
+        )
+        return verdicts, bands, digs
+
+    base, folded = run(False), run(True)
+    assert folded == base
+    assert dict(base[0])[11] == "dup_exact" and dict(base[0])[13] == "kept"
+
+
 def test_perceptual_hash_pairs_reencoded_image(spark):
     """Re-encode robustness (VERDICT r9 #3's unit): the same pixels
     encoded with a different PNG row filter AND zlib level are

@@ -44,8 +44,6 @@ import json
 import sys
 import time
 
-from pyspark.sql import functions as F
-
 sys.path.insert(0, "/root/repo")
 
 from strat_backtest_spark.session import get_spark  # noqa: E402
@@ -59,83 +57,22 @@ def main() -> None:
 
     corpus_dir = f"/tmp/docs_rung_{replicas}x"
     t0 = time.time()
-    base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-    n_base = 5000
-    rep = base.crossJoin(
-        spark.range(replicas).withColumnRenamed("id", "r")
-    ).select(
-        "doc_id",
-        "text",
-        "lang",
-        "source",
-        "r",
-        (F.col("r") / 5).cast("long").alias("g"),
-        (F.col("r") % 5).alias("j"),
-    )
-    words = F.split(F.col("text"), r"\s+")
-    # HASHED family tokens (round-10 upgrade): the original arithmetic
-    # generator ((37d + 101g + 13i) % 99991) put every family's token
-    # sequence on the same step-13 progression, so any (d1,g1)/(d2,g2)
-    # with 37Δd + 101Δg ≡ 13k (mod 99991) produced SHIFTED-identical
-    # token runs — with the small base vocabulary those windows really
-    # match, and cross-family near-dup pairs grew with the square of
-    # the family count (measured: 181.8M pairs at 20M docs vs the 40M
-    # true family pairs; survivors merged below the family count). A
-    # per-(d, g, i) hash has no shift structure: families are exactly
-    # the 5-member construction plus the base corpus's own planted
-    # dups.
-    fam_tok = lambda i: F.concat(
-        F.lit("f"),
-        F.pmod(F.xxhash64(F.col("doc_id"), F.col("g"), i), F.lit(99991)).cast(
-            "string"
-        ),
-    )
-    jittered = F.transform(
-        words, lambda w, i: F.when(i % 2 == 1, fam_tok(i)).otherwise(w)
-    )
-    new_text = F.concat(
-        F.array_join(jittered, " "), F.lit(" u"), F.col("j").cast("string")
-    )
-    # TWO-STAGE select (round-10 fix): jitter FIRST with doc_id still
-    # bound to the base id, re-key SECOND. Putting both in one select
-    # hits a Spark resolution quirk — an outer column reference inside
-    # a HIGHER-ORDER-FUNCTION lambda (fam_tok's doc_id inside
-    # F.transform) resolves against the select's OWN output alias
-    # (the NEW doc_id), unlike plain expressions, which resolve
-    # against the input (verified both ways on this pyspark: plain
-    # ref → input, HOF-lambda ref → output). The one-select original
-    # therefore keyed fam tokens by the FINAL doc_id — doc-unique
-    # tokens, NO true families; the r8 10M rows' 35.5M "pairs" were
-    # modular f-token collisions (f-space is 99,991 values), not the
-    # documented family-of-5 structure. The build-time assertion below
-    # pins the corpus property so this class of trap cannot recur
-    # silently.
-    staged = rep.select(
-        "doc_id", "r", "j", "lang", "source", new_text.alias("text")
-    )
-    (
-        staged.select(
-            (F.col("doc_id") + F.col("r") * n_base).alias("doc_id"),
-            "text",
-            "lang",
-            "source",
-            F.length("text").cast("long").alias("n_chars"),
-        )
-        .repartition(64)
-        .write.mode("overwrite")
-        .parquet(f"{corpus_dir}/documents.parquet")
+    # shared hashed-family generator (probes/_corpus.py) — the round-10
+    # generator + resolution-quirk trap notes live there and in this
+    # module's docstring; the build-time assertion pins the corpus
+    # property so the trap class cannot recur silently
+    from _corpus import assert_family_construction, build_family_corpus
+
+    build_family_corpus(
+        spark,
+        replicas,
+        corpus_dir,
+        extra_cols=("lang", "source"),
+        with_n_chars=True,
+        n_files=64,
     )
     out["corpus_build_s"] = round(time.time() - t0, 1)
-
-    # corpus-property assertion: members 0 and 3 of base doc 7's first
-    # family must be equal except the 3-char " u<j>" suffix
-    chk = {
-        r["doc_id"]: r["text"]
-        for r in spark.read.parquet(f"{corpus_dir}/documents.parquet")
-        .filter(F.col("doc_id").isin(7, 7 + 3 * n_base))
-        .collect()
-    }
-    assert chk[7][:-3] == chk[7 + 3 * n_base][:-3], "family construction broken"
+    assert_family_construction(spark, corpus_dir)
 
     from strat_backtest_spark.plans.catalog import CATALOG
 

@@ -40,43 +40,13 @@ def main() -> None:
     corpus_dir = f"/tmp/curation_loop_rung_{replicas}x"
 
     t0 = time.time()
-    base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-    rep = base.crossJoin(
-        spark.range(replicas).withColumnRenamed("id", "r")
-    ).select(
-        "doc_id",
-        "source",
-        "text",
-        "r",
-        (F.col("r") / 5).cast("long").alias("g"),
-        (F.col("r") % 5).alias("j"),
-    )
-    words = F.split(F.col("text"), r"\s+")
-    fam_tok = lambda i: F.concat(
-        F.lit("f"),
-        F.pmod(F.xxhash64(F.col("doc_id"), F.col("g"), i), F.lit(99991)).cast(
-            "string"
-        ),
-    )
-    jittered = F.transform(
-        words, lambda w, i: F.when(i % 2 == 1, fam_tok(i)).otherwise(w)
-    )
-    new_text = F.concat(
-        F.array_join(jittered, " "), F.lit(" u"), F.col("j").cast("string")
-    )
-    # two-stage select: jitter while doc_id is the BASE id, then re-key
-    staged = rep.select("doc_id", "source", "r", new_text.alias("text"))
-    (
-        staged.select(
-            (F.col("doc_id") + F.col("r") * n_base).alias("doc_id"),
-            "source",
-            "text",
-        )
-        .repartition(32)
-        .write.mode("overwrite")
-        .parquet(f"{corpus_dir}/documents.parquet")
+    from _corpus import assert_family_construction, build_family_corpus
+
+    build_family_corpus(
+        spark, replicas, corpus_dir, extra_cols=("source",), n_files=32
     )
     out["corpus_build_s"] = round(time.time() - t0, 1)
+    assert_family_construction(spark, corpus_dir)
 
     from strat_backtest_spark.streaming.documents_stream import (
         streaming_curation_loop,

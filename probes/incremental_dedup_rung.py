@@ -78,55 +78,14 @@ def main() -> None:
     scratch = f"/tmp/incdedup_rung_{replicas}x_scratch"
     shutil.rmtree(scratch, ignore_errors=True)
     index_dir = f"{scratch}/index"
+    from _corpus import assert_family_construction, build_family_corpus
+
     if reuse_corpus is None:
         t0 = time.time()
-        base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-        rep = base.crossJoin(
-            spark.range(replicas).withColumnRenamed("id", "r")
-        ).select(
-            "doc_id",
-            "text",
-            "r",
-            (F.col("r") / 5).cast("long").alias("g"),
-            (F.col("r") % 5).alias("j"),
-        )
-        words = F.split(F.col("text"), r"\s+")
-        # hashed family tokens — no cross-family shift collisions (see
-        # the generator note in curation_10m_rung.py)
-        fam_tok = lambda i: F.concat(
-            F.lit("f"),
-            F.pmod(
-                F.xxhash64(F.col("doc_id"), F.col("g"), i), F.lit(99991)
-            ).cast("string"),
-        )
-        jittered = F.transform(
-            words, lambda w, i: F.when(i % 2 == 1, fam_tok(i)).otherwise(w)
-        )
-        new_text = F.concat(
-            F.array_join(jittered, " "), F.lit(" u"), F.col("j").cast("string")
-        )
-        # two-stage select: jitter while doc_id is still the BASE id,
-        # then re-key — HOF-lambda outer refs resolve against a
-        # same-select output alias (the curation_10m_rung.py trap note)
-        staged = rep.select("doc_id", "r", "j", new_text.alias("text"))
-        (
-            staged.select(
-                (F.col("doc_id") + F.col("r") * n_base).alias("doc_id"),
-                "text",
-            )
-            .repartition(64)
-            .write.mode("overwrite")
-            .parquet(f"{corpus_dir}/documents.parquet")
-        )
+        build_family_corpus(spark, replicas, corpus_dir, n_files=64)
         out["corpus_build_s"] = round(time.time() - t0, 1)
 
-    chk = {
-        r["doc_id"]: r["text"]
-        for r in spark.read.parquet(f"{corpus_dir}/documents.parquet")
-        .filter(F.col("doc_id").isin(7, 7 + 3 * n_base))
-        .collect()
-    }
-    assert chk[7][:-3] == chk[7 + 3 * n_base][:-3], "family construction broken"
+    assert_family_construction(spark, corpus_dir)
 
     from strat_backtest_spark.operators.dedup import (
         dedup_incremental,

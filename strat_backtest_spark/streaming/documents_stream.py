@@ -480,9 +480,11 @@ def streaming_curation_loop(
       collide with it), exactly q96's composition;
     - per-source admitted COUNTS — one long per source (collected per
       batch: the source key space, not the corpus), replayable from
-      the verdict store on restart. Quota outranks dedup (a
-      quota-rejected doc is never signatured and never enters the
-      index), dedup outranks the classifier.
+      the verdict store on restart via
+      ``curation_quota_counts_from_verdicts`` (one aggregate over the
+      store, equality with the live counters pinned by unit). Quota
+      outranks dedup (a quota-rejected doc is never signatured and
+      never enters the index), dedup outranks the classifier.
 
     Determinism: chunk k holds doc_id % n_chunks == k, quota ranks by
     doc_id within a batch, and since earlier chunks' admissions are
@@ -650,3 +652,29 @@ def streaming_curation_loop(
     ):
         return spark.createDataFrame([], out_schema)
     return spark.read.schema(out_schema).parquet(out_dir)
+
+
+def curation_quota_counts_from_verdicts(
+    verdicts: DataFrame, docs: DataFrame
+) -> dict[str, int]:
+    """Rebuild ``streaming_curation_loop``'s per-source admitted
+    counters from durable state — the cold-restart path the loop's
+    docstring promises: a resumed loop (persistent source +
+    checkpoint in production, where the stream picks up at the first
+    unprocessed file) seeds its ``admitted_counts`` from this instead
+    of the lost Python dict. Admitted = every doc that reached the
+    dedup stage, i.e. every verdict row that is not quota_rejected;
+    ``docs`` (the immutable corpus / admission log) supplies the
+    source column the slim verdict schema deliberately omits. One
+    broadcast-joined aggregate over the verdict store — state
+    reconstruction costs one pass over verdicts, not a replay.
+    Equality with the loop's live counters is pinned by
+    tests/test_pipeline_ops.py::test_curation_quota_counts_rebuild."""
+    rows = (
+        verdicts.filter(F.col("status") != "quota_rejected")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .count()
+        .collect()
+    )
+    return {r["source"]: int(r["count"]) for r in rows}

@@ -2094,6 +2094,33 @@ def test_quality_classifier_bigrams_and_vectorized_parity(spark):
         assert got2[did] == s, (did, got2[did], s)
 
 
+def test_curation_quota_counts_rebuild(spark):
+    """The q100 cold-restart claim, made concrete: the per-source
+    admitted counters rebuilt from the durable verdict store
+    (curation_quota_counts_from_verdicts) must equal the counters the
+    live loop accumulated — which, by the deterministic quota
+    semantics, are min(cap, docs-in-source) per source. cap=18 on the
+    sf0.001 corpus guarantees every source actually rejects."""
+    from pyspark.sql import functions as F
+
+    from strat_backtest_spark.streaming.documents_stream import (
+        curation_quota_counts_from_verdicts,
+        streaming_curation_loop,
+    )
+
+    cap = 18
+    verdicts = streaming_curation_loop(spark, SF_SMALL, cap=cap)
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    got = curation_quota_counts_from_verdicts(verdicts, docs)
+    expected = {
+        r["source"]: min(cap, int(r["count"]))
+        for r in docs.groupBy("source").count().collect()
+    }
+    assert got == expected
+    # the rejection regime really occurred (cap bound, not corpus)
+    assert all(v == cap for v in got.values())
+
+
 def test_ivf_index_append_equals_rebuild(spark, tmp_path):
     """q99's contract: ivf_index_write(half) + ivf_index_append(rest)
     must answer probe-pruned queries value-identically to a one-shot

@@ -75,7 +75,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # catalog_pipeline.py (q96 oracle no-op cleanup, q98 entry, appended
 # q99/q100), multimodal.py (decode_png average/paeth unfilter loop
 # only — consumed by q94, rule-1 in the head; q38's tail seat is safe
-# because it uses its own inline extractor, not decode_png).
+# because it uses its own inline extractor, not decode_png). Late-r11
+# additions, all head-confined: catalog_pipeline.py q94/q95 entries +
+# oracles (bands=5), dedup.py dedup_incremental/dedup_index_append
+# probe_rows param + new delta_probe_rows (consumers q93/q96/q100 all
+# head; tail dedup consumers q21/q56/q60/q77 use untouched functions),
+# similarity.py ivf_index_* empty-sample guards (q99 head; q97's tail
+# seat consumes only untouched ivf_assign/ivf_probes/ivf_topk),
+# documents_stream.py fold + curation_quota_counts_from_verdicts.
+# Receipt beyond the window: a full local 100/100 oracle sweep on the
+# final r11 code (BASELINE.md round-11 row, 218 s).
 _SWEEP_TAIL = [
     "q03_top_customers",  # all-true r10, untouched r11
     "q05_status_totals",  # all-true r10, untouched r11

@@ -104,11 +104,16 @@ def build_family_corpus(
 def assert_family_construction(spark: SparkSession, corpus_dir: str) -> None:
     """Members 0 and 3 of base doc 7's first family must be equal
     except the 3-char `` u<j>`` suffix — fails loudly if the family
-    structure regressed (the silent-trap guard)."""
+    structure regressed (the silent-trap guard). Needs replicas >= 4
+    (member 3 must exist) — checked, so a tiny corpus fails with the
+    real reason instead of a KeyError."""
     chk = {
         r["doc_id"]: r["text"]
         for r in spark.read.parquet(f"{corpus_dir}/documents.parquet")
         .filter(F.col("doc_id").isin(7, 7 + 3 * N_BASE))
         .collect()
     }
+    assert len(chk) == 2, (
+        "family check needs replicas >= 4 (member 3 of base doc 7 absent)"
+    )
     assert chk[7][:-3] == chk[7 + 3 * N_BASE][:-3], "family construction broken"

@@ -35,7 +35,8 @@ def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
     spark = get_spark(cpus=32)
     spark.conf.set("spark.sql.shuffle.partitions", "64")
-    n_base = 5000
+    from _corpus import N_BASE as n_base
+
     out = {"replicas": replicas, "docs": n_base * replicas}
     corpus_dir = f"/tmp/curation_loop_rung_{replicas}x"
 

@@ -66,7 +66,8 @@ def main() -> None:
     big_delta = "--big-delta" in sys.argv
     spark = get_spark(cpus=32)
     spark.conf.set("spark.sql.shuffle.partitions", "64")
-    n_base = 5000
+    from _corpus import N_BASE as n_base
+
     out = {
         "replicas": replicas,
         "docs": n_base * replicas,

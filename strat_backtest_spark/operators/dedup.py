@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import hashlib
 import re
+from typing import NamedTuple
 
 import numpy as np
 import pandas as pd
@@ -1510,6 +1511,37 @@ def dedup_index_write_bucketed(
     )
 
 
+class ProbeRows(NamedTuple):
+    """``delta_probe_rows``'s product: the delta's slim probe tables
+    plus the signature parameters they were built with — consumers
+    (``dedup_incremental``, ``dedup_index_append``) REFUSE a probe
+    whose parameters disagree with their own, so a probe built under
+    one banding convention can never silently write or query a
+    different-convention index."""
+
+    digests: DataFrame
+    band_rows: DataFrame
+    k: int
+    bands: int
+    shingle_n: int
+    text_col: str
+    id_col: str
+
+
+def _check_probe_params(
+    probe: "ProbeRows", k: int, bands: int, shingle_n: int,
+    text_col: str, id_col: str, caller: str,
+) -> None:
+    mine = (k, bands, shingle_n, text_col, id_col)
+    theirs = (probe.k, probe.bands, probe.shingle_n, probe.text_col, probe.id_col)
+    if mine != theirs:
+        raise ValueError(
+            f"{caller}: probe_rows built with (k, bands, shingle_n, "
+            f"text_col, id_col)={theirs} but the call asks for {mine} — "
+            "mixed banding conventions would silently corrupt the index"
+        )
+
+
 def delta_probe_rows(
     delta: DataFrame,
     k: int = 8,
@@ -1517,25 +1549,33 @@ def delta_probe_rows(
     shingle_n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-) -> tuple[DataFrame, DataFrame]:
-    """The delta's slim probe rows — ``(digests, band_rows)`` =
-    ((text_hash, id), (id, band, band_key)) — computed ONCE and
-    localCheckpointed, for callers that consume them more than once
-    in a single job. The MinHash signature pass (Arrow hashlib over
-    the text) is the dominant cost of incremental dedup; a
-    foreachBatch that runs ``dedup_incremental`` and then
-    ``dedup_index_append`` would otherwise pay it twice per
-    micro-batch (exchange reuse does NOT fire across PythonUDF
-    subtrees — the r7 LSH finding — so only an explicit checkpoint
-    makes the pass single). Pass the tuple to both via their
-    ``probe_rows`` parameter."""
-    digs = delta.select(
-        F.md5(F.col(text_col).cast("binary")).alias("text_hash"), F.col(id_col)
-    ).localCheckpoint()
+    digests: DataFrame | None = None,
+) -> ProbeRows:
+    """The delta's slim probe rows — digests (text_hash, id) and band
+    rows (id, band, band_key) — computed ONCE and localCheckpointed,
+    for callers that consume them more than once in a single job. The
+    MinHash signature pass (Arrow hashlib over the text) is the
+    dominant cost of incremental dedup; a foreachBatch that runs
+    ``dedup_incremental`` and then ``dedup_index_append`` would
+    otherwise pay it twice per micro-batch (exchange reuse does NOT
+    fire across PythonUDF subtrees — the r7 LSH finding — so only an
+    explicit checkpoint makes the pass single). Pass the result to
+    both via their ``probe_rows`` parameter; the embedded parameters
+    are verified there.
+
+    ``digests``: a caller that already materialized md5-over-text
+    rows (e.g. the q100 loop's scrub_hash) passes them as
+    (text_hash, ``id_col``) and skips this function's own md5 scan —
+    the caller owns the claim that they hash the SAME text column."""
+    if digests is None:
+        digests = delta.select(
+            F.md5(F.col(text_col).cast("binary")).alias("text_hash"),
+            F.col(id_col),
+        ).localCheckpoint()
     band_rows = minhash_band_rows(
         delta, k, bands, shingle_n, text_col, id_col
     ).localCheckpoint()
-    return digs, band_rows
+    return ProbeRows(digests, band_rows, k, bands, shingle_n, text_col, id_col)
 
 
 def dedup_index_append(
@@ -1547,7 +1587,7 @@ def dedup_index_append(
     shingle_n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    probe_rows: tuple[DataFrame, DataFrame] | None = None,
+    probe_rows: ProbeRows | None = None,
 ) -> None:
     """Register a delta's SURVIVORS (verdict == 'kept') in the index:
     append their band rows + digests. After this, a future delta that
@@ -1560,15 +1600,21 @@ def dedup_index_append(
     ``probe_rows`` (from ``delta_probe_rows``): reuse the delta's
     already-computed digests + band rows instead of re-shingling the
     survivors' text — the verdict pass just computed them; appending
-    is then two kept-filtered slim writes with NO text scan at all."""
+    is then two kept-filtered slim writes with NO text scan at all.
+    The probe's embedded parameters must match this call's, or the
+    append would register a different banding convention than the
+    index's other writers (checked, ValueError)."""
     kept_ids = verdicts.filter(F.col("verdict") == "kept").select(id_col)
     if probe_rows is not None:
-        digs, band_rows = probe_rows
+        _check_probe_params(
+            probe_rows, k, bands, shingle_n, text_col, id_col,
+            "dedup_index_append",
+        )
         # canonical column order of dedup_index_write's two tables
-        band_rows.join(kept_ids, id_col, "left_semi").select(
+        probe_rows.band_rows.join(kept_ids, id_col, "left_semi").select(
             id_col, "band", "band_key"
         ).write.mode("append").parquet(f"{path}/bands")
-        digs.join(kept_ids, id_col, "left_semi").select(
+        probe_rows.digests.join(kept_ids, id_col, "left_semi").select(
             "text_hash", id_col
         ).write.mode("append").parquet(f"{path}/digests")
         return
@@ -1599,7 +1645,7 @@ def dedup_incremental(
     id_col: str = "doc_id",
     broadcast_delta: bool | None = None,
     index_table: str | None = None,
-    probe_rows: tuple[DataFrame, DataFrame] | None = None,
+    probe_rows: ProbeRows | None = None,
 ) -> DataFrame:
     """Incremental dedup of a delta batch against a persisted index
     (``dedup_index_write``): one verdict row per delta doc —
@@ -1654,8 +1700,14 @@ def dedup_incremental(
     ``probe_rows`` (from ``delta_probe_rows``): reuse precomputed
     digests + band rows so a caller that also appends survivors to
     the index (``dedup_index_append``) pays the signature pass once
-    per micro-batch, not twice.
+    per micro-batch, not twice. The probe's embedded parameters must
+    match this call's (checked, ValueError).
     """
+    if probe_rows is not None:
+        _check_probe_params(
+            probe_rows, k, bands, shingle_n, text_col, id_col,
+            "dedup_incremental",
+        )
     if index_table is not None:
         idx_digests = spark.table(f"{index_table}_digests")
         idx_bands = spark.table(f"{index_table}_bands")
@@ -1663,11 +1715,11 @@ def dedup_incremental(
         idx_digests = spark.read.parquet(f"{index_path}/digests")
         idx_bands = spark.read.parquet(f"{index_path}/bands")
     if broadcast_delta is None:
-        gate_df = probe_rows[0] if probe_rows is not None else delta
+        gate_df = probe_rows.digests if probe_rows is not None else delta
         broadcast_delta = gate_df.count() <= DELTA_BROADCAST_MAX_DOCS
 
     digs = (
-        probe_rows[0]
+        probe_rows.digests
         if probe_rows is not None
         else delta.select(
             F.md5(F.col(text_col).cast("binary")).alias("text_hash"),
@@ -1698,7 +1750,7 @@ def dedup_incremental(
     exact_dup = exact_vs_index.unionByName(exact_within).distinct()
 
     dbands = (
-        probe_rows[1]
+        probe_rows.band_rows
         if probe_rows is not None
         else minhash_band_rows(delta, k, bands, shingle_n, text_col, id_col)
     )

@@ -592,8 +592,16 @@ def streaming_curation_loop(
         t0 = _time.time()
         # ONE signature pass per micro-batch (eager checkpoint),
         # shared by the verdict probe and the survivor append — the
-        # append is then two kept-filtered slim writes, no re-shingle
-        probe = delta_probe_rows(adm.select("doc_id", "text"))
+        # append is then two kept-filtered slim writes, no re-shingle.
+        # The digest half is scrub_hash, ALREADY materialized in the
+        # checkpointed scrub stage over the same scrubbed text — no
+        # second md5 scan either.
+        probe = delta_probe_rows(
+            adm.select("doc_id", "text"),
+            digests=adm.select(
+                F.col("scrub_hash").alias("text_hash"), "doc_id"
+            ),
+        )
         verdicts = dedup_incremental(
             spark, adm.select("doc_id", "text"), index_dir, probe_rows=probe
         ).localCheckpoint()

@@ -1680,6 +1680,16 @@ def test_delta_probe_rows_path_equals_recompute(spark, tmp_path):
     assert folded == base
     assert dict(base[0])[11] == "dup_exact" and dict(base[0])[13] == "kept"
 
+    # the convention guard: a probe built under different signature
+    # parameters is refused, not silently mixed into the index
+    import pytest as _pytest
+
+    probe = delta_probe_rows(delta, bands=2)
+    with _pytest.raises(ValueError, match="banding conventions"):
+        dedup_incremental(
+            spark, delta, str(tmp_path / "idx_True"), probe_rows=probe
+        )
+
 
 def test_perceptual_hash_pairs_reencoded_image(spark):
     """Re-encode robustness (VERDICT r9 #3's unit): the same pixels

@@ -27,6 +27,16 @@ from pyspark.sql import SparkSession, functions as F
 
 N_BASE = 5000  # docs in /root/testdata/sf0.1/documents.parquet
 
+# Family-token value space. Round-11 ran with 99,991 and the decade-5
+# rung (50M docs = 10M families) measured pairs/doc rising 2.30→2.76 —
+# cross-family f-token collisions (1/99991 per aligned slot pair, times
+# 10M families) had begun manufacturing near-dup pairs the construction
+# doesn't intend: a GENERATOR artifact, not an engine property
+# (BASELINE.md round-11 decade-5 row). 10^9-scale keeps the per-slot
+# collision rate ≤1e-9 through decade 7 (1B docs); the round-12
+# decade-5 rerun re-anchors the per-doc curves on this generator.
+FAM_TOKEN_SPACE = 999_999_937
+
 
 def build_family_corpus(
     spark: SparkSession,
@@ -35,10 +45,18 @@ def build_family_corpus(
     extra_cols: tuple[str, ...] = (),
     with_n_chars: bool = False,
     n_files: int = 64,
+    block_size_mib: int | None = None,
 ) -> None:
     """Write ``N_BASE * replicas`` family-of-5 documents to
     ``{corpus_dir}/documents.parquet`` with columns (doc_id, text,
-    *extra_cols[, n_chars])."""
+    *extra_cols[, n_chars]).
+
+    ``block_size_mib`` sets ``parquet.block.size`` for the corpus
+    write — the decade-5 knee's production lever: a corpus written
+    with default 128 MiB row groups costs every downstream scan task a
+    128 MiB decode buffer, which at local[32]/16g (0.5 GB/task) is the
+    allocation spike that OOMed the composed q69 chain. Size row
+    groups to heap-per-executor / cores-per-executor."""
     base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     rep = base.crossJoin(
         spark.range(replicas).withColumnRenamed("id", "r")
@@ -63,9 +81,9 @@ def build_family_corpus(
     # corpus's own planted dups.
     fam_tok = lambda i: F.concat(  # noqa: E731
         F.lit("f"),
-        F.pmod(F.xxhash64(F.col("doc_id"), F.col("g"), i), F.lit(99991)).cast(
-            "string"
-        ),
+        F.pmod(
+            F.xxhash64(F.col("doc_id"), F.col("g"), i), F.lit(FAM_TOKEN_SPACE)
+        ).cast("string"),
     )
     jittered = F.transform(
         words, lambda w, i: F.when(i % 2 == 1, fam_tok(i)).otherwise(w)
@@ -93,12 +111,12 @@ def build_family_corpus(
     ]
     if with_n_chars:
         final_cols.append(F.length("text").cast("long").alias("n_chars"))
-    (
-        staged.select(*final_cols)
-        .repartition(n_files)
-        .write.mode("overwrite")
-        .parquet(f"{corpus_dir}/documents.parquet")
+    writer = staged.select(*final_cols).repartition(n_files).write.mode(
+        "overwrite"
     )
+    if block_size_mib is not None:
+        writer = writer.option("parquet.block.size", block_size_mib << 20)
+    writer.parquet(f"{corpus_dir}/documents.parquet")
 
 
 def assert_family_construction(spark: SparkSession, corpus_dir: str) -> None:

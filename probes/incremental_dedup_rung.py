@@ -42,6 +42,7 @@ index are deleted after. Prints one JSON line.
 
 from __future__ import annotations
 
+import argparse
 import json
 import shutil
 import sys
@@ -54,16 +55,28 @@ sys.path.insert(0, "/root/repo")
 from strat_backtest_spark.session import get_spark  # noqa: E402
 
 
-def _opt(flag: str, default: str | None = None) -> str | None:
-    return sys.argv[sys.argv.index(flag) + 1] if flag in sys.argv else default
+def parse_args(argv: list[str]) -> argparse.Namespace:
+    # ADVICE r11: the hand-rolled parser required REPLICAS at argv[1]
+    # (so `--corpus DIR` first crashed on int('--corpus')) and indexed
+    # one past a trailing flag. argparse owns flag/positional order
+    # and missing-value errors now.
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("replicas", nargs="?", type=int, default=2000)
+    ap.add_argument("--corpus", default=None,
+                    help="reuse an existing family-of-5 corpus dir")
+    ap.add_argument("--index-members", type=int, default=3)
+    ap.add_argument("--delta-members", type=int, default=2)
+    ap.add_argument("--big-delta", action="store_true")
+    return ap.parse_args(argv)
 
 
 def main() -> None:
-    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
-    reuse_corpus = _opt("--corpus")
-    idx_members = int(_opt("--index-members", "3"))
-    delta_members = int(_opt("--delta-members", "2"))
-    big_delta = "--big-delta" in sys.argv
+    ns = parse_args(sys.argv[1:])
+    replicas = ns.replicas
+    reuse_corpus = ns.corpus
+    idx_members = ns.index_members
+    delta_members = ns.delta_members
+    big_delta = ns.big_delta
     spark = get_spark(cpus=32)
     spark.conf.set("spark.sql.shuffle.partitions", "64")
     from _corpus import N_BASE as n_base

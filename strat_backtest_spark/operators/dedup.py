@@ -1566,12 +1566,30 @@ def delta_probe_rows(
     ``digests``: a caller that already materialized md5-over-text
     rows (e.g. the q100 loop's scrub_hash) passes them as
     (text_hash, ``id_col``) and skips this function's own md5 scan —
-    the caller owns the claim that they hash the SAME text column."""
+    the caller owns the claim that they hash the SAME text column
+    with the SAME convention (md5 of the utf-8 bytes: any other hash
+    written into an index silently breaks every future exact-dup
+    probe against it, which is why the column shape is checked here
+    and the convention requirement is spelled out — it cannot be
+    checked without re-hashing, which would defeat the point).
+    Caller-supplied digests are localCheckpointed here too, so the
+    single-pass guarantee holds regardless of what plan produced
+    them (ADVICE r11)."""
     if digests is None:
         digests = delta.select(
             F.md5(F.col(text_col).cast("binary")).alias("text_hash"),
             F.col(id_col),
         ).localCheckpoint()
+    else:
+        if set(digests.columns) != {"text_hash", id_col}:
+            raise ValueError(
+                "delta_probe_rows: caller-supplied digests must have "
+                f"exactly columns ('text_hash', {id_col!r}); got "
+                f"{digests.columns} — and text_hash MUST be "
+                f"md5(cast({text_col} as binary)), the index's digest "
+                "convention"
+            )
+        digests = digests.select("text_hash", id_col).localCheckpoint()
     band_rows = minhash_band_rows(
         delta, k, bands, shingle_n, text_col, id_col
     ).localCheckpoint()

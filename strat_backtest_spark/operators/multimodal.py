@@ -75,9 +75,13 @@ def decode_png(payload: bytes) -> np.ndarray:
     """Pure-Python PNG decode — stdlib zlib + numpy, no imaging
     library: chunk walk, IDAT inflate, per-scanline unfilter (all five
     filter types: none/sub/up/average/paeth). Supports the common
-    non-interlaced 8-bit color types (gray=0, RGB=2, gray+alpha=4,
-    RGBA=6); palette/16-bit/interlaced raise NotImplementedError.
-    Returns (H, W) uint8 for grayscale, (H, W, C) otherwise.
+    non-interlaced 8-bit color types (gray=0, RGB=2, palette=3,
+    gray+alpha=4, RGBA=6); sub-byte-depth palette/16-bit/interlaced
+    raise NotImplementedError. 8-bit palette (the most common PNG
+    class in web crawls — r11 verdict item 4) is a PLTE lookup after
+    the same unfilter pass, expanded to (H, W, 3), or (H, W, 4) when
+    a tRNS chunk supplies per-entry alpha. Returns (H, W) uint8 for
+    grayscale, (H, W, C) otherwise.
 
     Untrusted-payload hardening (ADVICE r9): declared dimensions are
     bounded BEFORE any allocation and the inflate is length-capped via
@@ -95,7 +99,7 @@ def decode_png(payload: bytes) -> np.ndarray:
 
     if not payload.startswith(_PNG_SIG):
         raise ValueError("not a PNG payload")
-    pos, ihdr, idat = 8, None, []
+    pos, ihdr, idat, plte, trns = 8, None, [], None, None
     while pos + 8 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos:pos + 4])
         ctype = payload[pos + 4:pos + 8]
@@ -103,6 +107,10 @@ def decode_png(payload: bytes) -> np.ndarray:
         pos += 12 + length  # length + type + data + crc
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"tRNS":
+            trns = data
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":
@@ -110,11 +118,14 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color, _comp, _filt, interlace = ihdr
-    if depth != 8 or interlace != 0 or color not in (0, 2, 4, 6):
+    if depth != 8 or interlace != 0 or color not in (0, 2, 3, 4, 6):
         raise NotImplementedError(
             f"PNG depth={depth} color={color} interlace={interlace} unsupported"
         )
-    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+    if color == 3:
+        if plte is None or len(plte) == 0 or len(plte) % 3 != 0:
+            raise ValueError("palette PNG missing or malformed PLTE")
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
     if w <= 0 or h <= 0 or w * h > _PNG_MAX_PIXELS:
         raise ValueError(f"PNG dimensions {w}x{h} outside decoder bounds")
     stride = w * ch
@@ -178,6 +189,21 @@ def decode_png(payload: bytes) -> np.ndarray:
         out[y] = cur.astype(np.uint8)
         prev = cur
     img = out.reshape(h, w, ch)
+    if color == 3:
+        # PLTE lookup: unfiltered bytes are palette indices. tRNS (if
+        # present) carries alpha for the FIRST len(trns) entries;
+        # later entries are opaque (the spec's shortened-tRNS rule).
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = img[:, :, 0]
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("palette PNG index outside PLTE")
+        rgb_img = pal[idx]
+        if trns is None:
+            return rgb_img
+        alpha = np.full(pal.shape[0], 255, dtype=np.uint8)
+        ta = np.frombuffer(trns, dtype=np.uint8)[: pal.shape[0]]
+        alpha[: ta.size] = ta
+        return np.dstack([rgb_img, alpha[idx]])
     return img[:, :, 0] if ch == 1 else img
 
 

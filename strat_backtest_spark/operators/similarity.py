@@ -722,17 +722,28 @@ def ann_recall(
 # persisted-IVF index maintenance (q99): append + drift gate
 # ---------------------------------------------------------------------------
 
+# Below this many sampled rows, a drift baseline/measurement falls
+# back to the full scan: the mean-distance estimator's standard error
+# on a few dozen rows is large enough to swing the drift ratio across
+# the re-train threshold on pure noise (a 20-row baseline under the
+# 5% default tripped the gate on a just-rebuilt 400-row unit index).
+# At production scale the floor never binds — 5% of 10M rows is 500k.
+DRIFT_MIN_SAMPLE_ROWS = 10_000
+
+
 def _assigned_mean_dist(
     assigned: DataFrame, centroids, vec_col: str
-) -> float | None:
-    """Mean L2 distance-to-assigned-centroid over ``assigned`` rows —
-    the assignment-quality scalar the drift gate compares. JVM-side
-    (broadcast codebook join + an array fold), one aggregate job; at
-    100 TB run it on a sample (``ivf_index_drift`` does). Returns
-    ``None`` when ``assigned`` has no rows (a Bernoulli sample can
-    come back empty on a small index) — callers must fall back to the
-    unsampled scan rather than persist a 0.0 baseline, which would pin
-    the drift ratio at inf and trip the re-train gate forever."""
+) -> tuple[float | None, int]:
+    """(mean L2 distance-to-assigned-centroid, row count) over
+    ``assigned`` rows — the assignment-quality scalar the drift gate
+    compares, plus the sample size backing it. JVM-side (broadcast
+    codebook join + an array fold), one aggregate job; at 100 TB run
+    it on a sample (``ivf_index_drift`` does). The mean is ``None``
+    when ``assigned`` has no rows (a Bernoulli sample can come back
+    empty on a small index) — callers must fall back to the unsampled
+    scan rather than persist a 0.0 baseline, which would pin the
+    drift ratio at inf and trip the re-train gate forever; the count
+    lets them also reject too-small samples (DRIFT_MIN_SAMPLE_ROWS)."""
     spark = assigned.sparkSession
     cents = spark.createDataFrame(
         [(int(c), [float(x) for x in v]) for c, v in centroids],
@@ -749,10 +760,14 @@ def _assigned_mean_dist(
     )
     row = (
         assigned.join(F.broadcast(cents), "centroid_id")
-        .agg(F.avg(F.sqrt(d2)).alias("mean_dist"))
+        .agg(
+            F.avg(F.sqrt(d2)).alias("mean_dist"),
+            F.count(F.lit(1)).alias("n"),
+        )
         .collect()[0]
     )
-    return float(row["mean_dist"]) if row["mean_dist"] is not None else None
+    mean = float(row["mean_dist"]) if row["mean_dist"] is not None else None
+    return mean, int(row["n"])
 
 
 def ivf_index_write(
@@ -761,15 +776,21 @@ def ivf_index_write(
     path: str,
     vec_col: str = "embedding",
     mode: str = "overwrite",
-    drift_sample: float | None = None,
+    drift_sample: float | None = 0.05,
     n_files: int = 64,
 ) -> None:
     """Persist the q97 partitioned-IVF layout: assign ONCE, land
     ``partitionBy(centroid_id)`` so probe-time ``isin`` filters become
     literal INSET PartitionFilters (plans/catalog_pipeline.py q97).
     Also records the write-time assignment quality (mean
-    distance-to-centroid, optionally on a ``drift_sample`` fraction)
-    at ``{path}/_drift_baseline`` — the denominator of the drift gate.
+    distance-to-centroid) at ``{path}/_drift_baseline`` — the
+    denominator of the drift gate. ``drift_sample`` bounds that
+    measurement to a fraction of the just-written corpus — the
+    DEFAULT, because at 100 TB the baseline must not cost a second
+    full read-back scan at write time (r11 verdict item 5); an empty
+    sample falls back to the full scan, and ``drift_sample=None``
+    forces it. The baseline is write-time FROZEN on purpose: appends
+    must not move the denominator they are measured against.
     The codebook itself is persisted at ``{path}/_centroids`` so a
     reader never depends on the caller re-supplying it."""
     spark = corpus.sparkSession
@@ -785,9 +806,11 @@ def ivf_index_write(
     sample = persisted if drift_sample is None else persisted.sample(
         drift_sample, seed=7
     )
-    base = _assigned_mean_dist(sample, centroids, vec_col)
-    if base is None:  # empty sample — fall back to the full scan
-        base = _assigned_mean_dist(persisted, centroids, vec_col) or 0.0
+    base, n = _assigned_mean_dist(sample, centroids, vec_col)
+    if base is None or (sample is not persisted and n < DRIFT_MIN_SAMPLE_ROWS):
+        # empty or too-small sample — fall back to the full scan
+        base, _ = _assigned_mean_dist(persisted, centroids, vec_col)
+        base = base or 0.0
     spark.createDataFrame(
         [(base,)], "mean_dist double"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_drift_baseline")
@@ -812,7 +835,22 @@ def ivf_index_append(
     shuffled. Centroids do NOT move on append — that is the point
     (moving them would orphan every previously-assigned vector); when
     accumulated drift degrades assignment quality past the gate
-    (``ivf_index_needs_retrain``), re-train and rebuild instead."""
+    (``ivf_index_needs_retrain``), re-train and rebuild instead.
+
+    Concurrency contract (r11 verdict item 5): SINGLE WRITER, and the
+    append is NOT atomic — parquet files land per task, so a
+    concurrent probe-pruned reader can observe a partially-appended
+    list (fewer candidates in a touched partition than after commit;
+    never corrupt rows, parquet files are whole-or-absent). That is
+    the same contract ``streaming_incremental_dedup`` documents for
+    the dedup index: one maintenance job owns the index path;
+    readers needing a consistent cut read a path that is not being
+    appended, or gate on their own completion marker. Making appends
+    atomic at 100 TB means a manifest (Delta/Iceberg-style log) —
+    out of scope for the plain-directory layout, stated here so
+    nobody assumes otherwise. ``_drift_baseline`` is intentionally
+    not touched by appends (write-time frozen — the gate's
+    denominator)."""
     spark = delta.sparkSession
     centroids = [
         (int(r["centroid_id"]), [float(x) for x in r["cvec"]])
@@ -843,9 +881,13 @@ def ivf_index_drift(
     ]
     cur = spark.read.parquet(f"{path}/vectors")
     sampled = cur if sample_fraction is None else cur.sample(sample_fraction, seed=7)
-    mean_dist = _assigned_mean_dist(sampled, centroids, vec_col)
-    if mean_dist is None:  # empty sample — fall back to the full scan
-        mean_dist = _assigned_mean_dist(cur, centroids, vec_col) or 0.0
+    mean_dist, n = _assigned_mean_dist(sampled, centroids, vec_col)
+    if mean_dist is None or (
+        sampled is not cur and n < DRIFT_MIN_SAMPLE_ROWS
+    ):
+        # empty or too-small sample — fall back to the full scan
+        mean_dist, _ = _assigned_mean_dist(cur, centroids, vec_col)
+        mean_dist = mean_dist or 0.0
     base = float(
         spark.read.parquet(f"{path}/_drift_baseline").collect()[0]["mean_dist"]
     )

@@ -456,6 +456,9 @@ def streaming_curation_loop(
     dim: int = 4096,
     dim2: int = 2048,
     phase_timers: list | None = None,
+    chunk_ids: list[int] | None = None,
+    initial_counts: dict[str, int] | None = None,
+    state_dir: str | None = None,
 ) -> DataFrame:
     """The production ingest shape as ONE streaming job (q100): every
     micro-batch (one replay chunk = one day's crawl) runs the full
@@ -499,7 +502,29 @@ def streaming_curation_loop(
     stratum survive the augmentation and the dedup stage still sees
     its collisions. Dedup and the classifier run on the SCRUBBED text:
     redaction-then-curation is the real pipeline order (raw PII must
-    not enter the persisted index)."""
+    not enter the persisted index).
+
+    COLD RESTART (the production resume path, r11 verdict item 2):
+    - ``state_dir`` makes the two cross-batch artifacts DURABLE at
+      ``{state_dir}/index`` and ``{state_dir}/verdicts`` — they
+      survive the call instead of living in per-run /tmp scratch, and
+      an existing index there is RESUMED (no day-zero overwrite, no
+      verdict-store reset);
+    - ``initial_counts`` seeds the per-source admitted counters —
+      on resume, pass ``curation_quota_counts_from_verdicts`` over
+      the surviving verdict store (equality with the live counters is
+      pinned by unit);
+    - ``chunk_ids`` replays only the listed chunks (chunk k is still
+      ``doc_id % n_chunks == k`` of the full corpus) — incarnation 1
+      processes ``[0]``, dies; incarnation 2 processes ``[1, 2]``
+      against the surviving state. In production the checkpointed
+      file source does this selection; the finite-replay gate models
+      it explicitly.
+    The returned DataFrame reads the WHOLE verdict store, so a
+    resumed call returns prior incarnations' verdicts too. The
+    kill/resume end-to-end equivalence (interrupted ≡ uninterrupted,
+    byte-identical verdict sets) is pinned by
+    tests/test_pipeline_ops.py::test_curation_loop_cold_restart."""
     import hashlib
     import os
     import shutil
@@ -536,18 +561,34 @@ def streaming_curation_loop(
         .otherwise(F.col("text"))
         .alias("text"),
     )
+    if chunk_ids is not None:
+        # resume replay: only the listed chunks carry rows; the other
+        # chunks' (empty) triggers are skipped by the isEmpty guard.
+        # Chunk membership stays doc_id % n_chunks == k over the FULL
+        # corpus, so incarnation boundaries never reshape a chunk.
+        aug = aug.filter((F.col("doc_id") % n_chunks).isin(list(chunk_ids)))
     stream, replay_dir = _chunked_replay(spark, aug, n_chunks)
-    # deterministic scratch (same single-writer assumption as
-    # streaming_incremental_dedup's note: concurrent identical-param
-    # runs are not supported; gate runs are serialized per input)
-    tag = hashlib.md5(f"{sf_dir}|{n_chunks}|{cap}".encode()).hexdigest()[:10]
-    index_dir = f"/tmp/stream_curation_index_{tag}"
-    out_dir = f"/tmp/stream_curation_out_{tag}"
-    shutil.rmtree(out_dir, ignore_errors=True)
-    dedup_index_write(static.limit(0), index_dir)  # day-zero: empty
+    if state_dir is not None:
+        # durable cross-batch state: survives this call; an existing
+        # index there means RESUME (keep the verdict store, skip the
+        # day-zero empty-index write)
+        index_dir = f"{state_dir}/index"
+        out_dir = f"{state_dir}/verdicts"
+        resume = os.path.isdir(index_dir)
+    else:
+        # deterministic scratch (same single-writer assumption as
+        # streaming_incremental_dedup's note: concurrent identical-param
+        # runs are not supported; gate runs are serialized per input)
+        tag = hashlib.md5(f"{sf_dir}|{n_chunks}|{cap}".encode()).hexdigest()[:10]
+        index_dir = f"/tmp/stream_curation_index_{tag}"
+        out_dir = f"/tmp/stream_curation_out_{tag}"
+        resume = False
+    if not resume:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        dedup_index_write(static.limit(0), index_dir)  # day-zero: empty
 
     w1, w2 = fixture_weights(dim), fixture_weights(dim2)
-    admitted_counts: dict[str, int] = {}
+    admitted_counts: dict[str, int] = dict(initial_counts or {})
     out_schema = "doc_id long, scrub_hash string, status string, logit long"
 
     import time as _time
@@ -557,7 +598,19 @@ def streaming_curation_loop(
             return
         tm: dict = {"batch_id": batch_id}
         t0 = _time.time()
-        scrubbed = (
+        prior = spark.createDataFrame(
+            list(admitted_counts.items()) or [("", 0)],
+            "source string, prior long",
+        )
+        wq = Window.partitionBy("source").orderBy("doc_id")
+        # ONE checkpoint for the scrub + quota stages (r11 verdict
+        # item 6): the previous shape checkpointed the scrubbed text,
+        # then RE-checkpointed the same text rows plus (rn, prior) —
+        # doubling the batch's text materialization for the two
+        # cheapest stages. Scrub, rank, and the broadcast prior join
+        # are all one narrow-ish plan; materialize it once carrying
+        # (doc_id, source, text, scrub_hash, rn, prior).
+        ranked = (
             pii_scrub(batch_df)
             .select(
                 "doc_id",
@@ -565,17 +618,7 @@ def streaming_curation_loop(
                 "text",
                 F.md5(F.col("text").cast("binary")).alias("scrub_hash"),
             )
-            .localCheckpoint()
-        )
-        tm["scrub_s"] = round(_time.time() - t0, 1)
-        t0 = _time.time()
-        prior = spark.createDataFrame(
-            list(admitted_counts.items()) or [("", 0)],
-            "source string, prior long",
-        )
-        wq = Window.partitionBy("source").orderBy("doc_id")
-        ranked = (
-            scrubbed.withColumn("rn", F.row_number().over(wq))
+            .withColumn("rn", F.row_number().over(wq))
             .join(F.broadcast(prior), "source", "left")
             .withColumn("prior", F.coalesce(F.col("prior"), F.lit(0)))
             .localCheckpoint()
@@ -588,7 +631,7 @@ def streaming_curation_loop(
             F.lit(None).cast("long").alias("logit"),
         )
 
-        tm["quota_s"] = round(_time.time() - t0, 1)
+        tm["scrub_quota_s"] = round(_time.time() - t0, 1)
         t0 = _time.time()
         # ONE signature pass per micro-batch (eager checkpoint),
         # shared by the verdict probe and the survivor append — the
@@ -653,7 +696,8 @@ def streaming_curation_loop(
     finally:
         q.stop()
         shutil.rmtree(replay_dir, ignore_errors=True)
-        shutil.rmtree(index_dir, ignore_errors=True)
+        if state_dir is None:  # durable state survives for resume
+            shutil.rmtree(index_dir, ignore_errors=True)
 
     if not os.path.isdir(out_dir) or not any(
         f.endswith(".parquet") for f in os.listdir(out_dir)
@@ -677,12 +721,27 @@ def curation_quota_counts_from_verdicts(
     broadcast-joined aggregate over the verdict store — state
     reconstruction costs one pass over verdicts, not a replay.
     Equality with the loop's live counters is pinned by
-    tests/test_pipeline_ops.py::test_curation_quota_counts_rebuild."""
+    tests/test_pipeline_ops.py::test_curation_quota_counts_rebuild.
+
+    ``docs`` must be the COMPLETE admission log (every doc the loop
+    ever saw): a verdict row whose doc_id has no source row would
+    silently vanish under an inner join, understating that source's
+    prior and letting the resumed loop overshoot its cap — so the
+    join is a LEFT join and an unmatched verdict fails loudly
+    (ADVICE r11)."""
     rows = (
         verdicts.filter(F.col("status") != "quota_rejected")
-        .join(docs.select("doc_id", "source"), "doc_id")
+        .join(docs.select("doc_id", "source"), "doc_id", "left")
         .groupBy("source")
         .count()
         .collect()
     )
-    return {r["source"]: int(r["count"]) for r in rows}
+    counts = {r["source"]: int(r["count"]) for r in rows}
+    if None in counts:
+        raise ValueError(
+            f"curation_quota_counts_from_verdicts: {counts[None]} admitted "
+            "verdict row(s) have no source row in `docs` — the admission "
+            "log is incomplete, and counters rebuilt from it would let a "
+            "resumed loop overshoot its per-source cap"
+        )
+    return counts

@@ -1379,10 +1379,12 @@ def test_substring_dedup_edges(spark):
     assert got["text"] == "keep\tmy   tabs\nand runs" and got["n_tokens"] == 5
 
 
-def _make_png(img, filters):
+def _make_png(img, filters, palette=None, trns=None):
     """Minimal PNG writer for the decoder unit: 8-bit, non-interlaced,
     one explicit filter byte per scanline (so every filter type is
-    exercisable), zlib-compressed, correct CRCs."""
+    exercisable), zlib-compressed, correct CRCs. With ``palette``
+    ((N, 3) uint8), ``img`` is an (H, W) index array and the output is
+    color type 3 with a PLTE chunk (+ tRNS when given)."""
     import struct
     import zlib
 
@@ -1390,7 +1392,7 @@ def _make_png(img, filters):
 
     h, w = img.shape[:2]
     ch = 1 if img.ndim == 2 else img.shape[2]
-    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    color = 3 if palette is not None else {1: 0, 2: 4, 3: 2, 4: 6}[ch]
     flat = img.reshape(h, w * ch).astype(np.int32)
 
     def chunk(ctype, data):
@@ -1424,9 +1426,15 @@ def _make_png(img, filters):
         raw += bytes([f]) + line.astype(np.uint8).tobytes()
         prev = cur
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    mid = b""
+    if palette is not None:
+        mid += chunk(b"PLTE", np.asarray(palette, dtype=np.uint8).tobytes())
+        if trns is not None:
+            mid += chunk(b"tRNS", bytes(trns))
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
+        + mid
         + chunk(b"IDAT", zlib.compress(raw))
         + chunk(b"IEND", b"")
     )
@@ -1493,6 +1501,68 @@ def test_real_decoder_png_and_wav(spark):
 
     with pytest.raises(NotImplementedError):
         real_decoder(b"\xff\xd8\xff\xe0 fake jpeg", "image")
+
+
+def test_decode_png_palette(spark):
+    """8-bit palette PNGs (color type 3) — the most common PNG class
+    in web crawls (r11 verdict item 4): indices round-trip through the
+    PLTE lookup to (H, W, 3), a tRNS chunk adds per-entry alpha
+    (shortened-tRNS entries default opaque) → (H, W, 4), every filter
+    type is exercised on the index scanlines, and the payload flows
+    through the Arrow decode_features plumbing. Out-of-range indices
+    and a missing PLTE stay loud."""
+    import numpy as np
+    import pytest
+
+    from strat_backtest_spark.operators.multimodal import (
+        attach_media,
+        decode_features,
+        decode_png,
+        real_decoder,
+    )
+
+    rng = np.random.default_rng(9)
+    pal = rng.integers(0, 256, (11, 3), dtype=np.uint8)
+    idx = rng.integers(0, 11, (7, 6), dtype=np.uint8)
+    png_pal = _make_png(idx, filters=[0, 1, 2, 3, 4], palette=pal)
+    assert np.array_equal(decode_png(png_pal), pal[idx])
+
+    # shortened tRNS: entries 0-2 translucent, the rest opaque
+    trns = bytes([0, 128, 200])
+    png_tr = _make_png(idx, filters=[4, 3, 2, 1, 0], palette=pal, trns=trns)
+    got = decode_png(png_tr)
+    assert got.shape == (7, 6, 4)
+    assert np.array_equal(got[:, :, :3], pal[idx])
+    alpha = np.full(11, 255, dtype=np.uint8)
+    alpha[:3] = np.frombuffer(trns, dtype=np.uint8)
+    assert np.array_equal(got[:, :, 3], alpha[idx])
+
+    # through the Spark plumbing, magic-byte dispatched
+    df = spark.createDataFrame(
+        [(1, bytearray(png_pal))], "doc_id long, payload binary"
+    )
+    media = attach_media(df, "payload", media_type="image")
+    row = decode_features(media, decoder=real_decoder).collect()[0]
+    assert row["byte_len"] == len(png_pal)
+    np.testing.assert_allclose(
+        row["sample_mean"], pal[idx].astype(np.float64).mean()
+    )
+
+    # loud failure modes: index beyond PLTE / PLTE missing entirely
+    bad = _make_png(
+        np.full((2, 2), 10, dtype=np.uint8), filters=[0], palette=pal[:5]
+    )
+    with pytest.raises(ValueError, match="outside PLTE"):
+        decode_png(bad)
+    no_plte = _make_png(idx, filters=[0], palette=pal)
+    # strip the PLTE chunk: starts after sig (8) + IHDR chunk (25),
+    # spans 12 overhead + 33 palette bytes
+    plte_len = 12 + 33
+    start = 8 + 25
+    assert no_plte[start + 4:start + 8] == b"PLTE"
+    stripped = no_plte[:start] + no_plte[start + plte_len:]
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(stripped)
 
 
 def test_chunked_replay_empty_input(spark):
@@ -2129,6 +2199,53 @@ def test_curation_quota_counts_rebuild(spark):
     assert got == expected
     # the rejection regime really occurred (cap bound, not corpus)
     assert all(v == cap for v in got.values())
+
+
+def test_curation_loop_cold_restart(spark, tmp_path):
+    """Kill/resume for the COMPOSED q100 loop (parity with the
+    per-operator restart tests for the streaming kernel and quota):
+    incarnation 1 processes replay chunk 0 against durable state and
+    STOPS; incarnation 2 processes chunks 1-2 against the SURVIVING
+    dedup index + verdict store, its quota counters seeded from the
+    verdict store via curation_quota_counts_from_verdicts. The
+    combined verdict set must be row-identical to an uninterrupted
+    3-chunk run — restart must not re-admit over quota, re-keep an
+    indexed duplicate, or lose a verdict."""
+    from strat_backtest_spark.streaming.documents_stream import (
+        curation_quota_counts_from_verdicts,
+        streaming_curation_loop,
+    )
+
+    cap = 18
+    want = {
+        (r["doc_id"], r["scrub_hash"], r["status"], r["logit"])
+        for r in streaming_curation_loop(spark, SF_SMALL, cap=cap).collect()
+    }
+
+    state = str(tmp_path / "curation_state")
+    inc1 = streaming_curation_loop(
+        spark, SF_SMALL, cap=cap, chunk_ids=[0], state_dir=state
+    )
+    n1 = inc1.count()
+    assert 0 < n1 < len(want), "incarnation 1 must be partial"
+    # seed the resumed loop's counters from DURABLE state only — the
+    # live dict died with incarnation 1
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    seeds = curation_quota_counts_from_verdicts(inc1, docs)
+    assert seeds and any(v > 0 for v in seeds.values())
+
+    got = {
+        (r["doc_id"], r["scrub_hash"], r["status"], r["logit"])
+        for r in streaming_curation_loop(
+            spark,
+            SF_SMALL,
+            cap=cap,
+            chunk_ids=[1, 2],
+            state_dir=state,
+            initial_counts=seeds,
+        ).collect()
+    }
+    assert got == want
 
 
 def test_ivf_index_append_equals_rebuild(spark, tmp_path):

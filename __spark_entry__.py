@@ -36,7 +36,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The correctness sweep evaluates at most ~50 catalog entries in
 # registration order, so entries past the window never get a gate row.
-# The catalog (92 entries) is larger than the window; rotate which
+# The catalog (100 entries) is larger than the window; rotate which
 # entries sit past it. Rotation policy (codified round 8):
 #   1. EVERY entry whose implementation (or a consumed operator)
 #      changed this round stays IN the window.
@@ -50,92 +50,90 @@ def entry(spark: SparkSession) -> DataFrame:
 #      untouched 2-rounds-stale entry may take a tail slot as long as
 #      rule 2 still holds — flag it <round>-MANDATORY so the next
 #      rotation returns it first. Head is exactly 50.
-# Round-11 application: the 48-entry r10 tail (all-true r09) returns
-# to the window MINUS five seats it could not have: the head must hold
-# two NEW entries — q99 (persisted-IVF append + drift gate) and q100
-# (one-job streaming curation loop) — plus the six rule-1 entries
-# whose functions have r11 diffs: q93/q96 (dedup_incremental null-text
-# window fix; q96 also the deterministic-scratch-dir cleanup), q98
-# (vectorized classifier + hashed-bigram features, oracle extended in
-# lockstep), q94/q95 (hash_neardup_pairs hot-bucket-cap fold), q58
-# (same fold in simhash_neardup_pairs — it returns from the r10 tail
-# AND is rule-1 touched). 42 returning + q58 (returning and rule-1
-# touched, counted once) + 5 touched-from-head + 2 new = 50 exactly. The five r9-green seats that did not fit —
-# q01, q02, q04, q14, q18, chosen as the most change-stable plan
-# entries (pure catalog.py TPC-H shapes, zero diffs since r7) — are
-# flagged r11-MANDATORY below per rule 3 and MUST return in round 12
-# (rule 2 deadline: last green r9 + 3). Every vacated r10-head seat
-# (45 entries now 1-round stale in the tail) is function-level
-# untouched this round, verifiable via git diff on its file: the r11
-# package diffs are dedup.py (dedup_incremental + the two
-# banded-Hamming pair functions + the _drop_hot_buckets helper),
-# text_analysis.py (quality_classifier only), similarity.py (appended
-# ivf_index_* functions only), documents_stream.py
-# (streaming_incremental_dedup + appended streaming_curation_loop),
-# catalog_pipeline.py (q96 oracle no-op cleanup, q98 entry, appended
-# q99/q100), multimodal.py (decode_png average/paeth unfilter loop
-# only — consumed by q94, rule-1 in the head; q38's tail seat is safe
-# because it uses its own inline extractor, not decode_png). Late-r11
-# additions, all head-confined: catalog_pipeline.py q94/q95 entries +
-# oracles (bands=5), dedup.py dedup_incremental/dedup_index_append
-# probe_rows param + new delta_probe_rows (consumers q93/q96/q100 all
-# head; tail dedup consumers q21/q56/q60/q77 use untouched functions),
-# similarity.py ivf_index_* empty-sample guards (q99 head; q97's tail
-# seat consumes only untouched ivf_assign/ivf_probes/ivf_topk),
-# documents_stream.py fold + curation_quota_counts_from_verdicts.
-# Receipt beyond the window: a full local 100/100 oracle sweep on the
-# final r11 code (BASELINE.md round-11 row, 218 s).
+# Round-12 application. The five r11-MANDATORY seats (q01/q02/q04/
+# q14/q18, last gate-green r9, rule-2 deadline r12) RETURN to the
+# head — the hard deadline honored. Rule-1 (touched this round) keeps
+# six r11-head entries in the head; every r12 package diff and its
+# catalog consumers:
+#   - operators/dedup.py: delta_probe_rows only (caller-digest column
+#     validation + checkpoint) -> q93/q96/q100;
+#   - streaming/documents_stream.py: streaming_curation_loop (cold-
+#     restart params + single-checkpoint fold) and
+#     curation_quota_counts_from_verdicts (left join + loud missing-
+#     source failure) -> q100;
+#   - operators/multimodal.py: decode_png (palette PLTE/tRNS decode;
+#     chunk walk now collects PLTE/tRNS) -> q94 and, via the
+#     real_decoder dispatch both entries inject, q95 (conservative:
+#     its WAV payloads never reach decode_png, but the dispatcher's
+#     callee changed); q38/q50 keep their deterministic-fake/inline
+#     extractors and are NOT consumers (verified: no decode_png or
+#     real_decoder reference in their entries);
+#   - operators/similarity.py: _assigned_mean_dist (returns count),
+#     ivf_index_write (sampled drift baseline default + min-sample
+#     floor), ivf_index_drift (same floor) -> q99; q97 consumes only
+#     untouched ivf_assign/ivf_probes/ivf_topk (verified by read).
+# 5 returning + 6 touched = 11 head seats; the remaining 39 go to the
+# r10 tail's 45 entries returning for their rule-2 r13 deadline. The
+# six that did not fit — q03/q05/q07/q13/q15/q20, chosen as the most
+# change-stable shapes (pure catalog.py / functions/windows.py code,
+# zero diffs since r7) — are flagged r12-MANDATORY below per rule 3
+# and MUST return in round 13 (rule 2 deadline: last green r10 + 3).
+# The 44 vacated r11-head seats in the tail are all function-level
+# untouched this round (the diff list above is exhaustive — verify
+# with git diff r11..r12 on the package). Receipt beyond the window:
+# a full local 100/100 oracle sweep on the final r12 code
+# (BASELINE.md round-12 row).
 _SWEEP_TAIL = [
-    "q03_top_customers",  # all-true r10, untouched r11
-    "q05_status_totals",  # all-true r10, untouched r11
-    "q07_pct_change",  # all-true r10, untouched r11
-    "q08_running_totals",  # all-true r10, untouched r11
-    "q10_forward_fill",  # all-true r10, untouched r11
-    "q11_tail_n",  # all-true r10, untouched r11
-    "q12_trailing_period",  # all-true r10, untouched r11
-    "q13_first_last",  # all-true r10, untouched r11
-    "q15_union_nations",  # all-true r10, untouched r11
-    "q16_nations_without_suppliers",  # all-true r10, untouched r11
-    "q17_signal_edges",  # all-true r10, untouched r11
-    "q20_json_props",  # all-true r10, untouched r11
-    "q21_dedup_exact",  # all-true r10, untouched r11
-    "q26_token_counts",  # all-true r10, untouched r11
-    "q30_cosine_topk",  # all-true r10, untouched r11
-    "q47_embedding_neardup",  # all-true r10, untouched r11
-    "q51_ivf_topk",  # all-true r10, untouched r11
-    "q54_stratified_sample",  # all-true r10, untouched r11
-    "q55_curation_pipeline",  # all-true r10, untouched r11
-    "q56_dedup_components",  # all-true r10, untouched r11
-    "q57_kmv_distinct_users",  # all-true r10, untouched r11
-    "q60_decontaminate",  # all-true r10, untouched r11
-    "q62_token_quantiles",  # all-true r10, untouched r11
-    "q66_chunking",  # all-true r10, untouched r11
-    "q67_embedding_profile",  # all-true r10, untouched r11
-    "q68_dedup_apply",  # all-true r10, untouched r11
-    "q69_curation_end_to_end",  # all-true r10, untouched r11
-    "q70_dup_rate_by_source",  # all-true r10, untouched r11
-    "q74_pii_scrub",  # all-true r10, untouched r11
-    "q76_semantic_dedup_apply",  # all-true r10, untouched r11
-    "q77_line_dedup",  # all-true r10, untouched r11
-    "q78_stream_pii_scrub",  # all-true r10, untouched r11
-    "q79_pack_sequences",  # all-true r10, untouched r11
-    "q80_shard_shuffle",  # all-true r10, untouched r11
-    "q81_tfidf_topk",  # all-true r10, untouched r11
-    "q82_quantize_embeddings",  # all-true r10, untouched r11
-    "q83_unigram_logprob",  # all-true r10, untouched r11
-    "q84_split_assign",  # all-true r10, untouched r11
-    "q85_quota_sample",  # all-true r10, untouched r11
-    "q86_ngram_topk",  # all-true r10, untouched r11
-    "q87_bigram_logprob",  # all-true r10, untouched r11
-    "q89_profile_columns",  # all-true r10, untouched r11
-    "q97_ivf_persisted_topk",  # all-true r10, untouched r11
-    "q38_multimodal_features",  # all-true r10, untouched r11
-    "q44_common_stock_mentions",  # all-true r10, untouched r11
-    "q01_pricing_summary",  # all-true r09 — r11-MANDATORY: returns in r12 (rule-2 deadline r9+3)
-    "q02_regional_revenue",  # all-true r09 — r11-MANDATORY: returns in r12 (rule-2 deadline r9+3)
-    "q04_orders_with_bigticket_items",  # all-true r09 — r11-MANDATORY: returns in r12 (rule-2 deadline r9+3)
-    "q14_distinct",  # all-true r09 — r11-MANDATORY: returns in r12 (rule-2 deadline r9+3)
-    "q18_compound_range_predicate",  # all-true r09 — r11-MANDATORY: returns in r12 (rule-2 deadline r9+3)
+    "q06_rolling_mean",  # all-true r11, untouched r12
+    "q09_cumprod",  # all-true r11, untouched r12
+    "q19_string_predicates",  # all-true r11, untouched r12
+    "q22_minhash_signatures",  # all-true r11, untouched r12
+    "q23_minhash_lsh_pairs",  # all-true r11, untouched r12
+    "q24_simhash",  # all-true r11, untouched r12
+    "q25_ngram_jaccard",  # all-true r11, untouched r12
+    "q27_quality_score",  # all-true r11, untouched r12
+    "q28_langid",  # all-true r11, untouched r12
+    "q29_fingerprint",  # all-true r11, untouched r12
+    "q31_ann_lsh_topk",  # all-true r11, untouched r12
+    "q58_simhash_neardup",  # all-true r11, untouched r12
+    "q61_repetition_score",  # all-true r11, untouched r12
+    "q63_stream_dedup",  # all-true r11, untouched r12
+    "q75_dup_ngram_fraction",  # all-true r11, untouched r12
+    "q88_ann_recall",  # all-true r11, untouched r12
+    "q90_stream_quota_admission",  # all-true r11, untouched r12
+    "q91_stream_simhash_neardup",  # all-true r11, untouched r12
+    "q92_substring_dedup",  # all-true r11, untouched r12
+    "q98_quality_classifier",  # all-true r11, untouched r12
+    "q32_asof_join",  # all-true r11, untouched r12
+    "q33_rollup_revenue",  # all-true r11, untouched r12
+    "q34_pivot_event_matrix",  # all-true r11, untouched r12
+    "q35_sessionization",  # all-true r11, untouched r12
+    "q36_token_topk",  # all-true r11, untouched r12
+    "q37_ticker_mentions",  # all-true r11, untouched r12
+    "q39_ma_cross_signals",  # all-true r11, untouched r12
+    "q40_backtest_networth",  # all-true r11, untouched r12
+    "q41_grid_search",  # all-true r11, untouched r12
+    "q42_backtest_metrics",  # all-true r11, untouched r12
+    "q43_stream_windowed_agg",  # all-true r11, untouched r12
+    "q48_stream_sessionize",  # all-true r11, untouched r12
+    "q49_stream_signal_edges",  # all-true r11, untouched r12
+    "q59_stream_backtest_kernel",  # all-true r11, untouched r12
+    "q50_multimodal_frames",  # all-true r11, untouched r12
+    "q52_range_join",  # all-true r11, untouched r12
+    "q53_resample_ohlc",  # all-true r11, untouched r12
+    "q73_stream_late_arrival",  # all-true r11, untouched r12
+    "q64_stream_band_kernel",  # all-true r11, untouched r12
+    "q65_stream_grid",  # all-true r11, untouched r12
+    "q72_stoploss_networth",  # all-true r11, untouched r12
+    "q71_stream_partial_close",  # all-true r11, untouched r12
+    "q45_common_stock_sweep",  # all-true r11, untouched r12
+    "q46_simulated_annealing",  # all-true r11, untouched r12
+    "q03_top_customers",  # all-true r10 — r12-MANDATORY: returns in r13 (rule-2 deadline r10+3)
+    "q05_status_totals",  # all-true r10 — r12-MANDATORY: returns in r13 (rule-2 deadline r10+3)
+    "q07_pct_change",  # all-true r10 — r12-MANDATORY: returns in r13 (rule-2 deadline r10+3)
+    "q13_first_last",  # all-true r10 — r12-MANDATORY: returns in r13 (rule-2 deadline r10+3)
+    "q15_union_nations",  # all-true r10 — r12-MANDATORY: returns in r13 (rule-2 deadline r10+3)
+    "q20_json_props",  # all-true r10 — r12-MANDATORY: returns in r13 (rule-2 deadline r10+3)
 ]
 
 

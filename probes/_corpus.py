@@ -58,9 +58,18 @@ def build_family_corpus(
     allocation spike that OOMed the composed q69 chain. Size row
     groups to heap-per-executor / cores-per-executor."""
     base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    # repartition BEFORE the jitter projection (round-12 fix for the
+    # documented crossJoin single-task trap): the broadcast-nested-loop
+    # crossJoin inherits the base scan's 1-2 partitions, so the
+    # expensive family-token transform ran nearly serial (~23 min at
+    # 50M docs). Exchanging first costs a shuffle of the SHORT
+    # pre-jitter text and buys n_files-way parallelism for the
+    # transform and the write (which needed that exact partitioning
+    # anyway — the old plan paid the same shuffle after the transform,
+    # on the longer jittered text).
     rep = base.crossJoin(
         spark.range(replicas).withColumnRenamed("id", "r")
-    ).select(
+    ).repartition(n_files).select(
         "doc_id",
         "text",
         *extra_cols,
@@ -111,9 +120,9 @@ def build_family_corpus(
     ]
     if with_n_chars:
         final_cols.append(F.length("text").cast("long").alias("n_chars"))
-    writer = staged.select(*final_cols).repartition(n_files).write.mode(
-        "overwrite"
-    )
+    # no second repartition: the early exchange already pinned n_files
+    # partitions, and a narrow projection preserves them
+    writer = staged.select(*final_cols).write.mode("overwrite")
     if block_size_mib is not None:
         writer = writer.option("parquet.block.size", block_size_mib << 20)
     writer.parquet(f"{corpus_dir}/documents.parquet")

@@ -2201,6 +2201,57 @@ def test_curation_quota_counts_rebuild(spark):
     assert all(v == cap for v in got.values())
 
 
+def test_curation_quota_rebuild_missing_source_fails_loudly(spark):
+    """ADVICE r11: a verdict row whose doc_id is absent from the
+    supplied admission log must raise (an inner join silently dropped
+    it, understating the source's prior and letting a resumed loop
+    overshoot its cap), and the error names the row count."""
+    import pytest
+
+    from strat_backtest_spark.streaming.documents_stream import (
+        curation_quota_counts_from_verdicts,
+    )
+
+    verdicts = spark.createDataFrame(
+        [(1, "h1", "kept", 7), (2, "h2", "kept", 7), (99, "h9", "kept", 7)],
+        "doc_id long, scrub_hash string, status string, logit long",
+    )
+    docs = spark.createDataFrame(
+        [(1, "web"), (2, "web")], "doc_id long, source string"
+    )
+    with pytest.raises(ValueError, match="1 admitted verdict row"):
+        curation_quota_counts_from_verdicts(verdicts, docs)
+    # complete log: counts come back keyed by source
+    full = docs.union(spark.createDataFrame([(99, "books")], docs.schema))
+    assert curation_quota_counts_from_verdicts(verdicts, full) == {
+        "web": 2,
+        "books": 1,
+    }
+
+
+def test_delta_probe_rows_rejects_malformed_digests(spark):
+    """ADVICE r11: caller-supplied digests with the wrong column shape
+    must be rejected before they can write a mixed digest convention
+    into an index."""
+    import pytest
+
+    from strat_backtest_spark.operators.dedup import delta_probe_rows
+
+    delta = spark.createDataFrame(
+        [(1, "some text here")], "doc_id long, text string"
+    )
+    bad = spark.createDataFrame(
+        [("abc", 1, "x")], "text_hash string, doc_id long, extra string"
+    )
+    with pytest.raises(ValueError, match="exactly columns"):
+        delta_probe_rows(delta, digests=bad)
+    wrong_name = spark.createDataFrame(
+        [("abc", 1)], "hash string, doc_id long"
+    )
+    with pytest.raises(ValueError, match="exactly columns"):
+        delta_probe_rows(delta, digests=wrong_name)
+
+
 def test_curation_loop_cold_restart(spark, tmp_path):
     """Kill/resume for the COMPOSED q100 loop (parity with the
     per-operator restart tests for the streaming kernel and quota):

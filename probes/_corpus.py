@@ -57,19 +57,21 @@ def build_family_corpus(
     128 MiB decode buffer, which at local[32]/16g (0.5 GB/task) is the
     allocation spike that OOMed the composed q69 chain. Size row
     groups to heap-per-executor / cores-per-executor."""
-    base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-    # repartition BEFORE the jitter projection (round-12 fix for the
-    # documented crossJoin single-task trap): the broadcast-nested-loop
-    # crossJoin inherits the base scan's 1-2 partitions, so the
-    # expensive family-token transform ran nearly serial (~23 min at
-    # 50M docs). Exchanging first costs a shuffle of the SHORT
-    # pre-jitter text and buys n_files-way parallelism for the
-    # transform and the write (which needed that exact partitioning
-    # anyway — the old plan paid the same shuffle after the transform,
-    # on the longer jittered text).
+    # Repartition the BASE (5000 rows — a trivial shuffle) before the
+    # crossJoin: the broadcast-nested-loop join's output partitioning
+    # follows its stream side, so this is what sets the parallelism of
+    # everything downstream. The round-11 build ran the expensive
+    # family-token transform nearly serial (~23 min at 50M docs)
+    # because the join inherited the base scan's 1-2 partitions — the
+    # documented crossJoin single-task trap; exchanging the REPLICATED
+    # rows instead (the first r12 attempt) moved a corpus-sized
+    # shuffle that this formulation avoids entirely.
+    base = spark.read.parquet(
+        "/root/testdata/sf0.1/documents.parquet"
+    ).repartition(n_files)
     rep = base.crossJoin(
         spark.range(replicas).withColumnRenamed("id", "r")
-    ).repartition(n_files).select(
+    ).select(
         "doc_id",
         "text",
         *extra_cols,

@@ -54,7 +54,10 @@ def main() -> None:
     )
 
     timers: list = []
-    cap = 200_000
+    # scale the quota with the corpus so the regime is decade-stable:
+    # 20 sources -> n_base*replicas/20 docs per source; cap admits ~80%
+    # (r11 anchor: 1000 replicas, cap 200k of 250k/source)
+    cap = 200 * replicas
     t = time.time()
     verdicts = streaming_curation_loop(
         spark, corpus_dir, cap=cap, phase_timers=timers

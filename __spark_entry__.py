@@ -55,8 +55,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # head — the hard deadline honored. Rule-1 (touched this round) keeps
 # six r11-head entries in the head; every r12 package diff and its
 # catalog consumers:
-#   - operators/dedup.py: delta_probe_rows only (caller-digest column
-#     validation + checkpoint) -> q93/q96/q100;
+#   - operators/dedup.py: delta_probe_rows (caller-digest column
+#     validation + checkpoint) -> q93/q96/q100; connected_components
+#     (DISK_ONLY round checkpoints — the decade-6 100M-doc OOM fix)
+#     -> q56/q68/q69/q70/q76, ALL of which hold head seats among the
+#     returning r10-tail entries, so rule 1 is satisfied;
 #   - streaming/documents_stream.py: streaming_curation_loop (cold-
 #     restart params + single-checkpoint fold) and
 #     curation_quota_counts_from_verdicts (left join + loud missing-

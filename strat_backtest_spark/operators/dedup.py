@@ -711,16 +711,29 @@ def connected_components(
     # etc. is expensive); nodes/edges both derive from it. DISK_ONLY:
     # the edge set is bulk (88M rows at the 5M-doc rung) and the
     # iterative star rounds need the heap.
+    jsc = pairs.sparkSession.sparkContext._jsc
+
+    def _pids() -> set:
+        return {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
+
+    def _evict(ids: set) -> None:
+        m = jsc.getPersistentRDDs()
+        for rid in ids:
+            if m.containsKey(rid):
+                m.get(rid).unpersist()
+
+    pre_p_ids = _pids()
     p = pairs.select(
         F.col(id_a).alias("u"), F.col(id_b).alias("v")
     ).localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
+    p_ids = _pids() - pre_p_ids
     if p.count() <= local_threshold:
         return _union_find_local(p)
     nodes = (
         p.select(F.col("u").alias("id"))
         .union(p.select(F.col("v").alias("id")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
     )
     ed = p.filter(F.col("u") != F.col("v"))
     # Partition-local contraction (integral ids only — the numpy path
@@ -730,7 +743,24 @@ def connected_components(
     # of the raw 88M-row pair stream.
     if precontract and dict(p.dtypes)["u"] == "bigint" == dict(p.dtypes)["v"]:
         ed = _precontract_edges(ed)
-    edges = ed.distinct().localCheckpoint()
+    # DISK_ONLY for every edge-set materialization (round-12 fix): the
+    # loop below checkpoints a NEW edge set each round and there is no
+    # public way to free a localCheckpointed DataFrame's blocks, so
+    # MEMORY_AND_DISK grew heap by O(rounds x edges) — exactly the knee
+    # the 100M-doc decade-6 rung named (240M candidate edges: round
+    # caches spilled, then concurrent task pages exhausted a 16g heap).
+    # Iterative bulk state belongs on disk: per-round reread is a
+    # sequential scan of a shrinking edge set (star contraction halves
+    # it geometrically), and heap stays bounded at O(one round's
+    # shuffle), which is what survives a 100x scale-up. Gate/bench
+    # corpora never reach this loop (they take the union-find path
+    # below local_threshold).
+    pre_e_ids = _pids()
+    edges = ed.distinct().localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
+    initial_edge_ids = _pids() - pre_e_ids
+    # p fed nodes (its own checkpoint) and the initial edge set — both
+    # now materialized, so the raw pair copy is dead weight
+    _evict(p_ids)
 
     def _large_star(e: DataFrame) -> DataFrame:
         # per node u over the UNDIRECTED neighborhood: m = min(N(u) ∪
@@ -773,12 +803,32 @@ def connected_components(
             ).collect()[0]
         )
 
+    # Round-eviction bookkeeping (round-12, the decade-6 rung's SECOND
+    # knee): a localCheckpointed DataFrame exposes no unpersist, so
+    # every round's block set lived until context stop — O(rounds x
+    # edges) of executor disk on top of the heap growth the DISK_ONLY
+    # switch already fixed (the 100M-doc chain filled ~90 GB of local
+    # scratch this way). SparkContext.getPersistentRDDs is PUBLIC API:
+    # diff its id set around each checkpoint to learn which internal
+    # RDD ids round N produced, and unpersist round N-2's ids once the
+    # convergence window (current + previous, for exceptAll) has moved
+    # past them — live checkpoint state is then O(2 rounds), matching
+    # the algorithm's actual working set (_pids/_evict defined above,
+    # where they also freed the raw pair copy). The window seeds with
+    # the initial edge set: dead as soon as round 2 lands.
     prev, prev_sig = None, None
+    round_ids: list[set] = [initial_edge_ids]
     converged = edges.isEmpty()
     for _ in range(max_iter):
         if converged:
             break
-        edges = _small_star(_large_star(edges)).localCheckpoint()
+        pre_ids = _pids()
+        edges = _small_star(_large_star(edges)).localCheckpoint(
+            storageLevel=StorageLevel.DISK_ONLY
+        )
+        round_ids.append(_pids() - pre_ids)
+        while len(round_ids) > 2:
+            _evict(round_ids.pop(0))
         sig = _sig(edges)
         if prev_sig is not None and sig == prev_sig:
             # equal counts (in the signature) + empty one-way except

@@ -50,93 +50,88 @@ def entry(spark: SparkSession) -> DataFrame:
 #      untouched 2-rounds-stale entry may take a tail slot as long as
 #      rule 2 still holds — flag it <round>-MANDATORY so the next
 #      rotation returns it first. Head is exactly 50.
-# Round-12 application. The five r11-MANDATORY seats (q01/q02/q04/
-# q14/q18, last gate-green r9, rule-2 deadline r12) RETURN to the
-# head — the hard deadline honored. Rule-1 (touched this round) keeps
-# six r11-head entries in the head; every r12 package diff and its
-# catalog consumers:
-#   - operators/dedup.py: delta_probe_rows (caller-digest column
-#     validation + checkpoint) -> q93/q96/q100; connected_components
-#     (DISK_ONLY round checkpoints — the decade-6 100M-doc OOM fix)
-#     -> q56/q68/q69/q70/q76, ALL of which hold head seats among the
-#     returning r10-tail entries, so rule 1 is satisfied;
-#   - streaming/documents_stream.py: streaming_curation_loop (cold-
-#     restart params + single-checkpoint fold) and
-#     curation_quota_counts_from_verdicts (left join + loud missing-
-#     source failure) -> q100;
-#   - operators/multimodal.py: decode_png (palette PLTE/tRNS decode;
-#     chunk walk now collects PLTE/tRNS) -> q94 and, via the
-#     real_decoder dispatch both entries inject, q95 (conservative:
-#     its WAV payloads never reach decode_png, but the dispatcher's
-#     callee changed); q38/q50 keep their deterministic-fake/inline
-#     extractors and are NOT consumers (verified: no decode_png or
-#     real_decoder reference in their entries);
-#   - operators/similarity.py: _assigned_mean_dist (returns count),
-#     ivf_index_write (sampled drift baseline default + min-sample
-#     floor), ivf_index_drift (same floor) -> q99; q97 consumes only
-#     untouched ivf_assign/ivf_probes/ivf_topk (verified by read).
-# 5 returning + 6 touched = 11 head seats; the remaining 39 go to the
-# r10 tail's 45 entries returning for their rule-2 r13 deadline. The
-# six that did not fit — q03/q05/q07/q13/q15/q20, chosen as the most
-# change-stable shapes (pure catalog.py / functions/windows.py code,
-# zero diffs since r7) — are flagged r12-MANDATORY below per rule 3
-# and MUST return in round 13 (rule 2 deadline: last green r10 + 3).
-# The 44 vacated r11-head seats in the tail are all function-level
-# untouched this round (the diff list above is exhaustive — verify
-# with git diff r11..r12 on the package). Receipt beyond the window:
-# a full local 100/100 oracle sweep on the final r12 code
-# (BASELINE.md round-12 row).
+# Round-13 application. The six r12-MANDATORY seats (q03/q05/q07/
+# q13/q15/q20, last gate-green r10, rule-2 deadline r13) RETURN to
+# the head — the hard deadline honored for the second time. Rule-1
+# (touched this round) keeps eight r12-head entries in the head;
+# every r13 package diff and its catalog consumers:
+#   - operators/dedup.py: connected_components (plan-scoped RDD-id
+#     capture for round eviction — ADVICE r12 concurrency race) ->
+#     q56 (direct), q68/q69 (compose q56's fn), q76 (direct); q70 is
+#     kept in the head conservatively with its r12 siblings though
+#     its entry is digest-distinct only (verified: no CC reference);
+#     dedup_index_write/dedup_index_append (new ``partition``
+#     overwrite-by-chunk layout) and dedup_incremental (new
+#     ``exclude_index_ids`` replay guard) -> q93 (direct), q96 (via
+#     streaming_incremental_dedup), q100 (via the curation loop);
+#   - streaming/documents_stream.py: streaming_curation_loop
+#     (at-least-once micro-batch: verdicts commit BEFORE the index
+#     append, both overwrite-by-chunk, probe self-exclusion,
+#     fail_after failpoint — r12 verdict item 2) -> q100.
+# 6 returning + 8 touched = 14 head seats; the remaining 36 go to
+# the r11 tail's 44 entries returning for their rule-2 r14 deadline.
+# The eight that did not fit — q06/q09/q19/q32/q33/q34/q52/q53,
+# chosen as the most change-stable shapes (pure catalog.py /
+# functions/windows.py code, zero diffs since r7) — are flagged
+# r13-MANDATORY below per rule 3 and MUST return in round 14 (rule-2
+# deadline: last green r11 + 3). The 42 vacated r12-head seats in
+# the tail are all function-level untouched this round (the diff
+# list above is exhaustive — verify with git diff r12..HEAD on the
+# package) and at most 1 round stale, rule 3's preferred tail.
 _SWEEP_TAIL = [
-    "q06_rolling_mean",  # all-true r11, untouched r12
-    "q09_cumprod",  # all-true r11, untouched r12
-    "q19_string_predicates",  # all-true r11, untouched r12
-    "q22_minhash_signatures",  # all-true r11, untouched r12
-    "q23_minhash_lsh_pairs",  # all-true r11, untouched r12
-    "q24_simhash",  # all-true r11, untouched r12
-    "q25_ngram_jaccard",  # all-true r11, untouched r12
-    "q27_quality_score",  # all-true r11, untouched r12
-    "q28_langid",  # all-true r11, untouched r12
-    "q29_fingerprint",  # all-true r11, untouched r12
-    "q31_ann_lsh_topk",  # all-true r11, untouched r12
-    "q58_simhash_neardup",  # all-true r11, untouched r12
-    "q61_repetition_score",  # all-true r11, untouched r12
-    "q63_stream_dedup",  # all-true r11, untouched r12
-    "q75_dup_ngram_fraction",  # all-true r11, untouched r12
-    "q88_ann_recall",  # all-true r11, untouched r12
-    "q90_stream_quota_admission",  # all-true r11, untouched r12
-    "q91_stream_simhash_neardup",  # all-true r11, untouched r12
-    "q92_substring_dedup",  # all-true r11, untouched r12
-    "q98_quality_classifier",  # all-true r11, untouched r12
-    "q32_asof_join",  # all-true r11, untouched r12
-    "q33_rollup_revenue",  # all-true r11, untouched r12
-    "q34_pivot_event_matrix",  # all-true r11, untouched r12
-    "q35_sessionization",  # all-true r11, untouched r12
-    "q36_token_topk",  # all-true r11, untouched r12
-    "q37_ticker_mentions",  # all-true r11, untouched r12
-    "q39_ma_cross_signals",  # all-true r11, untouched r12
-    "q40_backtest_networth",  # all-true r11, untouched r12
-    "q41_grid_search",  # all-true r11, untouched r12
-    "q42_backtest_metrics",  # all-true r11, untouched r12
-    "q43_stream_windowed_agg",  # all-true r11, untouched r12
-    "q48_stream_sessionize",  # all-true r11, untouched r12
-    "q49_stream_signal_edges",  # all-true r11, untouched r12
-    "q59_stream_backtest_kernel",  # all-true r11, untouched r12
-    "q50_multimodal_frames",  # all-true r11, untouched r12
-    "q52_range_join",  # all-true r11, untouched r12
-    "q53_resample_ohlc",  # all-true r11, untouched r12
-    "q73_stream_late_arrival",  # all-true r11, untouched r12
-    "q64_stream_band_kernel",  # all-true r11, untouched r12
-    "q65_stream_grid",  # all-true r11, untouched r12
-    "q72_stoploss_networth",  # all-true r11, untouched r12
-    "q71_stream_partial_close",  # all-true r11, untouched r12
-    "q45_common_stock_sweep",  # all-true r11, untouched r12
-    "q46_simulated_annealing",  # all-true r11, untouched r12
-    "q03_top_customers",  # all-true r10 — r12-MANDATORY: returns in r13 (rule-2 deadline r10+3)
-    "q05_status_totals",  # all-true r10 — r12-MANDATORY: returns in r13 (rule-2 deadline r10+3)
-    "q07_pct_change",  # all-true r10 — r12-MANDATORY: returns in r13 (rule-2 deadline r10+3)
-    "q13_first_last",  # all-true r10 — r12-MANDATORY: returns in r13 (rule-2 deadline r10+3)
-    "q15_union_nations",  # all-true r10 — r12-MANDATORY: returns in r13 (rule-2 deadline r10+3)
-    "q20_json_props",  # all-true r10 — r12-MANDATORY: returns in r13 (rule-2 deadline r10+3)
+    # --- 42 all-true r12, function-level untouched r13 ---
+    "q01_pricing_summary",
+    "q02_regional_revenue",
+    "q04_orders_with_bigticket_items",
+    "q08_running_totals",
+    "q10_forward_fill",
+    "q11_tail_n",
+    "q12_trailing_period",
+    "q14_distinct",
+    "q16_nations_without_suppliers",
+    "q17_signal_edges",
+    "q18_compound_range_predicate",
+    "q21_dedup_exact",
+    "q26_token_counts",
+    "q30_cosine_topk",
+    "q38_multimodal_features",
+    "q44_common_stock_mentions",
+    "q47_embedding_neardup",
+    "q51_ivf_topk",
+    "q54_stratified_sample",
+    "q55_curation_pipeline",
+    "q57_kmv_distinct_users",
+    "q60_decontaminate",
+    "q62_token_quantiles",
+    "q66_chunking",
+    "q67_embedding_profile",
+    "q74_pii_scrub",
+    "q77_line_dedup",
+    "q78_stream_pii_scrub",
+    "q79_pack_sequences",
+    "q80_shard_shuffle",
+    "q81_tfidf_topk",
+    "q82_quantize_embeddings",
+    "q83_unigram_logprob",
+    "q84_split_assign",
+    "q85_quota_sample",
+    "q86_ngram_topk",
+    "q87_bigram_logprob",
+    "q89_profile_columns",
+    "q94_image_neardup",
+    "q95_audio_neardup",
+    "q97_ivf_persisted_topk",
+    "q99_ivf_index_append",
+    # --- 8 all-true r11 — r13-MANDATORY: return in r14 (rule-2
+    # deadline r11+3); most change-stable shapes, zero diffs since r7
+    "q06_rolling_mean",
+    "q09_cumprod",
+    "q19_string_predicates",
+    "q32_asof_join",
+    "q33_rollup_revenue",
+    "q34_pivot_event_matrix",
+    "q52_range_join",
+    "q53_resample_ohlc",
 ]
 
 

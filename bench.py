@@ -75,6 +75,46 @@ def main() -> None:
     # know which regime a row came from before blaming a commit.
     load_start = round(os.getloadavg()[0], 1)
 
+    # Page-cache probe (round-12 follow-up): the r12 driver bench read
+    # 34.8 s vs the same-code warm 25.8 s because the 100M-doc probes
+    # had evicted sf0.1 + the Spark jars from the page cache — and the
+    # artifact was only explainable after the fact. Time a raw
+    # sequential read of the input parquet AND the pyspark jars before
+    # the JVM starts: warm cache reads at memory bandwidth (GB/s),
+    # cold at disk speed, so MB/s classifies the regime — and the read
+    # itself WARMS the cache, so the timed queries below always run in
+    # the same (warm) regime regardless of what ran before the bench.
+    def _preread(root: str) -> dict:
+        t0, n = time.time(), 0
+        for dirpath, _dirs, files in os.walk(root):
+            for f in files:
+                if f.endswith((".parquet", ".jar")):
+                    try:
+                        with open(os.path.join(dirpath, f), "rb") as fh:
+                            while chunk := fh.read(1 << 22):
+                                n += len(chunk)
+                    except OSError:
+                        pass
+        dt = max(time.time() - t0, 1e-9)
+        mbs = n / 1e6 / dt
+        return {
+            "mb": round(n / 1e6, 1),
+            "sec": round(dt, 3),
+            "mb_per_s": round(mbs, 0),
+            "regime": "warm" if mbs > 1000 else ("cold" if mbs < 300 else "mixed"),
+        }
+
+    cache_probe = {"sf_dir": _preread(sf_dir)}
+    try:
+        import pyspark
+
+        cache_probe["spark_jars"] = _preread(
+            os.path.join(os.path.dirname(pyspark.__file__), "jars")
+        )
+    except Exception:
+        pass
+    print(f"# page-cache probe: {cache_probe}", file=sys.stderr, flush=True)
+
     from strat_backtest_spark.session import get_spark
     from strat_backtest_spark.plans.catalog import CATALOG
 
@@ -128,6 +168,7 @@ def main() -> None:
                     "loadavg_1m_start": load_start,
                     "loadavg_1m_end": round(os.getloadavg()[0], 1),
                     "stray_jvms": len(stray),
+                    "page_cache": cache_probe,
                 },
             }
         ),

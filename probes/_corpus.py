@@ -7,8 +7,8 @@ module docstring and are summarized here:
 
 - replica r of base doc d has family g = r // 5, member j = r % 5;
   every 2nd word is replaced by a family-unique token
-  ``f<xxhash64(d, g, i) % 99991>`` and the member suffix `` u<j>``
-  appended — 5 genuine near-duplicates per family, decorrelated
+  ``f<xxhash64(d, g, i) % FAM_TOKEN_SPACE>`` and the member suffix
+  `` u<j>`` appended — 5 genuine near-duplicates per family, decorrelated
   across families (the arithmetic-progression generator produced
   shifted-identical token runs; the r10 trap note);
 - the jitter select runs while ``doc_id`` is still the BASE id and
@@ -69,8 +69,15 @@ def build_family_corpus(
     base = spark.read.parquet(
         "/root/testdata/sf0.1/documents.parquet"
     ).repartition(n_files)
+    # Explicit broadcast hint on the replica range: the layout story
+    # (n_files partitions from the base exchange) depends on the range
+    # side being the BUILD side of a broadcast nested-loop join. Left
+    # to stats, Spark could equally broadcast the 5000-row base parquet
+    # (it also sits under autoBroadcastJoinThreshold), which would make
+    # spark.range the stream side and silently drop the n_files pin —
+    # and the row-group-sizing receipts built on it (ADVICE r12).
     rep = base.crossJoin(
-        spark.range(replicas).withColumnRenamed("id", "r")
+        F.broadcast(spark.range(replicas).withColumnRenamed("id", "r"))
     ).select(
         "doc_id",
         "text",

@@ -705,12 +705,33 @@ def connected_components(
     size-gated, so the driver holds at most a few MB; anything larger
     takes the distributed star-contraction path.
 
+    Scratch management: each round's localCheckpoint blocks are
+    explicitly unpersisted once the convergence window (current +
+    previous round) moves past them, so live checkpoint state is O(2
+    rounds) of edges, not O(rounds). Eviction targets are identified
+    by reading each checkpointed round's OWN RDD id off its plan —
+    exact attribution, so other RDDs persisted on the same
+    SparkContext (even by concurrent threads) are never touched. Only
+    if that plan read fails (Spark-internal plan shape change) does
+    the code fall back to a global persistent-id-set diff around the
+    checkpoint, which assumes no CONCURRENT persist on the same
+    context during this call — the engine's documented single-job
+    regime.
+
     Output: (id, component) for every node appearing in ``pairs``.
     """
     # ONE materialization of the candidate-pair lineage (LSH banding
     # etc. is expensive); nodes/edges both derive from it. DISK_ONLY:
     # the edge set is bulk (88M rows at the 5M-doc rung) and the
     # iterative star rounds need the heap.
+    #
+    # JVM-accessor note (ADVICE r12): ``sparkContext._jsc`` is a
+    # private Python attribute over the PUBLIC Scala API
+    # ``SparkContext.getPersistentRDDs`` — the Python hop can move
+    # across Spark upgrades even though the underlying API is stable.
+    # Everything below degrades gracefully: id capture prefers the
+    # checkpointed DataFrame's OWN plan and eviction is a pure
+    # optimization (a failed unpersist only costs scratch space).
     jsc = pairs.sparkSession.sparkContext._jsc
 
     def _pids() -> set:
@@ -722,11 +743,29 @@ def connected_components(
             if m.containsKey(rid):
                 m.get(rid).unpersist()
 
-    pre_p_ids = _pids()
-    p = pairs.select(
-        F.col(id_a).alias("u"), F.col(id_b).alias("v")
-    ).localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
-    p_ids = _pids() - pre_p_ids
+    def _checkpoint(df: DataFrame) -> tuple[DataFrame, set]:
+        # Materialize + capture the ids to evict later. Primary: read
+        # the checkpointed RDD's id off the result's OWN analyzed plan
+        # (LogicalRDD.rdd) — attribution is exact, so a CONCURRENT
+        # thread persisting RDDs on the same SparkContext can never be
+        # mis-attributed to a round and evicted (the r12 advisor's
+        # race: localCheckpointed RDDs are unrecomputable, so a stray
+        # eviction is unrecoverable for the other job). Fallback (plan
+        # shape changes across Spark versions): the global id-set diff
+        # around the checkpoint — correct only under the single-job
+        # regime documented above, which is also the only regime the
+        # engine's gates run.
+        pre = _pids()
+        out = df.localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
+        try:
+            ids = {int(out._jdf.queryExecution().analyzed().rdd().id())}
+        except Exception:
+            ids = _pids() - pre
+        return out, ids
+
+    p, p_ids = _checkpoint(
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    )
     if p.count() <= local_threshold:
         return _union_find_local(p)
     nodes = (
@@ -755,9 +794,7 @@ def connected_components(
     # shuffle), which is what survives a 100x scale-up. Gate/bench
     # corpora never reach this loop (they take the union-find path
     # below local_threshold).
-    pre_e_ids = _pids()
-    edges = ed.distinct().localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
-    initial_edge_ids = _pids() - pre_e_ids
+    edges, initial_edge_ids = _checkpoint(ed.distinct())
     # p fed nodes (its own checkpoint) and the initial edge set — both
     # now materialized, so the raw pair copy is dead weight
     _evict(p_ids)
@@ -808,25 +845,21 @@ def connected_components(
     # every round's block set lived until context stop — O(rounds x
     # edges) of executor disk on top of the heap growth the DISK_ONLY
     # switch already fixed (the 100M-doc chain filled ~90 GB of local
-    # scratch this way). SparkContext.getPersistentRDDs is PUBLIC API:
-    # diff its id set around each checkpoint to learn which internal
-    # RDD ids round N produced, and unpersist round N-2's ids once the
-    # convergence window (current + previous, for exceptAll) has moved
-    # past them — live checkpoint state is then O(2 rounds), matching
-    # the algorithm's actual working set (_pids/_evict defined above,
-    # where they also freed the raw pair copy). The window seeds with
-    # the initial edge set: dead as soon as round 2 lands.
+    # scratch this way). ``_checkpoint`` above captures each round's
+    # internal RDD id exactly (off the round's own plan); unpersist
+    # round N-2's ids once the convergence window (current + previous,
+    # for exceptAll) has moved past them — live checkpoint state is
+    # then O(2 rounds), matching the algorithm's actual working set
+    # (_evict also freed the raw pair copy above). The window seeds
+    # with the initial edge set: dead as soon as round 2 lands.
     prev, prev_sig = None, None
     round_ids: list[set] = [initial_edge_ids]
     converged = edges.isEmpty()
     for _ in range(max_iter):
         if converged:
             break
-        pre_ids = _pids()
-        edges = _small_star(_large_star(edges)).localCheckpoint(
-            storageLevel=StorageLevel.DISK_ONLY
-        )
-        round_ids.append(_pids() - pre_ids)
+        edges, new_ids = _checkpoint(_small_star(_large_star(edges)))
+        round_ids.append(new_ids)
         while len(round_ids) > 2:
             _evict(round_ids.pop(0))
         sig = _sig(edges)
@@ -1486,6 +1519,7 @@ def dedup_index_write(
     text_col: str = "text",
     id_col: str = "doc_id",
     mode: str = "overwrite",
+    partition: int | None = None,
 ) -> None:
     """Persist the corpus-side dedup index under ``path``: two slim
     parquet tables — ``{path}/bands`` (band, band_key, id) MinHash band
@@ -1501,13 +1535,24 @@ def dedup_index_write(
     slim rows. ``dedup_incremental`` probes it with a join on (band,
     band_key); re-writing it bucketed on those keys (sources/
     bucketed.write_bucketed) removes even that exchange, leaving the
-    index side scan-only."""
+    index side scan-only.
+
+    ``partition``: write into hive-style ``chunk=<partition>``
+    subdirectories of the two tables instead of their roots — the
+    at-least-once layout (see ``dedup_index_append``): a writer that
+    owns one partition can make its write IDEMPOTENT by overwriting
+    exactly its own subdirectory on replay. Readers are unchanged
+    (partition discovery adds a ``chunk`` column the probes never
+    select); a given index must use ONE layout throughout — mixing
+    root files with partition dirs breaks discovery, so the day-zero
+    write of a partitioned index passes a partition too."""
+    sub = "" if partition is None else f"/chunk={int(partition)}"
     minhash_band_rows(df, k, bands, shingle_n, text_col, id_col).write.mode(
         mode
-    ).parquet(f"{path}/bands")
+    ).parquet(f"{path}/bands{sub}")
     df.select(
         F.md5(F.col(text_col).cast("binary")).alias("text_hash"), F.col(id_col)
-    ).write.mode(mode).parquet(f"{path}/digests")
+    ).write.mode(mode).parquet(f"{path}/digests{sub}")
 
 
 def dedup_index_write_bucketed(
@@ -1656,6 +1701,7 @@ def dedup_index_append(
     text_col: str = "text",
     id_col: str = "doc_id",
     probe_rows: ProbeRows | None = None,
+    partition: int | None = None,
 ) -> None:
     """Register a delta's SURVIVORS (verdict == 'kept') in the index:
     append their band rows + digests. After this, a future delta that
@@ -1671,8 +1717,20 @@ def dedup_index_append(
     is then two kept-filtered slim writes with NO text scan at all.
     The probe's embedded parameters must match this call's, or the
     append would register a different banding convention than the
-    index's other writers (checked, ValueError)."""
+    index's other writers (checked, ValueError).
+
+    ``partition``: the at-least-once path (r12 verdict item 2) for a
+    batch writer that may be REPLAYED after a crash (production
+    foreachBatch delivers exactly this). A plain append run twice
+    leaves duplicate index rows; with ``partition`` set the delta's
+    rows land in ``chunk=<partition>`` subdirectories with
+    mode=overwrite, so a replay replaces its own prior (possibly
+    partial) append byte-for-byte instead of doubling it. The index
+    must have been created with the same layout
+    (``dedup_index_write(..., partition=...)``)."""
     kept_ids = verdicts.filter(F.col("verdict") == "kept").select(id_col)
+    sub = "" if partition is None else f"/chunk={int(partition)}"
+    mode = "append" if partition is None else "overwrite"
     if probe_rows is not None:
         _check_probe_params(
             probe_rows, k, bands, shingle_n, text_col, id_col,
@@ -1681,14 +1739,15 @@ def dedup_index_append(
         # canonical column order of dedup_index_write's two tables
         probe_rows.band_rows.join(kept_ids, id_col, "left_semi").select(
             id_col, "band", "band_key"
-        ).write.mode("append").parquet(f"{path}/bands")
+        ).write.mode(mode).parquet(f"{path}/bands{sub}")
         probe_rows.digests.join(kept_ids, id_col, "left_semi").select(
             "text_hash", id_col
-        ).write.mode("append").parquet(f"{path}/digests")
+        ).write.mode(mode).parquet(f"{path}/digests{sub}")
         return
     kept = delta.join(kept_ids, id_col, "left_semi")
     dedup_index_write(
-        kept, path, k, bands, shingle_n, text_col, id_col, mode="append"
+        kept, path, k, bands, shingle_n, text_col, id_col,
+        mode=mode, partition=partition,
     )
 
 
@@ -1714,6 +1773,7 @@ def dedup_incremental(
     broadcast_delta: bool | None = None,
     index_table: str | None = None,
     probe_rows: ProbeRows | None = None,
+    exclude_index_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental dedup of a delta batch against a persisted index
     (``dedup_index_write``): one verdict row per delta doc —
@@ -1770,6 +1830,18 @@ def dedup_incremental(
     the index (``dedup_index_append``) pays the signature pass once
     per micro-batch, not twice. The probe's embedded parameters must
     match this call's (checked, ValueError).
+
+    ``exclude_index_ids`` (the at-least-once replay guard, r12
+    verdict item 2): a slim (``id_col``) frame of ids whose index
+    rows must be IGNORED by both probes — pass the delta's own ids
+    when a crashed-and-replayed batch may have already appended part
+    of itself to the index, otherwise the replay judges the batch
+    against its own prior append (its docs as dup_exact of
+    themselves, smaller ids as dup_near of same-batch survivors) and
+    diverges from the uninterrupted run. In normal operation a delta
+    id never pre-exists in the index, so the anti-join is a semantic
+    no-op; it follows the same broadcast regime as the delta probes
+    (the exclude set is delta-sized by construction).
     """
     if probe_rows is not None:
         _check_probe_params(
@@ -1785,6 +1857,16 @@ def dedup_incremental(
     if broadcast_delta is None:
         gate_df = probe_rows.digests if probe_rows is not None else delta
         broadcast_delta = gate_df.count() <= DELTA_BROADCAST_MAX_DOCS
+    if exclude_index_ids is not None:
+        # the index side must stay shuffle-free: broadcast the exclude
+        # set into the anti-join whenever the delta regime broadcasts
+        # (it is the delta's own ids); in the big-delta regime both
+        # sides are distributed anyway
+        excl = exclude_index_ids.select(id_col)
+        if broadcast_delta:
+            excl = F.broadcast(excl)
+        idx_digests = idx_digests.join(excl, id_col, "left_anti")
+        idx_bands = idx_bands.join(excl, id_col, "left_anti")
 
     digs = (
         probe_rows.digests

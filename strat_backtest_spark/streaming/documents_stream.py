@@ -459,6 +459,7 @@ def streaming_curation_loop(
     chunk_ids: list[int] | None = None,
     initial_counts: dict[str, int] | None = None,
     state_dir: str | None = None,
+    fail_after: str | None = None,
 ) -> DataFrame:
     """The production ingest shape as ONE streaming job (q100): every
     micro-batch (one replay chunk = one day's crawl) runs the full
@@ -521,10 +522,39 @@ def streaming_curation_loop(
       file source does this selection; the finite-replay gate models
       it explicitly.
     The returned DataFrame reads the WHOLE verdict store, so a
-    resumed call returns prior incarnations' verdicts too. The
-    kill/resume end-to-end equivalence (interrupted ≡ uninterrupted,
-    byte-identical verdict sets) is pinned by
-    tests/test_pipeline_ops.py::test_curation_loop_cold_restart."""
+    resumed call returns prior incarnations' verdicts too.
+
+    AT-LEAST-ONCE (r12 verdict item 2): production foreachBatch
+    replays a batch after ANY mid-batch crash, so the micro-batch is
+    IDEMPOTENT, not just resumable at chunk boundaries —
+    - the batch's verdicts commit FIRST, to ``{verdicts}/chunk=<k>``
+      with mode=overwrite (a replay replaces its own prior partial
+      write, never duplicates it);
+    - the index append commits SECOND, to ``chunk=<k>`` partitions of
+      the two index tables, also overwrite-by-chunk
+      (``dedup_index_append(partition=...)``);
+    - the dedup probe EXCLUDES the batch's own doc ids from the index
+      (``dedup_incremental(exclude_index_ids=...)``), so a replay
+      whose prior incarnation already appended part of itself is
+      judged against exactly the index state the uninterrupted run
+      saw.
+    A crashed incarnation therefore resumes by replaying the
+    in-flight chunk plus the unprocessed ones; the ONE caller
+    obligation is to seed ``initial_counts`` from the verdict store
+    EXCLUDING the chunks being replayed (filter
+    ``doc_id % n_chunks NOT IN chunk_ids`` before
+    ``curation_quota_counts_from_verdicts``), since a replayed
+    chunk's surviving verdicts would otherwise double-count into its
+    own quota prior. Equivalence (interrupted ≡ uninterrupted,
+    row-identical verdict sets) is pinned for chunk-boundary kills by
+    tests/test_pipeline_ops.py::test_curation_loop_cold_restart and
+    for MID-BATCH kills (between the two commits, and after both) by
+    ::test_curation_loop_midbatch_crash_resume.
+
+    ``fail_after``: crash-injection failpoint for those tests — raise
+    after the named commit point (``"verdicts_written"`` |
+    ``"index_appended"``) in every batch that reaches it. Test-only;
+    never set in production."""
     import hashlib
     import os
     import shutil
@@ -585,7 +615,11 @@ def streaming_curation_loop(
         resume = False
     if not resume:
         shutil.rmtree(out_dir, ignore_errors=True)
-        dedup_index_write(static.limit(0), index_dir)  # day-zero: empty
+        # day-zero: empty, in the chunk-partitioned layout every later
+        # append uses (chunk=-1 is no batch's id, so it is never
+        # overwritten; mixing root files with partition dirs would
+        # break discovery)
+        dedup_index_write(static.limit(0), index_dir, partition=-1)
 
     w1, w2 = fixture_weights(dim), fixture_weights(dim2)
     admitted_counts: dict[str, int] = dict(initial_counts or {})
@@ -594,9 +628,14 @@ def streaming_curation_loop(
     import time as _time
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():  # replay padding trigger
+        head = batch_df.select("doc_id").head(1)
+        if not head:  # replay padding trigger
             return
-        tm: dict = {"batch_id": batch_id}
+        # the batch's STABLE identity: replay chunk k holds exactly
+        # doc_id % n_chunks == k, so any row names the chunk — unlike
+        # Spark's batch_id, which restarts from 0 in a new incarnation
+        ck = int(head[0][0]) % n_chunks
+        tm: dict = {"batch_id": batch_id, "chunk": ck}
         t0 = _time.time()
         prior = spark.createDataFrame(
             list(admitted_counts.items()) or [("", 0)],
@@ -646,12 +685,15 @@ def streaming_curation_loop(
             ),
         )
         verdicts = dedup_incremental(
-            spark, adm.select("doc_id", "text"), index_dir, probe_rows=probe
+            spark,
+            adm.select("doc_id", "text"),
+            index_dir,
+            probe_rows=probe,
+            # at-least-once: a replayed batch must not be judged
+            # against its own prior partial append
+            exclude_index_ids=adm.select("doc_id"),
         ).localCheckpoint()
         tm["dedup_s"] = round(_time.time() - t0, 1)
-        t0 = _time.time()
-        dedup_index_append(adm, verdicts, index_dir, probe_rows=probe)
-        tm["index_append_s"] = round(_time.time() - t0, 1)
         t0 = _time.time()
         dups = adm.join(
             verdicts.filter(F.col("verdict") != "kept"), "doc_id"
@@ -679,15 +721,39 @@ def streaming_curation_loop(
             )
         )
 
+        # COMMIT ORDER (at-least-once): verdicts first, overwrite-by-
+        # chunk — the verdict store is the source of truth counters
+        # and resumes derive from; an index append without verdicts
+        # (the pre-r13 order's crash window) undercounted rebuilt
+        # counters and made a replay judge its own docs as dups.
         rejected.unionByName(dups).unionByName(classified).write.mode(
-            "append"
-        ).parquet(out_dir)
+            "overwrite"
+        ).parquet(f"{out_dir}/chunk={ck}")
         tm["classify_write_s"] = round(_time.time() - t0, 1)
+        if fail_after == "verdicts_written":
+            raise RuntimeError("failpoint: verdicts_written")
+        t0 = _time.time()
+        dedup_index_append(
+            adm, verdicts, index_dir, probe_rows=probe, partition=ck
+        )
+        tm["index_append_s"] = round(_time.time() - t0, 1)
+        if fail_after == "index_appended":
+            raise RuntimeError("failpoint: index_appended")
         for r in adm.groupBy("source").count().collect():
             admitted_counts[r["source"]] = admitted_counts.get(
                 r["source"], 0
             ) + int(r["count"])
         if phase_timers is not None:
+            # per-batch workload attribution (r12 verdict item 3): the
+            # classify stage's input is the batch's dedup SURVIVORS,
+            # which collapse once the index absorbs the corpus's
+            # families — a per-batch wall is meaningless without the
+            # per-batch survivor count next to it. Cheap: one
+            # aggregate over the already-checkpointed verdicts.
+            tm["verdict_counts"] = {
+                r["verdict"]: int(r["count"])
+                for r in verdicts.groupBy("verdict").count().collect()
+            }
             phase_timers.append(tm)
 
     q = stream.writeStream.foreachBatch(process).start()
@@ -699,11 +765,18 @@ def streaming_curation_loop(
         if state_dir is None:  # durable state survives for resume
             shutil.rmtree(index_dir, ignore_errors=True)
 
-    if not os.path.isdir(out_dir) or not any(
-        f.endswith(".parquet") for f in os.listdir(out_dir)
-    ):
+    have_files = os.path.isdir(out_dir) and any(
+        f.endswith(".parquet")
+        for _d, _s, fs in os.walk(out_dir)
+        for f in fs
+    )
+    if not have_files:
         return spark.createDataFrame([], out_schema)
-    return spark.read.schema(out_schema).parquet(out_dir)
+    # chunk=<k> partition discovery adds a chunk column; project it
+    # away so the returned schema is the documented verdict schema
+    return spark.read.parquet(out_dir).select(
+        "doc_id", "scrub_hash", "status", "logit"
+    )
 
 
 def curation_quota_counts_from_verdicts(

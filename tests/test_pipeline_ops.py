@@ -106,6 +106,38 @@ def test_connected_components_deep_chain(spark):
     assert got[7] == 7  # self-pair-only node keeps its own label
 
 
+def test_connected_components_spares_foreign_persisted_state(spark):
+    """The round-eviction bookkeeping must only ever unpersist the CC
+    run's OWN checkpoint blocks (ADVICE r12): a DataFrame another job
+    persisted on the same SparkContext — including a localCheckpointed
+    one, which is UNRECOMPUTABLE if its blocks are evicted — must
+    survive a full distributed star-contraction run with its blocks
+    intact and its rows still readable."""
+    from pyspark.storagelevel import StorageLevel
+
+    from strat_backtest_spark.operators.dedup import connected_components
+
+    foreign = spark.range(500).selectExpr("id", "id * 2 as y").localCheckpoint(
+        storageLevel=StorageLevel.DISK_ONLY
+    )
+    foreign_id = int(foreign._jdf.queryExecution().analyzed().rdd().id())
+    assert foreign.count() == 500
+
+    edges = [(i + 1, i) for i in range(1000, 1059)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs, local_threshold=0).collect()
+    }
+    assert all(got[i] == 1000 for i in range(1000, 1060))
+
+    jsc = spark.sparkContext._jsc
+    live = {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
+    assert foreign_id in live, "CC eviction unpersisted a foreign RDD"
+    # and the blocks are genuinely still usable, not just registered
+    assert foreign.selectExpr("sum(y)").collect()[0][0] == 2 * sum(range(500))
+
+
 def test_token_count_tokenizer_injection(spark):
     """A real subword tokenizer injects as an Arrow-batched pandas UDF
     in place of the regex approximation — the plumbing contract the
@@ -2297,6 +2329,61 @@ def test_curation_loop_cold_restart(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_curation_loop_midbatch_crash_resume(spark, tmp_path):
+    """At-least-once for the COMPOSED q100 loop (r12 verdict item 2):
+    production foreachBatch replays a batch after ANY crash, so the
+    micro-batch must be idempotent — not merely resumable at chunk
+    boundaries. Two crash windows, each followed by a conservative
+    replay-everything resume (the crashed incarnation cannot know how
+    far the in-flight batch got):
+
+    - kill BETWEEN the two commits (verdicts written, index append
+      lost): the replay must regenerate the index delta and overwrite
+      the chunk's verdicts identically;
+    - kill AFTER both commits (only the in-memory counters lost): the
+      replay is judged against an index that already contains the
+      batch's own append — the probe's self-exclusion must keep its
+      verdicts identical instead of flagging the batch dup of itself.
+
+    Both resumes seed quota counters from the verdict store EXCLUDING
+    the replayed chunks (the docstring's caller obligation; here all
+    chunks replay, so the seed is empty). Verdict sets must equal the
+    uninterrupted run's exactly."""
+    import pyspark.errors
+
+    from strat_backtest_spark.streaming.documents_stream import (
+        streaming_curation_loop,
+    )
+
+    cap = 18
+    want = {
+        (r["doc_id"], r["scrub_hash"], r["status"], r["logit"])
+        for r in streaming_curation_loop(spark, SF_SMALL, cap=cap).collect()
+    }
+
+    for point in ("verdicts_written", "index_appended"):
+        state = str(tmp_path / f"curation_state_{point}")
+        try:
+            streaming_curation_loop(
+                spark, SF_SMALL, cap=cap, state_dir=state, fail_after=point
+            )
+            raise AssertionError("failpoint did not fire")
+        except pyspark.errors.exceptions.base.PySparkException:
+            pass  # the injected crash killed the stream mid-batch
+        got = {
+            (r["doc_id"], r["scrub_hash"], r["status"], r["logit"])
+            for r in streaming_curation_loop(
+                spark,
+                SF_SMALL,
+                cap=cap,
+                chunk_ids=[0, 1, 2],
+                state_dir=state,
+                initial_counts={},
+            ).collect()
+        }
+        assert got == want, f"crash window {point!r} diverged"
 
 
 def test_ivf_index_append_equals_rebuild(spark, tmp_path):

@@ -1646,6 +1646,78 @@ def test_dedup_incremental_index_only_dup_dropped(spark, tmp_path):
     assert got == {101: "dup_exact", 103: "dup_near", 105: "kept"}
 
 
+def test_dedup_index_partitioned_replay_idempotent(spark, tmp_path):
+    """The at-least-once index layout at operator level (r12 verdict
+    item 2): with ``partition`` set, a REPLAYED append overwrites its
+    own chunk partition instead of doubling it, and
+    ``exclude_index_ids`` makes the replayed batch's probe blind to
+    its own prior append — so verdicts and index contents after a
+    replay are byte-identical to the single-run ones."""
+    from strat_backtest_spark.operators.dedup import (
+        dedup_incremental,
+        dedup_index_append,
+        dedup_index_write,
+    )
+
+    path = str(tmp_path / "pidx")
+    day0 = spark.createDataFrame(
+        [(0, "historical alpha beta gamma delta epsilon zeta eta")],
+        "doc_id long, text string",
+    )
+    dedup_index_write(day0, path, partition=-1)
+
+    batch = spark.createDataFrame(
+        [
+            (10, "historical alpha beta gamma delta epsilon zeta eta"),
+            (11, "novel content one with plenty of distinct tokens"),
+            (12, "novel content one with plenty of distinct tokens"),
+            (13, "entirely different fresh text nothing shared here"),
+        ],
+        "doc_id long, text string",
+    )
+    excl = batch.select("doc_id")
+
+    def verdicts():
+        return {
+            r["doc_id"]: r["verdict"]
+            for r in dedup_incremental(
+                spark, batch, path, exclude_index_ids=excl
+            ).collect()
+        }
+
+    v1 = verdicts()
+    assert v1 == {10: "dup_exact", 11: "kept", 12: "dup_exact", 13: "kept"}
+    dedup_index_append(batch, _as_verdicts(spark, v1), path, partition=7)
+
+    def index_counts():
+        return (
+            spark.read.parquet(f"{path}/digests").count(),
+            spark.read.parquet(f"{path}/bands").count(),
+        )
+
+    once = index_counts()
+    # REPLAY: same batch again against the index that already holds
+    # its own append — probe must be blind to it, overwrite must not
+    # double it
+    v2 = verdicts()
+    assert v2 == v1
+    dedup_index_append(batch, _as_verdicts(spark, v2), path, partition=7)
+    assert index_counts() == once
+    # and a LATER batch still collides with the registered survivors
+    later = spark.createDataFrame(
+        [(20, "novel content one with plenty of distinct tokens")],
+        "doc_id long, text string",
+    )
+    got = dedup_incremental(spark, later, path).collect()
+    assert got[0]["verdict"] == "dup_exact"
+
+
+def _as_verdicts(spark, mapping):
+    return spark.createDataFrame(
+        list(mapping.items()), "doc_id long, verdict string"
+    )
+
+
 def test_dedup_incremental_equals_batch_priority(spark, tmp_path):
     """The q93 oracle's spine as a property: split a corpus by id,
     build the index from the low half, run incremental over the high

@@ -18,11 +18,29 @@ suggested) and what crosses them:
   corpus  -> documents.parquet          (built once, --keep reusable)
   pairs   : q23 LSH banding over text   -> pairs.parquet  (id_a, id_b)
   cc      : connected_components(pairs) -> components.parquet (id, component)
-  apply   : q68 anti-join + decontaminate + chunk_documents -> count
+  decon   : decontaminate(corpus, bench) -> contaminated ids parquet,
+            optionally SLICED (--decon-slices K: one session per
+            doc_id % K slice — see below)
+  emit    : q68 anti-join + anti contaminated + chunk_documents -> count
+  apply   : decon+emit as ONE stage (small rungs / the pre-slice shape)
 
-The apply stage re-reads the corpus but only slim ids cross from the
-earlier stages — the same artifact shape (doc ids, not text) the
+The apply/emit stages re-read the corpus but only slim ids cross from
+the earlier stages — the same artifact shape (doc ids, not text) the
 one-plan chain shuffles, now parquet instead of shuffle files.
+
+Why decon slices: the first 100M staged run completed corpus/pairs/cc
+(high-water 9.1 / 42.7 / 12.3 GB) but the combined apply stage still
+blew the ~72 GB of free scratch — decontaminate's semi-join path emits
+~(docs x shingles) slim (doc_id, h) rows through TWO exchanges (the
+hash join + the per-doc groupBy), ~10B rows at 100M docs, and that ONE
+stage's shuffle exceeds the box. Per-doc contamination is independent
+across docs, so slicing the corpus by doc_id % K and running each
+slice in its own session divides the stage's scratch by K with
+IDENTICAL results (the union of slice outputs is the unsliced output
+row-for-row) — which is exactly what a cluster does with K more
+executors' local disks; single-node it time-multiplexes the same
+resource. The benchmark side is re-shingled per slice (it is corpus/20
+and one map pass — the price of the split).
 
 Each stage samples statvfs free-space every 5 s on a daemon thread;
 "hw_used_gb" is the stage's high-water disk draw over its start point.
@@ -47,18 +65,38 @@ sys.path.insert(0, "/root/repo")
 # must be in the env before the JVM starts so executors inherit it
 os.environ["PYTHONPATH"] = "/root/repo:" + os.environ.get("PYTHONPATH", "")
 
-SCRATCH = "/tmp/staged_chain"
+def scratch_dir(ns):
+    # scoped by corpus size: two runs at different rungs must never
+    # share intermediates (a smoke run would clobber a kept 100M set)
+    return f"/tmp/staged_chain_{ns.replicas}x"
 
 
 def parse_args(argv):
     ap = argparse.ArgumentParser()
     ap.add_argument("replicas", nargs="?", type=int, default=20000)
     ap.add_argument("--block-mib", type=int, default=16)
-    ap.add_argument("--stage", choices=["corpus", "pairs", "cc", "apply", "all"],
+    ap.add_argument("--stage",
+                    choices=["corpus", "pairs", "cc", "decon", "emit",
+                             "apply", "all"],
                     default="all")
     ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--decon-cpus", type=int, default=None,
+                    help="task-concurrency override for decon stages: the "
+                         "semi-join's partial hash aggregates are heap-"
+                         "hungry (a 512 MB map growth under GCLocker "
+                         "pressure killed a 32-task 16g run at 100M); "
+                         "fewer concurrent tasks = more heap per task")
+    ap.add_argument("--shuffle-partitions", type=int, default=64)
+    ap.add_argument("--decon-slices", type=int, default=1,
+                    help="split the decontaminate stage into K doc_id%%K "
+                         "sub-jobs, one session each (scratch /= K)")
+    ap.add_argument("--slice", type=int, default=None,
+                    help="which decon slice this process runs (internal)")
+    ap.add_argument("--skip", type=str, default="",
+                    help="comma-separated stages to skip in --stage all "
+                         "(reuse kept intermediates from a prior run)")
     ap.add_argument("--keep", action="store_true",
-                    help="keep corpus + intermediates after the apply stage")
+                    help="keep corpus + intermediates after the final stage")
     return ap.parse_args(argv)
 
 
@@ -115,32 +153,80 @@ def stage_pairs(ns, spark):
     from strat_backtest_spark.plans.catalog import CATALOG
 
     pairs = CATALOG["q23_minhash_lsh_pairs"].fn(spark, corpus_dir(ns))
-    pairs.write.mode("overwrite").parquet(f"{SCRATCH}/pairs.parquet")
-    n = spark.read.parquet(f"{SCRATCH}/pairs.parquet").count()
+    pairs.write.mode("overwrite").parquet(f"{scratch_dir(ns)}/pairs.parquet")
+    n = spark.read.parquet(f"{scratch_dir(ns)}/pairs.parquet").count()
     return {"pairs_rows": n}
 
 
 def stage_cc(ns, spark):
     from strat_backtest_spark.operators.dedup import connected_components
 
-    pairs = spark.read.parquet(f"{SCRATCH}/pairs.parquet")
+    pairs = spark.read.parquet(f"{scratch_dir(ns)}/pairs.parquet")
     cc = connected_components(pairs)
-    cc.write.mode("overwrite").parquet(f"{SCRATCH}/components.parquet")
-    n = spark.read.parquet(f"{SCRATCH}/components.parquet").count()
+    cc.write.mode("overwrite").parquet(f"{scratch_dir(ns)}/components.parquet")
+    n = spark.read.parquet(f"{scratch_dir(ns)}/components.parquet").count()
     return {"cc_rows": n}
 
 
+def stage_decon(ns, spark):
+    # decontaminate alone, optionally one doc_id % K slice of the
+    # corpus side; the BENCHMARK side is always the full corpus's
+    # doc_id % 20 == 0 subset, so slice semantics equal the unsliced
+    # run restricted to the slice. Slice outputs union byte-for-byte
+    # into the unsliced output (per-doc contamination is independent).
+    from pyspark.sql import functions as F
+
+    from strat_backtest_spark.operators.dedup import decontaminate
+
+    docs = spark.read.parquet(f"{corpus_dir(ns)}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    side = docs
+    tag = ""
+    if ns.slice is not None:
+        side = docs.filter(F.col("doc_id") % ns.decon_slices == ns.slice)
+        tag = f"/slice={ns.slice}"
+    contaminated = decontaminate(side, bench, n=3, threshold=0.5).select("doc_id")
+    contaminated.write.mode("overwrite").parquet(
+        f"{scratch_dir(ns)}/contaminated.parquet{tag}"
+    )
+    n = spark.read.parquet(f"{scratch_dir(ns)}/contaminated.parquet{tag}").count()
+    return {"contaminated_rows": n}
+
+
+def stage_emit(ns, spark):
+    # q69's tail with BOTH heavy intermediates injected from parquet:
+    # identical operator composition to q69_curation_end_to_end
+    from pyspark.sql import functions as F
+
+    from strat_backtest_spark.operators.text_analysis import chunk_documents
+
+    docs = spark.read.parquet(f"{corpus_dir(ns)}/documents.parquet")
+    cc = spark.read.parquet(f"{scratch_dir(ns)}/components.parquet")
+    removed = cc.filter(F.col("component") != F.col("id")).select(
+        F.col("id").alias("doc_id")
+    )
+    surv = docs.join(removed, "doc_id", "left_anti")
+    contaminated = spark.read.parquet(f"{scratch_dir(ns)}/contaminated.parquet").select(
+        "doc_id"
+    )
+    kept = surv.join(contaminated, "doc_id", "left_anti")
+    chunks = chunk_documents(kept, chunk_tokens=64, overlap=16).select(
+        "doc_id", "chunk_id", "n_tokens"
+    )
+    return {"chunk_rows": chunks.count()}
+
+
 def stage_apply(ns, spark):
-    # q69's tail with the CC intermediate injected: identical operator
-    # composition (plans/catalog_pipeline.q69_curation_end_to_end),
-    # reading (id, component) from parquet instead of the live plan
+    # q69's tail as ONE stage (decon + emit fused) — the pre-slice
+    # shape, fine for small rungs; at 100M its decontaminate shuffle
+    # alone exceeds this box's scratch (see module docstring)
     from pyspark.sql import functions as F
 
     from strat_backtest_spark.operators.dedup import decontaminate
     from strat_backtest_spark.operators.text_analysis import chunk_documents
 
     docs = spark.read.parquet(f"{corpus_dir(ns)}/documents.parquet")
-    cc = spark.read.parquet(f"{SCRATCH}/components.parquet")
+    cc = spark.read.parquet(f"{scratch_dir(ns)}/components.parquet")
     removed = cc.filter(F.col("component") != F.col("id")).select(
         F.col("id").alias("doc_id")
     )
@@ -154,17 +240,20 @@ def stage_apply(ns, spark):
     return {"chunk_rows": chunks.count()}
 
 
-STAGES = {"corpus": stage_corpus, "pairs": stage_pairs,
-          "cc": stage_cc, "apply": stage_apply}
+STAGES = {"corpus": stage_corpus, "pairs": stage_pairs, "cc": stage_cc,
+          "decon": stage_decon, "emit": stage_emit, "apply": stage_apply}
 
 
 def run_one(ns) -> None:
     from strat_backtest_spark.session import get_spark
 
-    os.makedirs(SCRATCH, exist_ok=True)
+    os.makedirs(scratch_dir(ns), exist_ok=True)
     watch = DiskWatch()
-    spark = get_spark(cpus=ns.cpus)
-    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    cpus = ns.cpus
+    if ns.stage == "decon" and ns.decon_cpus:
+        cpus = ns.decon_cpus
+    spark = get_spark(cpus=cpus)
+    spark.conf.set("spark.sql.shuffle.partitions", str(ns.shuffle_partitions))
     t0 = time.time()
     extra = STAGES[ns.stage](ns, spark)
     out = {"stage": ns.stage, "wall_s": round(time.time() - t0, 1), **extra}
@@ -178,26 +267,45 @@ def main() -> None:
     if ns.stage != "all":
         run_one(ns)
         return
+    if ns.decon_slices > 1:
+        plan = (["corpus", "pairs", "cc"]
+                + [("decon", s) for s in range(ns.decon_slices)]
+                + ["emit"])
+    else:
+        plan = ["corpus", "pairs", "cc", "decon", "emit"]
+    skip = {s for s in ns.skip.split(",") if s}
     results = []
-    for st in ["corpus", "pairs", "cc", "apply"]:
+    for st in plan:
+        st, sl = st if isinstance(st, tuple) else (st, None)
+        if st in skip:
+            continue
         # one PROCESS per stage: JVM exit is the hard guarantee that
         # the stage's spark-local scratch is gone before the next starts
         cmd = [sys.executable, __file__, str(ns.replicas),
                "--stage", st, "--block-mib", str(ns.block_mib),
-               "--cpus", str(ns.cpus)]
+               "--cpus", str(ns.cpus),
+               "--shuffle-partitions", str(ns.shuffle_partitions),
+               "--decon-slices", str(ns.decon_slices)]
+        if ns.decon_cpus:
+            cmd += ["--decon-cpus", str(ns.decon_cpus)]
+        if sl is not None:
+            cmd += ["--slice", str(sl)]
         p = subprocess.run(cmd, capture_output=True, text=True)
         line = (p.stdout.strip().splitlines() or ["{}"])[-1]
-        print(f"# {st}: {line}", file=sys.stderr, flush=True)
+        label = st if sl is None else f"{st}[{sl}]"
+        print(f"# {label}: {line}", file=sys.stderr, flush=True)
         if p.returncode != 0:
-            print(json.dumps({"failed_stage": st, "rc": p.returncode,
+            print(json.dumps({"failed_stage": label, "rc": p.returncode,
                               "stderr_tail": p.stderr[-2000:],
                               "stages": results}))
             sys.exit(1)
-        results.append(json.loads(line))
+        r = json.loads(line)
+        r["stage"] = label
+        results.append(r)
     total = round(sum(r["wall_s"] for r in results), 1)
     if not ns.keep:
         shutil.rmtree(corpus_dir(ns), ignore_errors=True)
-        shutil.rmtree(SCRATCH, ignore_errors=True)
+        shutil.rmtree(scratch_dir(ns), ignore_errors=True)
     print(json.dumps({"replicas": ns.replicas, "docs": 5000 * ns.replicas,
                       "block_mib": ns.block_mib, "total_wall_s": total,
                       "stages": results}))

@@ -33,7 +33,10 @@ from strat_backtest_spark.session import get_spark  # noqa: E402
 
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
-    spark = get_spark(cpus=32)
+    # decade rungs trade task concurrency for heap-per-task (the 50M
+    # OOM lesson: ~16.7M-doc micro-batches at 32 tasks exhaust 16g)
+    cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    spark = get_spark(cpus=cpus)
     spark.conf.set("spark.sql.shuffle.partitions", "64")
     from _corpus import N_BASE as n_base
 

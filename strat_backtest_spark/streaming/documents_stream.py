@@ -14,6 +14,7 @@ arrival-time column so state ages out; the finite gate replay needs
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.storagelevel import StorageLevel
 
 from strat_backtest_spark.streaming.events_stream import _drain_to_parquet
 
@@ -660,7 +661,14 @@ def streaming_curation_loop(
             .withColumn("rn", F.row_number().over(wq))
             .join(F.broadcast(prior), "source", "left")
             .withColumn("prior", F.coalesce(F.col("prior"), F.lit(0)))
-            .localCheckpoint()
+            # DISK_ONLY (round 13): this checkpoint carries the batch's
+            # FULL text — at the 50M rung a ~16.7M-doc batch's
+            # MEMORY_AND_DISK blocks plus the dedup stage's aggregates
+            # OOMed a 16g/32-task heap (same bulk-state lesson as the
+            # CC round checkpoints); batch text is streamed back
+            # sequentially by the downstream stages, exactly the
+            # access pattern disk serves fine
+            .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
         )
         adm = ranked.filter(F.col("rn") + F.col("prior") <= cap)
         rejected = ranked.filter(F.col("rn") + F.col("prior") > cap).select(

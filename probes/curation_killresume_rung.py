@@ -78,14 +78,18 @@ def main() -> None:
     state = f"/tmp/curation_killresume_state_{replicas}x"
     shutil.rmtree(state, ignore_errors=True)
     t0 = time.time()
+    killed = None
     try:
         streaming_curation_loop(
             spark, corpus_dir, cap=cap, state_dir=state,
             fail_after="index_appended",
         )
-        raise AssertionError("failpoint did not fire")
     except Exception as exc:  # the injected mid-batch kill
-        out["incarnation1_killed"] = type(exc).__name__
+        killed = type(exc).__name__
+    # raised OUTSIDE the try: a regressed no-op failpoint must fail
+    # the probe, not be swallowed and report success (review r13)
+    assert killed is not None, "failpoint did not fire"
+    out["incarnation1_killed"] = killed
     out["incarnation1_s"] = round(time.time() - t0, 1)
 
     t0 = time.time()

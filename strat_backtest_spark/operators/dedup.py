@@ -732,16 +732,30 @@ def connected_components(
     # Everything below degrades gracefully: id capture prefers the
     # checkpointed DataFrame's OWN plan and eviction is a pure
     # optimization (a failed unpersist only costs scratch space).
-    jsc = pairs.sparkSession.sparkContext._jsc
+    try:
+        jsc = pairs.sparkSession.sparkContext._jsc
+        jsc.getPersistentRDDs()  # probe the whole py4j hop up front
+    except Exception:  # Spark Connect / moved accessor: eviction off
+        jsc = None
 
     def _pids() -> set:
-        return {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
+        if jsc is None:
+            return set()
+        try:
+            return {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
+        except Exception:
+            return set()
 
     def _evict(ids: set) -> None:
-        m = jsc.getPersistentRDDs()
-        for rid in ids:
-            if m.containsKey(rid):
-                m.get(rid).unpersist()
+        if jsc is None:
+            return
+        try:
+            m = jsc.getPersistentRDDs()
+            for rid in ids:
+                if m.containsKey(rid):
+                    m.get(rid).unpersist()
+        except Exception:
+            pass  # a failed unpersist only costs scratch space
 
     def _checkpoint(df: DataFrame) -> tuple[DataFrame, set]:
         # Materialize + capture the ids to evict later. Primary: read
@@ -1774,6 +1788,7 @@ def dedup_incremental(
     index_table: str | None = None,
     probe_rows: ProbeRows | None = None,
     exclude_index_ids: DataFrame | None = None,
+    index_filter: str | None = None,
 ) -> DataFrame:
     """Incremental dedup of a delta batch against a persisted index
     (``dedup_index_write``): one verdict row per delta doc —
@@ -1841,7 +1856,19 @@ def dedup_incremental(
     diverges from the uninterrupted run. In normal operation a delta
     id never pre-exists in the index, so the anti-join is a semantic
     no-op; it follows the same broadcast regime as the delta probes
-    (the exclude set is delta-sized by construction).
+    (the exclude set is delta-sized by construction). Cost note: in
+    the big-delta regime the exclude set cannot broadcast, so the
+    anti-join exchanges the INDEX on ``id_col`` — a price paid every
+    batch for protection only a replay needs; a CHUNK-PARTITIONED
+    index (``dedup_index_append(partition=...)``) should prefer
+    ``index_filter`` below, which is free.
+
+    ``index_filter``: a SQL predicate applied to both index tables
+    right after the scan — with the chunk-partitioned layout,
+    ``"chunk != <k>"`` excludes a replayed batch's own prior append
+    by PARTITION PRUNING (no join, no exchange, no per-batch cost:
+    only this batch ever writes ``chunk=<k>``, so the prune removes
+    exactly its prior partial append and nothing else).
     """
     if probe_rows is not None:
         _check_probe_params(
@@ -1854,6 +1881,9 @@ def dedup_incremental(
     else:
         idx_digests = spark.read.parquet(f"{index_path}/digests")
         idx_bands = spark.read.parquet(f"{index_path}/bands")
+    if index_filter is not None:
+        idx_digests = idx_digests.filter(index_filter)
+        idx_bands = idx_bands.filter(index_filter)
     if broadcast_delta is None:
         gate_df = probe_rows.digests if probe_rows is not None else delta
         broadcast_delta = gate_df.count() <= DELTA_BROADCAST_MAX_DOCS

@@ -534,11 +534,11 @@ def streaming_curation_loop(
     - the index append commits SECOND, to ``chunk=<k>`` partitions of
       the two index tables, also overwrite-by-chunk
       (``dedup_index_append(partition=...)``);
-    - the dedup probe EXCLUDES the batch's own doc ids from the index
-      (``dedup_incremental(exclude_index_ids=...)``), so a replay
-      whose prior incarnation already appended part of itself is
-      judged against exactly the index state the uninterrupted run
-      saw.
+    - the dedup probe EXCLUDES the batch's own chunk partition from
+      the index (``dedup_incremental(index_filter="chunk != k")`` — a
+      partition PRUNE, zero per-batch cost), so a replay whose prior
+      incarnation already appended part of itself is judged against
+      exactly the index state the uninterrupted run saw.
     A crashed incarnation therefore resumes by replaying the
     in-flight chunk plus the unprocessed ones; the ONE caller
     obligation is to seed ``initial_counts`` from the verdict store
@@ -616,6 +616,13 @@ def streaming_curation_loop(
         resume = False
     if not resume:
         shutil.rmtree(out_dir, ignore_errors=True)
+        # ALSO wipe the index: a hard-killed prior scratch run (no
+        # finally-cleanup) leaves stale chunk partitions that the
+        # partitioned day-zero write below would NOT clear (unlike the
+        # old root-layout overwrite) — a fresh run would then dedup
+        # against a poisoned index (review r13). In the durable
+        # not-resume case index_dir does not exist; harmless.
+        shutil.rmtree(index_dir, ignore_errors=True)
         # day-zero: empty, in the chunk-partitioned layout every later
         # append uses (chunk=-1 is no batch's id, so it is never
         # overwritten; mixing root files with partition dirs would
@@ -698,8 +705,13 @@ def streaming_curation_loop(
             index_dir,
             probe_rows=probe,
             # at-least-once: a replayed batch must not be judged
-            # against its own prior partial append
-            exclude_index_ids=adm.select("doc_id"),
+            # against its own prior partial append. Partition prune,
+            # not an id anti-join: only this batch ever writes
+            # chunk=ck, so the prune removes exactly its prior append
+            # at ZERO per-batch cost (the anti-join formulation
+            # exchanged the whole index on doc_id every batch in the
+            # big-delta regime — review r13)
+            index_filter=f"chunk != {ck}",
         ).localCheckpoint()
         tm["dedup_s"] = round(_time.time() - t0, 1)
         t0 = _time.time()
@@ -773,11 +785,18 @@ def streaming_curation_loop(
         if state_dir is None:  # durable state survives for resume
             shutil.rmtree(index_dir, ignore_errors=True)
 
-    have_files = os.path.isdir(out_dir) and any(
-        f.endswith(".parquet")
-        for _d, _s, fs in os.walk(out_dir)
-        for f in fs
-    )
+    def _committed_parquet(root: str) -> bool:
+        # prune hidden dirs (_temporary task-attempt files): Spark's
+        # reader ignores _-/.-prefixed paths, so counting them here
+        # would send a committed-data-less store into a schema-less
+        # read that cannot infer (review r13)
+        for dirpath, dirs, files in os.walk(root):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
+    have_files = os.path.isdir(out_dir) and _committed_parquet(out_dir)
     if not have_files:
         return spark.createDataFrame([], out_schema)
     # chunk=<k> partition discovery adds a chunk column; project it

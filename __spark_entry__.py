@@ -66,20 +66,24 @@ def entry(spark: SparkSession) -> DataFrame:
 #     streaming_incremental_dedup), q100 (via the curation loop);
 #   - streaming/documents_stream.py: streaming_curation_loop
 #     (at-least-once micro-batch: verdicts commit BEFORE the index
-#     append, both overwrite-by-chunk, probe self-exclusion,
-#     fail_after failpoint — r12 verdict item 2) -> q100.
-# 6 returning + 8 touched = 14 head seats; the remaining 36 go to
+#     append, both overwrite-by-chunk, probe self-exclusion via
+#     chunk-partition prune, fail_after failpoint — r12 verdict
+#     item 2; DISK_ONLY scrub checkpoint — the 50M OOM fix) -> q100;
+#   - operators/dedup.py LATE in the round: decontaminate gained the
+#     persisted-benchmark_hashes path (benchmark_shingle_hashes
+#     artifact) -> q60 (direct) and q69 (already head).
+# 6 returning + 9 touched = 15 head seats; the remaining 35 go to
 # the r11 tail's 44 entries returning for their rule-2 r14 deadline.
-# The eight that did not fit — q06/q09/q19/q32/q33/q34/q52/q53,
+# The nine that did not fit — q06/q09/q19/q32/q33/q34/q35/q52/q53,
 # chosen as the most change-stable shapes (pure catalog.py /
 # functions/windows.py code, zero diffs since r7) — are flagged
 # r13-MANDATORY below per rule 3 and MUST return in round 14 (rule-2
-# deadline: last green r11 + 3). The 42 vacated r12-head seats in
+# deadline: last green r11 + 3). The 41 vacated r12-head seats in
 # the tail are all function-level untouched this round (the diff
 # list above is exhaustive — verify with git diff r12..HEAD on the
 # package) and at most 1 round stale, rule 3's preferred tail.
 _SWEEP_TAIL = [
-    # --- 42 all-true r12, function-level untouched r13 ---
+    # --- 41 all-true r12, function-level untouched r13 ---
     "q01_pricing_summary",
     "q02_regional_revenue",
     "q04_orders_with_bigticket_items",
@@ -101,7 +105,6 @@ _SWEEP_TAIL = [
     "q54_stratified_sample",
     "q55_curation_pipeline",
     "q57_kmv_distinct_users",
-    "q60_decontaminate",
     "q62_token_quantiles",
     "q66_chunking",
     "q67_embedding_profile",
@@ -122,7 +125,7 @@ _SWEEP_TAIL = [
     "q95_audio_neardup",
     "q97_ivf_persisted_topk",
     "q99_ivf_index_append",
-    # --- 8 all-true r11 — r13-MANDATORY: return in r14 (rule-2
+    # --- 9 all-true r11 — r13-MANDATORY: return in r14 (rule-2
     # deadline r11+3); most change-stable shapes, zero diffs since r7
     "q06_rolling_mean",
     "q09_cumprod",
@@ -130,6 +133,7 @@ _SWEEP_TAIL = [
     "q32_asof_join",
     "q33_rollup_revenue",
     "q34_pivot_event_matrix",
+    "q35_sessionization",
     "q52_range_join",
     "q53_resample_ohlc",
 ]

@@ -15,14 +15,16 @@ cluster operator would size executors-with-local-disk by.
 Stage boundaries (post-pairs and post-CC, exactly where the verdict
 suggested) and what crosses them:
 
-  corpus  -> documents.parquet          (built once, --keep reusable)
-  pairs   : q23 LSH banding over text   -> pairs.parquet  (id_a, id_b)
-  cc      : connected_components(pairs) -> components.parquet (id, component)
-  decon   : decontaminate(corpus, bench) -> contaminated ids parquet,
-            optionally SLICED (--decon-slices K: one session per
-            doc_id % K slice — see below)
-  emit    : q68 anti-join + anti contaminated + chunk_documents -> count
-  apply   : decon+emit as ONE stage (small rungs / the pre-slice shape)
+  corpus    -> documents.parquet        (built once, --keep reusable)
+  pairs     : q23 LSH banding over text -> pairs.parquet  (id_a, id_b)
+  cc        : connected_components(pairs) -> components.parquet (id, component)
+  benchhash : benchmark_shingle_hashes(bench) -> bench_hashes.parquet —
+              the frozen eval suite's write-once artifact
+  decon     : decontaminate(corpus, benchmark_hashes=...) ->
+              contaminated ids parquet, optionally SLICED
+              (--decon-slices K: one session per doc_id % K slice)
+  emit      : q68 anti-join + anti contaminated + chunk_documents -> count
+  apply     : decon+emit as ONE stage, inline bench (the pre-slice shape)
 
 The apply/emit stages re-read the corpus but only slim ids cross from
 the earlier stages — the same artifact shape (doc ids, not text) the
@@ -39,8 +41,10 @@ slice in its own session divides the stage's scratch by K with
 IDENTICAL results (the union of slice outputs is the unsliced output
 row-for-row) — which is exactly what a cluster does with K more
 executors' local disks; single-node it time-multiplexes the same
-resource. The benchmark side is re-shingled per slice (it is corpus/20
-and one map pass — the price of the split).
+resource. The benchmark side is NOT re-shingled per slice: the
+benchhash stage persists the eval suite's distinct shingle hashes once
+(the artifact production would freeze alongside the benchmark itself)
+and every slice scans that parquet.
 
 Each stage samples statvfs free-space every 5 s on a daemon thread;
 "hw_used_gb" is the stage's high-water disk draw over its start point.
@@ -76,8 +80,8 @@ def parse_args(argv):
     ap.add_argument("replicas", nargs="?", type=int, default=20000)
     ap.add_argument("--block-mib", type=int, default=16)
     ap.add_argument("--stage",
-                    choices=["corpus", "pairs", "cc", "decon", "emit",
-                             "apply", "all"],
+                    choices=["corpus", "pairs", "cc", "benchhash", "decon",
+                             "emit", "apply", "all"],
                     default="all")
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--decon-cpus", type=int, default=None,
@@ -168,24 +172,44 @@ def stage_cc(ns, spark):
     return {"cc_rows": n}
 
 
+def stage_benchhash(ns, spark):
+    # the eval-set artifact, computed ONCE: every decon slice was
+    # re-shingling the full 5M-doc benchmark (5 redundant passes at
+    # K=6); production freezes the benchmark suite, so its shingle
+    # hashes are a write-once parquet the screening runs scan
+    from pyspark.sql import functions as F
+
+    from strat_backtest_spark.operators.dedup import benchmark_shingle_hashes
+
+    docs = spark.read.parquet(f"{corpus_dir(ns)}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    benchmark_shingle_hashes(bench, n=3).write.mode("overwrite").parquet(
+        f"{scratch_dir(ns)}/bench_hashes.parquet"
+    )
+    n = spark.read.parquet(f"{scratch_dir(ns)}/bench_hashes.parquet").count()
+    return {"bench_hash_rows": n}
+
+
 def stage_decon(ns, spark):
     # decontaminate alone, optionally one doc_id % K slice of the
-    # corpus side; the BENCHMARK side is always the full corpus's
-    # doc_id % 20 == 0 subset, so slice semantics equal the unsliced
-    # run restricted to the slice. Slice outputs union byte-for-byte
-    # into the unsliced output (per-doc contamination is independent).
+    # corpus side, probing the PERSISTED benchmark-hash artifact
+    # (stage benchhash) instead of re-shingling the eval set per
+    # slice. Slice outputs union byte-for-byte into the unsliced
+    # output (per-doc contamination is independent).
     from pyspark.sql import functions as F
 
     from strat_backtest_spark.operators.dedup import decontaminate
 
     docs = spark.read.parquet(f"{corpus_dir(ns)}/documents.parquet")
-    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    bench_hashes = spark.read.parquet(f"{scratch_dir(ns)}/bench_hashes.parquet")
     side = docs
     tag = ""
     if ns.slice is not None:
         side = docs.filter(F.col("doc_id") % ns.decon_slices == ns.slice)
         tag = f"/slice={ns.slice}"
-    contaminated = decontaminate(side, bench, n=3, threshold=0.5).select("doc_id")
+    contaminated = decontaminate(
+        side, None, n=3, threshold=0.5, benchmark_hashes=bench_hashes
+    ).select("doc_id")
     contaminated.write.mode("overwrite").parquet(
         f"{scratch_dir(ns)}/contaminated.parquet{tag}"
     )
@@ -241,7 +265,8 @@ def stage_apply(ns, spark):
 
 
 STAGES = {"corpus": stage_corpus, "pairs": stage_pairs, "cc": stage_cc,
-          "decon": stage_decon, "emit": stage_emit, "apply": stage_apply}
+          "benchhash": stage_benchhash, "decon": stage_decon,
+          "emit": stage_emit, "apply": stage_apply}
 
 
 def run_one(ns) -> None:
@@ -268,11 +293,11 @@ def main() -> None:
         run_one(ns)
         return
     if ns.decon_slices > 1:
-        plan = (["corpus", "pairs", "cc"]
+        plan = (["corpus", "pairs", "cc", "benchhash"]
                 + [("decon", s) for s in range(ns.decon_slices)]
                 + ["emit"])
     else:
-        plan = ["corpus", "pairs", "cc", "decon", "emit"]
+        plan = ["corpus", "pairs", "cc", "benchhash", "decon", "emit"]
     skip = {s for s in ns.skip.split(",") if s}
     results = []
     for st in plan:

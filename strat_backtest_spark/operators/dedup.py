@@ -1004,14 +1004,45 @@ def simhash_neardup_pairs(
 # benchmark decontamination (train/eval overlap)
 # ---------------------------------------------------------------------------
 
+def benchmark_shingle_hashes(
+    benchmark: DataFrame, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """The eval-set side of ``decontaminate`` as a PERSISTABLE
+    artifact: one row per DISTINCT word-``n``-gram shingle hash
+    (``h long``, the module's md5-prefix convention — the same kernel
+    the corpus side hashes with, so equality is exact). Production
+    screens every day's crawl against the same frozen benchmark
+    suite; computing this once and writing it to parquet
+    (``benchmark_shingle_hashes(bench).write.parquet(path)``) turns
+    each screening run's benchmark cost into a slim scan instead of a
+    re-shingle of the full eval corpus — pass it back via
+    ``decontaminate(benchmark_hashes=spark.read.parquet(path))``.
+    Value-identity with the inline path is pinned by
+    tests/test_pipeline_ops.py::test_decontaminate_precomputed_hashes."""
+
+    def _bench_rows(batches):
+        for pdf in batches:
+            hs = set()
+            for t in pdf[text_col].tolist():
+                hs |= _py_shingle_hashes(t, n)
+            yield pd.DataFrame(
+                {"h": np.fromiter(hs, dtype=np.int64, count=len(hs))}
+            )
+
+    return (
+        benchmark.select(text_col).mapInPandas(_bench_rows, "h long").distinct()
+    )
+
+
 def decontaminate(
     df: DataFrame,
-    benchmark: DataFrame,
+    benchmark: DataFrame | None,
     n: int = 3,
     threshold: float = 0.2,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_broadcast_shingles: int = 50_000_000,
+    benchmark_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Flag training documents whose distinct word n-gram shingles
     overlap an evaluation/benchmark corpus above ``threshold``
@@ -1052,20 +1083,34 @@ def decontaminate(
     Final rounding stays a Column op on both paths so the engine-side
     round semantics are unchanged. Docs with zero shingles (shorter
     than n tokens) cannot be contaminated and are omitted, matching
-    the SQL mirror."""
+    the SQL mirror.
+
+    ``benchmark_hashes``: the persisted eval-set artifact from
+    ``benchmark_shingle_hashes`` (distinct ``h long`` rows under the
+    module's hash convention) — pass it instead of ``benchmark`` to
+    skip re-shingling the eval corpus entirely; everything downstream
+    (broadcast gate, both physical paths) is identical. The caller
+    owns the convention claim, same contract class as
+    ``delta_probe_rows``'s caller digests (checked by column shape:
+    exactly one ``h`` column)."""
     spark = df.sparkSession
-
-    def _bench_rows(batches):
-        for pdf in batches:
-            hs = set()
-            for t in pdf[text_col].tolist():
-                hs |= _py_shingle_hashes(t, n)
-            yield pd.DataFrame({"h": np.fromiter(hs, dtype=np.int64, count=len(hs))})
-
     id_type = df.schema[id_col].dataType.simpleString()
-    bench_hashes = (
-        benchmark.select(text_col).mapInPandas(_bench_rows, "h long").distinct()
-    )
+    if benchmark_hashes is not None:
+        if benchmark_hashes.columns != ["h"]:
+            raise ValueError(
+                "decontaminate: benchmark_hashes must have exactly the "
+                f"column ('h',); got {benchmark_hashes.columns} — and h "
+                "MUST be benchmark_shingle_hashes' convention (distinct "
+                "md5-prefix int64 per word n-gram)"
+            )
+        bench_hashes = benchmark_hashes
+    elif benchmark is not None:
+        bench_hashes = benchmark_shingle_hashes(benchmark, n, text_col)
+    else:
+        raise ValueError(
+            "decontaminate: pass benchmark docs or precomputed "
+            "benchmark_hashes"
+        )
     # The gate needs one count() job over the benchmark side. Persist
     # around it so the winning broadcast path's toPandas reads the
     # cached hashes instead of re-shingling the benchmark (at a

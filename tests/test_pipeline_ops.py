@@ -396,6 +396,55 @@ def test_decontaminate_semijoin_matches_broadcast(spark):
             assert all(c >= thr for _, c in b) and len(b) >= 1
 
 
+def test_decontaminate_precomputed_hashes(spark, tmp_path):
+    """The persisted eval-set artifact: decontaminate against
+    ``benchmark_shingle_hashes`` round-tripped through parquet must be
+    row-identical to shingling the benchmark inline — on BOTH physical
+    paths (broadcast and forced semi-join). A wrong-shaped hashes
+    frame fails loudly (the caller-convention guard)."""
+    import pytest
+
+    from strat_backtest_spark.operators.dedup import (
+        benchmark_shingle_hashes,
+        decontaminate,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox sat still all day long"),
+            (3, "completely unrelated text about spark partitions here"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(1, "the quick brown fox jumps high")], "doc_id long, text string"
+    )
+    p = str(tmp_path / "bench_hashes")
+    benchmark_shingle_hashes(bench).write.parquet(p)
+    persisted = spark.read.parquet(p)
+
+    def rows(**kw):
+        return sorted(
+            (r["doc_id"], r["contamination"])
+            for r in decontaminate(docs, threshold=0.0, **kw).collect()
+        )
+
+    inline = rows(benchmark=bench)
+    assert rows(benchmark=None, benchmark_hashes=persisted) == inline
+    assert (
+        rows(benchmark=None, benchmark_hashes=persisted,
+             max_broadcast_shingles=0)
+        == inline
+    )
+    with pytest.raises(ValueError, match="benchmark_hashes"):
+        decontaminate(
+            docs, None, benchmark_hashes=persisted.withColumnRenamed("h", "x")
+        )
+    with pytest.raises(ValueError, match="precomputed"):
+        decontaminate(docs, None)
+
+
 def test_connected_components_precontract_invariance(spark):
     """The partition-local contraction is a connectivity certificate:
     labels must be byte-identical with and without it, for any

@@ -80,6 +80,7 @@ def _chunked_replay(
     static: DataFrame,
     n_chunks: int,
     files_per_chunk: int = 8,
+    chunk_col=None,
 ) -> tuple[DataFrame, str]:
     """Deterministic finite replay for stateful-operator gates: write
     ``static`` as ``n_chunks`` mtime-ordered parquet chunks (chunk i
@@ -97,19 +98,28 @@ def _chunked_replay(
     (the semantic contract) is identical to a single-file chunk, while
     map parallelism per micro-batch is ``files_per_chunk`` instead of
     1 (the single-file layout bottlenecked scan/map stages exactly
-    like the round-8 probe-layout finding for batch corpora)."""
+    like the round-8 probe-layout finding for batch corpora).
+
+    ``chunk_col``: the doc→chunk assignment Column (values in
+    [0, n_chunks)); defaults to ``doc_id % n_chunks``. The chunk id is
+    also ENCODED in every file name (``{chunk:03d}_*.parquet``), which
+    is how a foreachBatch consumer derives its batch identity from
+    ``input_file_name()`` — the production-true source of identity —
+    without assuming anything about the assignment."""
     import glob
     import os
     import shutil
     import tempfile
     import time
 
+    if chunk_col is None:
+        chunk_col = F.col("doc_id") % n_chunks
     out_dir = tempfile.mkdtemp(prefix="docs_replay_")
     base = time.time()
     for i in range(n_chunks):
         stage = os.path.join(out_dir, f"_stage_{i}")
         (
-            static.filter(F.col("doc_id") % n_chunks == i)
+            static.filter(chunk_col == i)
             .repartition(files_per_chunk)
             .write.mode("overwrite")
             .parquet(stage)
@@ -160,6 +170,74 @@ def _chunked_replay(
         .parquet(out_dir)
     )
     return stream, out_dir
+
+
+def _chunk_of_file(file_uri: str) -> int | None:
+    """Batch identity from a ``_chunked_replay`` file path: the
+    ``{chunk:03d}_{j:03d}.parquet`` basename prefix, or None when the
+    path does not follow the layout (non-file sources, foreign
+    layouts) — callers fall back to the doc→chunk expression then."""
+    import os
+    import re
+    from urllib.parse import unquote, urlparse
+
+    if not file_uri:
+        return None
+    base = os.path.basename(unquote(urlparse(file_uri).path))
+    m = re.fullmatch(r"(\d+)_\d+\.parquet", base)
+    return int(m.group(1)) if m else None
+
+
+def _committed_parquet(root: str) -> bool:
+    """True when ``root`` holds at least one COMMITTED parquet file —
+    hidden dirs (_temporary task attempts) are pruned, matching what
+    Spark's reader would actually list; counting them would send a
+    committed-data-less store into a schema-less read that cannot
+    infer (review r13)."""
+    import os
+
+    for dirpath, dirs, files in os.walk(root):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
+def _check_index_layout(index_dir: str) -> None:
+    """Refuse to RESUME onto an index that is not chunk-partitioned
+    (ADVICE r13): a durable state_dir written by the pre-r13 root
+    layout (or a day-zero write that crashed mid-write) would
+    otherwise get new ``chunk=`` partition dirs written NEXT TO root
+    parquet files — the exact layout mixing that breaks partition
+    discovery at the final read. Valid: each table dir exists, holds
+    at least one ``chunk=<k>`` partition, and no root-level part
+    files."""
+    import os
+    import re
+
+    problems = []
+    for t in ("bands", "digests"):
+        td = os.path.join(index_dir, t)
+        if not os.path.isdir(td):
+            problems.append(f"{t}: table dir missing")
+            continue
+        entries = os.listdir(td)
+        if not any(re.fullmatch(r"chunk=-?\d+", e) for e in entries):
+            problems.append(f"{t}: no chunk=* partition dirs")
+        root_files = [e for e in entries if e.endswith(".parquet")]
+        if root_files:
+            problems.append(
+                f"{t}: {len(root_files)} root-level parquet file(s)"
+            )
+    if problems:
+        raise ValueError(
+            f"streaming_curation_loop: index at {index_dir!r} is not in "
+            f"the chunk-partitioned layout ({'; '.join(problems)}) — "
+            "resuming would mix root files with chunk= partition dirs and "
+            "break partition discovery. Migrate the index (rewrite it via "
+            "dedup_index_write(..., partition=...)) or point state_dir at "
+            "fresh storage."
+        )
 
 
 def simhash_claim_verdicts(
@@ -461,6 +539,7 @@ def streaming_curation_loop(
     initial_counts: dict[str, int] | None = None,
     state_dir: str | None = None,
     fail_after: str | None = None,
+    chunk_expr: str | None = None,
 ) -> DataFrame:
     """The production ingest shape as ONE streaming job (q100): every
     micro-batch (one replay chunk = one day's crawl) runs the full
@@ -542,11 +621,11 @@ def streaming_curation_loop(
     A crashed incarnation therefore resumes by replaying the
     in-flight chunk plus the unprocessed ones; the ONE caller
     obligation is to seed ``initial_counts`` from the verdict store
-    EXCLUDING the chunks being replayed (filter
-    ``doc_id % n_chunks NOT IN chunk_ids`` before
-    ``curation_quota_counts_from_verdicts``), since a replayed
-    chunk's surviving verdicts would otherwise double-count into its
-    own quota prior. Equivalence (interrupted ≡ uninterrupted,
+    EXCLUDING the chunks being replayed — call
+    :func:`curation_resume_counts` (it reads the store's ``chunk``
+    partition column, so it is layout-true for any doc→chunk
+    assignment); a replayed chunk's surviving verdicts would
+    otherwise double-count into its own quota prior. Equivalence (interrupted ≡ uninterrupted,
     row-identical verdict sets) is pinned for chunk-boundary kills by
     tests/test_pipeline_ops.py::test_curation_loop_cold_restart and
     for MID-BATCH kills (between the two commits, and after both) by
@@ -555,7 +634,29 @@ def streaming_curation_loop(
     ``fail_after``: crash-injection failpoint for those tests — raise
     after the named commit point (``"verdicts_written"`` |
     ``"index_appended"``) in every batch that reaches it. Test-only;
-    never set in production."""
+    never set in production.
+
+    BATCH IDENTITY (r13 verdict item 4): inside the micro-batch the
+    chunk id is derived from ``input_file_name()`` — the replay
+    layout encodes it in every file name, exactly as a production
+    file source names its daily drop — so identity holds for ANY
+    doc→chunk assignment, not just the modular one. Only when the
+    file path carries no chunk (non-file sources) does the loop fall
+    back to evaluating the assignment expression on a row.
+    ``chunk_expr``: that assignment, a SQL expression over the doc
+    columns with values in [0, n_chunks); default
+    ``doc_id % n_chunks`` (the q100 oracle unrolls the default — a
+    custom assignment changes arrival order, so it is for
+    equivalence-tested resume scenarios, not the gate).
+
+    COMPACTION INTERACTION: if ``dedup_index_compact`` has folded
+    this batch's chunk into the index base (its id is in the
+    ``compacted_chunks`` sidecar), the free ``chunk != k`` prune can
+    no longer exclude a replayed batch's prior append — the loop
+    detects this per batch and adds the id anti-join guard
+    (``exclude_index_ids`` = the batch's own admitted ids) for
+    exactly that batch, keeping replay-after-compaction verdicts
+    identical (tested)."""
     import hashlib
     import os
     import shutil
@@ -563,6 +664,7 @@ def streaming_curation_loop(
     from pyspark.sql import Window
 
     from strat_backtest_spark.operators.dedup import (
+        compacted_chunks,
         dedup_incremental,
         dedup_index_append,
         dedup_index_write,
@@ -592,13 +694,18 @@ def streaming_curation_loop(
         .otherwise(F.col("text"))
         .alias("text"),
     )
+    chunk_col = (
+        F.expr(chunk_expr)
+        if chunk_expr is not None
+        else (F.col("doc_id") % n_chunks)
+    ).cast("int")
     if chunk_ids is not None:
         # resume replay: only the listed chunks carry rows; the other
         # chunks' (empty) triggers are skipped by the isEmpty guard.
-        # Chunk membership stays doc_id % n_chunks == k over the FULL
+        # Chunk membership is the SAME assignment over the FULL
         # corpus, so incarnation boundaries never reshape a chunk.
-        aug = aug.filter((F.col("doc_id") % n_chunks).isin(list(chunk_ids)))
-    stream, replay_dir = _chunked_replay(spark, aug, n_chunks)
+        aug = aug.filter(chunk_col.isin([int(c) for c in chunk_ids]))
+    stream, replay_dir = _chunked_replay(spark, aug, n_chunks, chunk_col=chunk_col)
     if state_dir is not None:
         # durable cross-batch state: survives this call; an existing
         # index there means RESUME (keep the verdict store, skip the
@@ -606,6 +713,12 @@ def streaming_curation_loop(
         index_dir = f"{state_dir}/index"
         out_dir = f"{state_dir}/verdicts"
         resume = os.path.isdir(index_dir)
+        if resume:
+            # a pre-chunk-layout (root-file) index or a day-zero write
+            # that died mid-write must not be silently resumed onto —
+            # appending chunk= dirs next to root files is the layout
+            # mixing that breaks discovery (ADVICE r13)
+            _check_index_layout(index_dir)
     else:
         # deterministic scratch (same single-writer assumption as
         # streaming_incremental_dedup's note: concurrent identical-param
@@ -636,13 +749,20 @@ def streaming_curation_loop(
     import time as _time
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        head = batch_df.select("doc_id").head(1)
+        head = batch_df.select(
+            F.input_file_name().alias("__f"), chunk_col.alias("__c")
+        ).head(1)
         if not head:  # replay padding trigger
             return
-        # the batch's STABLE identity: replay chunk k holds exactly
-        # doc_id % n_chunks == k, so any row names the chunk — unlike
-        # Spark's batch_id, which restarts from 0 in a new incarnation
-        ck = int(head[0][0]) % n_chunks
+        # the batch's STABLE identity — unlike Spark's batch_id, which
+        # restarts from 0 in a new incarnation. Primary: the chunk id
+        # every replay file encodes in its name (a production file
+        # source names its daily drop the same way), valid for ANY
+        # doc→chunk assignment. Fallback (non-file sources): evaluate
+        # the assignment expression on a row.
+        ck = _chunk_of_file(head[0]["__f"])
+        if ck is None:
+            ck = int(head[0]["__c"])
         tm: dict = {"batch_id": batch_id, "chunk": ck}
         t0 = _time.time()
         prior = spark.createDataFrame(
@@ -699,19 +819,25 @@ def streaming_curation_loop(
                 F.col("scrub_hash").alias("text_hash"), "doc_id"
             ),
         )
+        # at-least-once: a replayed batch must not be judged against
+        # its own prior partial append. Partition prune, not an id
+        # anti-join: only this batch ever writes chunk=ck, so the
+        # prune removes exactly its prior append at ZERO per-batch
+        # cost (the anti-join formulation exchanged the whole index on
+        # doc_id every batch in the big-delta regime — review r13).
+        # EXCEPT when dedup_index_compact has folded this chunk into
+        # the base partition: the prune can no longer see those rows,
+        # so this batch (alone) adds the id anti-join guard — the
+        # sidecar read is a tiny JSON stat per batch.
+        guard: dict = {"index_filter": f"chunk != {ck}"}
+        if ck in compacted_chunks(index_dir):
+            guard["exclude_index_ids"] = adm.select("doc_id")
         verdicts = dedup_incremental(
             spark,
             adm.select("doc_id", "text"),
             index_dir,
             probe_rows=probe,
-            # at-least-once: a replayed batch must not be judged
-            # against its own prior partial append. Partition prune,
-            # not an id anti-join: only this batch ever writes
-            # chunk=ck, so the prune removes exactly its prior append
-            # at ZERO per-batch cost (the anti-join formulation
-            # exchanged the whole index on doc_id every batch in the
-            # big-delta regime — review r13)
-            index_filter=f"chunk != {ck}",
+            **guard,
         ).localCheckpoint()
         tm["dedup_s"] = round(_time.time() - t0, 1)
         t0 = _time.time()
@@ -785,17 +911,6 @@ def streaming_curation_loop(
         if state_dir is None:  # durable state survives for resume
             shutil.rmtree(index_dir, ignore_errors=True)
 
-    def _committed_parquet(root: str) -> bool:
-        # prune hidden dirs (_temporary task-attempt files): Spark's
-        # reader ignores _-/.-prefixed paths, so counting them here
-        # would send a committed-data-less store into a schema-less
-        # read that cannot infer (review r13)
-        for dirpath, dirs, files in os.walk(root):
-            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
-            if any(f.endswith(".parquet") for f in files):
-                return True
-        return False
-
     have_files = os.path.isdir(out_dir) and _committed_parquet(out_dir)
     if not have_files:
         return spark.createDataFrame([], out_schema)
@@ -845,3 +960,39 @@ def curation_quota_counts_from_verdicts(
             "resumed loop overshoot its per-source cap"
         )
     return counts
+
+
+def curation_resume_counts(
+    spark: SparkSession,
+    state_dir: str,
+    replay_chunks,
+    docs: DataFrame,
+) -> dict[str, int]:
+    """The resume counter-seed obligation, WRAPPED (r13 verdict item
+    6): rebuild ``streaming_curation_loop``'s per-source admitted
+    counters from its durable verdict store at ``{state_dir}/verdicts``
+    EXCLUDING the chunks about to be replayed — a replayed chunk's
+    surviving verdicts would otherwise double-count into its own quota
+    prior. Pass the result as the resumed loop's ``initial_counts``.
+
+    Exclusion filters the store's ``chunk`` PARTITION column (the
+    layout the loop commits under), not a recomputed ``doc_id %
+    n_chunks`` — so it is correct for any doc→chunk assignment
+    (``chunk_expr``) and never recomputes what the store already
+    records; the partition filter is a directory prune, not a scan.
+    An absent or commit-less store (the crash predated the first
+    verdict commit) seeds empty counters. ``docs`` is the complete
+    admission log, as for ``curation_quota_counts_from_verdicts``
+    (which this delegates to, inheriting its loud incomplete-log
+    failure)."""
+    import os
+
+    out_dir = f"{state_dir}/verdicts"
+    if not (os.path.isdir(out_dir) and _committed_parquet(out_dir)):
+        return {}
+    v = spark.read.parquet(out_dir).filter(
+        ~F.col("chunk").isin([int(c) for c in replay_chunks])
+    )
+    return curation_quota_counts_from_verdicts(
+        v.select("doc_id", "scrub_hash", "status", "logit"), docs
+    )

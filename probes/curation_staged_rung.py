@@ -93,7 +93,13 @@ def parse_args(argv):
     ap.add_argument("--shuffle-partitions", type=int, default=64)
     ap.add_argument("--decon-slices", type=int, default=1,
                     help="split the decontaminate stage into K doc_id%%K "
-                         "sub-jobs, one session each (scratch /= K)")
+                         "sub-jobs (scratch /= K); in-engine via "
+                         "decontaminate(slices=K) unless "
+                         "--decon-per-process")
+    ap.add_argument("--decon-per-process", action="store_true",
+                    help="run each decon slice in its OWN process/JVM "
+                         "(hard scratch isolation) instead of the "
+                         "in-engine slices= API")
     ap.add_argument("--slice", type=int, default=None,
                     help="which decon slice this process runs (internal)")
     ap.add_argument("--skip", type=str, default="",
@@ -191,11 +197,17 @@ def stage_benchhash(ns, spark):
 
 
 def stage_decon(ns, spark):
-    # decontaminate alone, optionally one doc_id % K slice of the
-    # corpus side, probing the PERSISTED benchmark-hash artifact
-    # (stage benchhash) instead of re-shingling the eval set per
-    # slice. Slice outputs union byte-for-byte into the unsliced
-    # output (per-doc contamination is independent).
+    # decontaminate over the corpus against the PERSISTED benchmark-
+    # hash artifact (stage benchhash). Scratch bounding is IN-ENGINE
+    # by default since r14: decontaminate(slices=K) runs K sequential
+    # modular sub-jobs in one session, each localCheckpointing its
+    # slim result so the semi-join's shuffle scratch is reclaimable
+    # between sub-jobs — the probe's old one-process-per-slice pattern
+    # promoted into the API (r13 verdict item 3). --decon-per-process
+    # keeps the process-per-slice variant (JVM exit as the HARD
+    # scratch guarantee) for A/B-ing the two isolation levels; slice
+    # outputs union byte-for-byte either way (per-doc contamination is
+    # independent).
     from pyspark.sql import functions as F
 
     from strat_backtest_spark.operators.dedup import decontaminate
@@ -204,11 +216,14 @@ def stage_decon(ns, spark):
     bench_hashes = spark.read.parquet(f"{scratch_dir(ns)}/bench_hashes.parquet")
     side = docs
     tag = ""
+    slices = ns.decon_slices
     if ns.slice is not None:
         side = docs.filter(F.col("doc_id") % ns.decon_slices == ns.slice)
         tag = f"/slice={ns.slice}"
+        slices = 1
     contaminated = decontaminate(
-        side, None, n=3, threshold=0.5, benchmark_hashes=bench_hashes
+        side, None, n=3, threshold=0.5, benchmark_hashes=bench_hashes,
+        slices=slices,
     ).select("doc_id")
     contaminated.write.mode("overwrite").parquet(
         f"{scratch_dir(ns)}/contaminated.parquet{tag}"
@@ -292,11 +307,12 @@ def main() -> None:
     if ns.stage != "all":
         run_one(ns)
         return
-    if ns.decon_slices > 1:
+    if ns.decon_slices > 1 and ns.decon_per_process:
         plan = (["corpus", "pairs", "cc", "benchhash"]
                 + [("decon", s) for s in range(ns.decon_slices)]
                 + ["emit"])
     else:
+        # in-engine slicing: ONE decon stage, decontaminate(slices=K)
         plan = ["corpus", "pairs", "cc", "benchhash", "decon", "emit"]
     skip = {s for s in ns.skip.split(",") if s}
     results = []

@@ -2411,12 +2411,13 @@ def test_curation_loop_cold_restart(spark, tmp_path):
     incarnation 1 processes replay chunk 0 against durable state and
     STOPS; incarnation 2 processes chunks 1-2 against the SURVIVING
     dedup index + verdict store, its quota counters seeded from the
-    verdict store via curation_quota_counts_from_verdicts. The
-    combined verdict set must be row-identical to an uninterrupted
-    3-chunk run — restart must not re-admit over quota, re-keep an
-    indexed duplicate, or lose a verdict."""
+    verdict store via curation_resume_counts (the wrapped obligation,
+    r13 verdict item 6). The combined verdict set must be
+    row-identical to an uninterrupted 3-chunk run — restart must not
+    re-admit over quota, re-keep an indexed duplicate, or lose a
+    verdict."""
     from strat_backtest_spark.streaming.documents_stream import (
-        curation_quota_counts_from_verdicts,
+        curation_resume_counts,
         streaming_curation_loop,
     )
 
@@ -2433,9 +2434,11 @@ def test_curation_loop_cold_restart(spark, tmp_path):
     n1 = inc1.count()
     assert 0 < n1 < len(want), "incarnation 1 must be partial"
     # seed the resumed loop's counters from DURABLE state only — the
-    # live dict died with incarnation 1
+    # live dict died with incarnation 1; the helper excludes the
+    # chunks about to replay (here none of chunk 0 replays, so the
+    # seed covers exactly incarnation 1's verdicts)
     docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
-    seeds = curation_quota_counts_from_verdicts(inc1, docs)
+    seeds = curation_resume_counts(spark, state, [1, 2], docs)
     assert seeds and any(v > 0 for v in seeds.values())
 
     got = {
@@ -2469,12 +2472,14 @@ def test_curation_loop_midbatch_crash_resume(spark, tmp_path):
       verdicts identical instead of flagging the batch dup of itself.
 
     Both resumes seed quota counters from the verdict store EXCLUDING
-    the replayed chunks (the docstring's caller obligation; here all
-    chunks replay, so the seed is empty). Verdict sets must equal the
-    uninterrupted run's exactly."""
+    the replayed chunks — via curation_resume_counts, the wrapped
+    obligation (here all chunks replay, so the rebuilt seed must come
+    back empty). Verdict sets must equal the uninterrupted run's
+    exactly."""
     import pyspark.errors
 
     from strat_backtest_spark.streaming.documents_stream import (
+        curation_resume_counts,
         streaming_curation_loop,
     )
 
@@ -2493,6 +2498,9 @@ def test_curation_loop_midbatch_crash_resume(spark, tmp_path):
             raise AssertionError("failpoint did not fire")
         except pyspark.errors.exceptions.base.PySparkException:
             pass  # the injected crash killed the stream mid-batch
+        docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        seeds = curation_resume_counts(spark, state, [0, 1, 2], docs)
+        assert seeds == {}, "replaying everything must rebuild an empty prior"
         got = {
             (r["doc_id"], r["scrub_hash"], r["status"], r["logit"])
             for r in streaming_curation_loop(
@@ -2501,7 +2509,7 @@ def test_curation_loop_midbatch_crash_resume(spark, tmp_path):
                 cap=cap,
                 chunk_ids=[0, 1, 2],
                 state_dir=state,
-                initial_counts={},
+                initial_counts=seeds,
             ).collect()
         }
         assert got == want, f"crash window {point!r} diverged"
@@ -2613,3 +2621,530 @@ def test_ivf_index_drift_gate(spark, tmp_path):
     d3 = ivf_index_drift(spark, path3, sample_fraction=1e-9)
     assert d3["baseline"] > 0 and 0.9 < d3["ratio"] < 1.1, d3
     assert not ivf_index_needs_retrain(spark, path3, threshold=1.25)
+
+
+# ---------------------------------------------------------------------------
+# round 14: dedup-index compaction, sliced decontaminate, artifact stamps
+# ---------------------------------------------------------------------------
+
+_CBASE = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+
+def _compact_index(spark, tmp_path, n_chunks=4):
+    """A chunk-partitioned index accumulated over ``n_chunks`` batch
+    appends (the at-least-once layout), plus a probe delta with one
+    exact dup, one near dup, and one novel doc."""
+    from strat_backtest_spark.operators.dedup import dedup_index_write
+
+    path = str(tmp_path / "cidx")
+    dedup_index_write(
+        spark.createDataFrame([], "doc_id long, text string"),
+        path,
+        partition=-1,
+    )
+    for k in range(n_chunks):
+        chunk_docs = spark.createDataFrame(
+            [
+                (k * 10, f"{_CBASE} family{k}"),
+                (k * 10 + 1, f"unrelated chunk {k} content with many distinct tokens"),
+            ],
+            "doc_id long, text string",
+        )
+        dedup_index_write(chunk_docs, path, partition=k)
+    delta = spark.createDataFrame(
+        [
+            (900, f"{_CBASE} family2"),            # exact dup of chunk 2
+            (901, f"{_CBASE} family0 lambda"),      # near dup of chunk 0
+            (902, "entirely novel delta text nothing shared anywhere here"),
+        ],
+        "doc_id long, text string",
+    )
+    return path, delta
+
+
+def test_dedup_index_compact_preserves_verdicts(spark, tmp_path):
+    """r13 verdict item 2: folding the accumulated chunk partitions
+    into the base must not change a single verdict (existence-probe
+    semantics), must shrink the parquet file count, must record the
+    folded ids in the sidecar, and must be idempotent (a second pass
+    finds nothing to fold)."""
+    import os
+
+    from strat_backtest_spark.operators.dedup import (
+        compacted_chunks,
+        dedup_incremental,
+        dedup_index_compact,
+    )
+
+    path, delta = _compact_index(spark, tmp_path)
+
+    def verdicts():
+        return {
+            r["doc_id"]: r["verdict"]
+            for r in dedup_incremental(spark, delta, path).collect()
+        }
+
+    before = verdicts()
+    assert before == {900: "dup_exact", 901: "dup_near", 902: "kept"}
+
+    stats = dedup_index_compact(spark, path)
+    assert stats["folded_chunks"] == [0, 1, 2, 3]
+    assert stats["files_after"] < stats["files_before"]
+    assert compacted_chunks(path) == {0, 1, 2, 3}
+    # the source partitions are gone; only the base remains
+    assert sorted(os.listdir(f"{path}/bands")) == ["chunk=-1"]
+    assert sorted(os.listdir(f"{path}/digests")) == ["chunk=-1"]
+    assert verdicts() == before
+
+    again = dedup_index_compact(spark, path)
+    assert again["folded_chunks"] == []
+    assert again["files_after"] == stats["files_after"]
+
+
+def test_dedup_index_compact_exclude_and_target_files(spark, tmp_path):
+    """``exclude_chunks`` keeps the possibly-in-flight chunk out of the
+    fold (its partition dir and free prune survive); ``target_files``
+    bounds the folded base's file count; a non-negative ``into`` is
+    refused (it would collide with batch chunk ids)."""
+    import os
+
+    import pytest
+
+    from strat_backtest_spark.operators.dedup import (
+        compacted_chunks,
+        dedup_incremental,
+        dedup_index_compact,
+    )
+
+    path, delta = _compact_index(spark, tmp_path)
+    before = {
+        r["doc_id"]: r["verdict"]
+        for r in dedup_incremental(spark, delta, path).collect()
+    }
+    with pytest.raises(ValueError, match="negative"):
+        dedup_index_compact(spark, path, into=0)
+    stats = dedup_index_compact(spark, path, exclude_chunks=[3], target_files=1)
+    assert stats["folded_chunks"] == [0, 1, 2]
+    assert compacted_chunks(path) == {0, 1, 2}
+    assert sorted(os.listdir(f"{path}/bands")) == ["chunk=-1", "chunk=3"]
+    # one data file per folded table partition
+    base_files = [
+        f
+        for f in os.listdir(f"{path}/bands/chunk=-1")
+        if f.endswith(".parquet")
+    ]
+    assert len(base_files) == 1
+    got = {
+        r["doc_id"]: r["verdict"]
+        for r in dedup_incremental(spark, delta, path).collect()
+    }
+    assert got == before
+
+
+def test_dedup_index_compact_replay_after_fold(spark, tmp_path):
+    """The defined replay interaction (r13 verdict item 2): once a
+    chunk is folded into the base, the free ``chunk != k`` prune no
+    longer hides a replayed batch's prior append — the sidecar names
+    the chunk and the replay must add the id anti-join guard. With
+    the guard, replay verdicts are identical; the replay's re-append
+    then coexists with the folded copy (duplicate rows are
+    verdict-harmless) and the NEXT compaction's distinct folds them
+    away without row inflation."""
+    from strat_backtest_spark.operators.dedup import (
+        compacted_chunks,
+        dedup_incremental,
+        dedup_index_append,
+        dedup_index_compact,
+        dedup_index_write,
+    )
+
+    path = str(tmp_path / "ridx")
+    dedup_index_write(
+        spark.createDataFrame([(0, f"{_CBASE} historical")], "doc_id long, text string"),
+        path,
+        partition=-1,
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, f"{_CBASE} historical"),                      # dup of day-zero
+            (11, "novel content one with plenty of distinct tokens"),
+            (12, "novel content one with plenty of distinct tokens"),
+            (13, "entirely different fresh text nothing shared here"),
+        ],
+        "doc_id long, text string",
+    )
+
+    def verdicts(**kw):
+        return {
+            r["doc_id"]: r["verdict"]
+            for r in dedup_incremental(
+                spark, batch, path, index_filter="chunk != 7", **kw
+            ).collect()
+        }
+
+    want = verdicts()
+    assert want == {10: "dup_exact", 11: "kept", 12: "dup_exact", 13: "kept"}
+    dedup_index_append(batch, _as_verdicts(spark, want), path, partition=7)
+
+    # crash window: the batch committed its append, then died; a
+    # compaction ran before the replay landed and folded chunk 7
+    stats = dedup_index_compact(spark, path)
+    assert stats["folded_chunks"] == [7]
+    assert 7 in compacted_chunks(path)
+
+    # the prune alone is now blind to the folded copy: the replay
+    # would judge its own docs as dups of themselves
+    poisoned = verdicts()
+    assert poisoned[10] == "dup_exact" and poisoned[11] != "kept"
+    # the documented remedy — sidecar names the chunk, replay adds the
+    # id anti-join — restores the uninterrupted verdicts exactly
+    replay = verdicts(exclude_index_ids=batch.select("doc_id"))
+    assert replay == want
+
+    # the replay re-appends; base copy + fresh chunk dir coexist, and
+    # the next compaction dedupes instead of inflating
+    dedup_index_append(batch, _as_verdicts(spark, replay), path, partition=7)
+    rows_before = {
+        t: spark.read.parquet(f"{path}/{t}").count()
+        for t in ("bands", "digests")
+    }
+    stats2 = dedup_index_compact(spark, path)
+    assert stats2["folded_chunks"] == [7]
+    rows_after = {
+        t: spark.read.parquet(f"{path}/{t}").count()
+        for t in ("bands", "digests")
+    }
+    assert rows_after["bands"] < rows_before["bands"]
+    assert rows_after["digests"] < rows_before["digests"]
+    # and a later batch still collides with the registered survivors
+    later = spark.createDataFrame(
+        [(20, "novel content one with plenty of distinct tokens")],
+        "doc_id long, text string",
+    )
+    got = dedup_incremental(spark, later, path).collect()
+    assert got[0]["verdict"] == "dup_exact"
+
+
+def test_dedup_index_compact_crash_recovery(spark, tmp_path):
+    """Re-running after a mid-compaction crash repairs the index: an
+    UNCOMMITTED stage (no _SUCCESS) is rolled back; a COMMITTED stage
+    whose swap never ran is completed (its ids were recorded before
+    staging, so the sidecar already covers it). Verdicts afterwards
+    match the clean compaction's."""
+    import os
+    import shutil
+
+    from strat_backtest_spark.operators.dedup import (
+        dedup_incremental,
+        dedup_index_compact,
+    )
+
+    path, delta = _compact_index(spark, tmp_path)
+    want = {
+        r["doc_id"]: r["verdict"]
+        for r in dedup_incremental(spark, delta, path).collect()
+    }
+
+    # window A: crash mid-stage — tmp exists, no _SUCCESS
+    for t in ("bands", "digests"):
+        tmp = f"{path}/{t}/.compact_tmp"
+        shutil.copytree(f"{path}/{t}/chunk=0", tmp)
+        if os.path.isfile(f"{tmp}/_SUCCESS"):
+            os.remove(f"{tmp}/_SUCCESS")
+    stats = dedup_index_compact(spark, path)
+    assert stats["folded_chunks"] == [0, 1, 2, 3]
+    assert not os.path.isdir(f"{path}/bands/.compact_tmp")
+    got = {
+        r["doc_id"]: r["verdict"]
+        for r in dedup_incremental(spark, delta, path).collect()
+    }
+    assert got == want
+
+    # window B: crash after a COMMITTED stage, before the swap — the
+    # tmp (base ∪ candidates) carries _SUCCESS and the old base is
+    # still live; recovery must complete the swap, not duplicate it
+    path2, delta2 = _compact_index(spark, tmp_path / "b")
+    want2 = {
+        r["doc_id"]: r["verdict"]
+        for r in dedup_incremental(spark, delta2, path2).collect()
+    }
+    first = dedup_index_compact(spark, path2, exclude_chunks=[2, 3])
+    assert first["folded_chunks"] == [0, 1]
+    for t in ("bands", "digests"):
+        # simulate: a fold of chunks 2,3 staged its tmp (committed)
+        # and crashed before swapping — rebuild that state by hand
+        spark.read.parquet(
+            f"{path2}/{t}/chunk=-1", f"{path2}/{t}/chunk=2", f"{path2}/{t}/chunk=3"
+        ).distinct().write.mode("overwrite").parquet(f"{path2}/{t}/.compact_tmp")
+    # the crashed run recorded its candidates before staging
+    from strat_backtest_spark.operators.dedup import _record_compacted
+
+    _record_compacted(path2, {2, 3})
+    stats2 = dedup_index_compact(spark, path2)
+    # recovery completed the old fold; chunks 2,3's dirs (stale
+    # sources of the completed fold) are re-folded by this pass
+    assert not os.path.isdir(f"{path2}/bands/.compact_tmp")
+    assert sorted(os.listdir(f"{path2}/bands")) == ["chunk=-1"]
+    got2 = {
+        r["doc_id"]: r["verdict"]
+        for r in dedup_incremental(spark, delta2, path2).collect()
+    }
+    assert got2 == want2
+
+
+def test_decontaminate_slices_identity(spark):
+    """``slices=K`` is a pure scratch lever: the union of the K
+    sequential modular sub-jobs must be row-identical to the one-shot
+    run — on BOTH physical paths (broadcast and forced semi-join).
+    Non-integral ids and slices < 1 are refused."""
+    import pytest
+
+    from strat_backtest_spark.operators.dedup import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"the quick brown fox jumps over the lazy dog number {i % 4}")
+            for i in range(24)
+        ]
+        + [(100, "completely unrelated text about spark partitions here")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(1, "the quick brown fox jumps high")], "doc_id long, text string"
+    )
+
+    def rows(**kw):
+        return sorted(
+            (r["doc_id"], r["contamination"])
+            for r in decontaminate(docs, bench, threshold=0.0, **kw).collect()
+        )
+
+    want = rows()
+    assert rows(slices=5) == want
+    assert rows(slices=5, max_broadcast_shingles=0) == want
+
+    with pytest.raises(ValueError, match="slices must be"):
+        decontaminate(docs, bench, slices=0)
+    strdocs = spark.createDataFrame(
+        [("a", "text with enough tokens for one shingle")],
+        "doc_id string, text string",
+    )
+    with pytest.raises(ValueError, match="integral id"):
+        decontaminate(strdocs, bench, slices=2)
+
+
+def test_benchmark_hashes_artifact_stamp(spark, tmp_path):
+    """ADVICE r13: the persisted eval-set artifact embeds its build
+    params, and decontaminate REFUSES a stamp that disagrees with its
+    own shingling — an n mismatch otherwise silently yields near-zero
+    contamination. Stamp-less (pre-r14) artifacts are refused too,
+    with re-materialization guidance."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from strat_backtest_spark.operators.dedup import (
+        SHINGLE_KERNEL,
+        benchmark_shingle_hashes,
+        decontaminate,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(1, "the quick brown fox jumps high")], "doc_id long, text string"
+    )
+    p = str(tmp_path / "bh")
+    art = benchmark_shingle_hashes(bench, n=4)
+    assert set(art.columns) == {"h", "n", "kernel"}
+    art.write.parquet(p)
+    persisted = spark.read.parquet(p)
+    row = persisted.select("n", "kernel").first()
+    assert (row["n"], row["kernel"]) == (4, SHINGLE_KERNEL)
+
+    # n mismatch: artifact built with n=4, call shingles with n=3
+    with pytest.raises(ValueError, match="n=4"):
+        decontaminate(docs, None, n=3, benchmark_hashes=persisted)
+    # kernel mismatch (a future kernel bump must invalidate artifacts)
+    stale = persisted.withColumn("kernel", F.lit("md5-60bit-modP-ws-ngram-v0"))
+    with pytest.raises(ValueError, match="kernel"):
+        decontaminate(docs, None, n=4, benchmark_hashes=stale)
+    # stamp-less legacy shape: loud, with guidance
+    with pytest.raises(ValueError, match="re-materialize"):
+        decontaminate(docs, None, n=4, benchmark_hashes=persisted.select("h"))
+    # matched stamp: identical to inline shingling
+    inline = sorted(
+        (r["doc_id"], r["contamination"])
+        for r in decontaminate(docs, bench, n=4, threshold=0.0).collect()
+    )
+    got = sorted(
+        (r["doc_id"], r["contamination"])
+        for r in decontaminate(
+            docs, None, n=4, threshold=0.0, benchmark_hashes=persisted
+        ).collect()
+    )
+    assert got == inline and len(got) == 1
+
+
+def test_dedup_incremental_index_filter_layout_error(spark, tmp_path):
+    """r13 verdict item 7: a chunk predicate against an index written
+    WITHOUT the partitioned layout must fail with an error that names
+    the real problem (index layout) instead of Spark's unresolved-
+    column noise."""
+    import pytest
+
+    from strat_backtest_spark.operators.dedup import (
+        dedup_incremental,
+        dedup_index_write,
+    )
+
+    path = str(tmp_path / "flat_idx")
+    dedup_index_write(
+        spark.createDataFrame(
+            [(0, "historical alpha beta gamma delta epsilon zeta")],
+            "doc_id long, text string",
+        ),
+        path,
+    )
+    delta = spark.createDataFrame(
+        [(1, "some delta text with enough tokens")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="not[ -]chunk-partitioned|not chunk"):
+        dedup_incremental(
+            spark, delta, path, index_filter="chunk != 0"
+        ).collect()
+
+
+def test_curation_loop_nonmodular_chunks_crash_resume(spark, tmp_path):
+    """r13 verdict item 4: batch identity now derives from the input
+    FILES, not from ``doc_id % n_chunks`` — so the mid-batch
+    kill/resume equivalence must hold under a chunk assignment where
+    ids are NOT modular (here a murmur3 shuffle of doc_id). Under the
+    old head-row derivation, a shuffled chunk's batch would mis-name
+    itself, overwrite a sibling chunk's verdict partition, and judge
+    against the wrong index prune."""
+    import pyspark.errors
+
+    from strat_backtest_spark.streaming.documents_stream import (
+        curation_resume_counts,
+        streaming_curation_loop,
+    )
+
+    cap = 18
+    shuffled = "pmod(hash(doc_id), 3)"
+    want = {
+        (r["doc_id"], r["scrub_hash"], r["status"], r["logit"])
+        for r in streaming_curation_loop(
+            spark, SF_SMALL, cap=cap, chunk_expr=shuffled
+        ).collect()
+    }
+    # sanity: the shuffled assignment is genuinely non-modular — some
+    # doc in chunk 0 has doc_id % 3 != 0
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    nonmod = docs.filter(
+        (F.expr(shuffled) == 0) & (F.col("doc_id") % 3 != 0)
+    ).count()
+    assert nonmod > 0
+
+    state = str(tmp_path / "nm_state")
+    try:
+        streaming_curation_loop(
+            spark,
+            SF_SMALL,
+            cap=cap,
+            chunk_expr=shuffled,
+            state_dir=state,
+            fail_after="index_appended",
+        )
+        raise AssertionError("failpoint did not fire")
+    except pyspark.errors.exceptions.base.PySparkException:
+        pass
+    seeds = curation_resume_counts(spark, state, [0, 1, 2], docs)
+    assert seeds == {}
+    got = {
+        (r["doc_id"], r["scrub_hash"], r["status"], r["logit"])
+        for r in streaming_curation_loop(
+            spark,
+            SF_SMALL,
+            cap=cap,
+            chunk_expr=shuffled,
+            chunk_ids=[0, 1, 2],
+            state_dir=state,
+            initial_counts=seeds,
+        ).collect()
+    }
+    assert got == want
+
+
+def test_curation_loop_replay_after_compaction(spark, tmp_path):
+    """END-TO-END for the compaction/replay interaction the compactor
+    defines: a batch commits both writes and crashes; a maintenance
+    compaction then folds the in-flight chunk into the index base;
+    the resumed loop's replay of that chunk must detect the fold via
+    the sidecar, switch to the id anti-join guard, and produce
+    verdicts identical to the uninterrupted run."""
+    import pyspark.errors
+
+    from strat_backtest_spark.operators.dedup import dedup_index_compact
+    from strat_backtest_spark.streaming.documents_stream import (
+        curation_resume_counts,
+        streaming_curation_loop,
+    )
+
+    cap = 18
+    want = {
+        (r["doc_id"], r["scrub_hash"], r["status"], r["logit"])
+        for r in streaming_curation_loop(spark, SF_SMALL, cap=cap).collect()
+    }
+    state = str(tmp_path / "compact_state")
+    try:
+        streaming_curation_loop(
+            spark, SF_SMALL, cap=cap, state_dir=state,
+            fail_after="index_appended",
+        )
+        raise AssertionError("failpoint did not fire")
+    except pyspark.errors.exceptions.base.PySparkException:
+        pass
+    # maintenance pass between incarnations folds the crashed batch's
+    # own chunk (0) into the base
+    stats = dedup_index_compact(spark, f"{state}/index")
+    assert 0 in stats["folded_chunks"]
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    seeds = curation_resume_counts(spark, state, [0, 1, 2], docs)
+    got = {
+        (r["doc_id"], r["scrub_hash"], r["status"], r["logit"])
+        for r in streaming_curation_loop(
+            spark,
+            SF_SMALL,
+            cap=cap,
+            chunk_ids=[0, 1, 2],
+            state_dir=state,
+            initial_counts=seeds,
+        ).collect()
+    }
+    assert got == want
+
+
+def test_curation_loop_resume_layout_mismatch(spark, tmp_path):
+    """ADVICE r13: a durable state_dir holding a ROOT-layout index
+    (pre-chunk-partition era, or a day-zero write that died mid-way)
+    must be refused at resume with an error naming the layout problem
+    — silently appending chunk= dirs next to root parquet files is
+    exactly the mixing that breaks partition discovery."""
+    import pytest
+
+    from strat_backtest_spark.operators.dedup import dedup_index_write
+    from strat_backtest_spark.streaming.documents_stream import (
+        streaming_curation_loop,
+    )
+
+    state = str(tmp_path / "legacy_state")
+    legacy = spark.createDataFrame(
+        [(0, "historical alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    dedup_index_write(legacy, f"{state}/index")  # root layout, no partition
+    with pytest.raises(ValueError, match="chunk-partitioned"):
+        streaming_curation_loop(spark, SF_SMALL, state_dir=state)

@@ -36,6 +36,13 @@ def main() -> None:
     # decade rungs trade task concurrency for heap-per-task (the 50M
     # OOM lesson: ~16.7M-doc micro-batches at 32 tasks exhaust 16g)
     cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    # decade 4 lesson: micro-batch SIZE is the other heap knob — the
+    # per-(source, chunk) quota-window state doubles if the corpus
+    # doubles at fixed n_chunks (100M/3 chunks OOMed batch 0 at
+    # local[16] where 50M/3 ran clean). Production ingest holds batch
+    # size roughly constant as daily volume grows; model that by
+    # scaling the chunk count, keeping ~16.7M docs per micro-batch.
+    n_chunks = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     spark = get_spark(cpus=cpus)
     spark.conf.set("spark.sql.shuffle.partitions", "64")
     from _corpus import N_BASE as n_base
@@ -62,8 +69,9 @@ def main() -> None:
     # (r11 anchor: 1000 replicas, cap 200k of 250k/source)
     cap = 200 * replicas
     t = time.time()
+    out["n_chunks"] = n_chunks
     verdicts = streaming_curation_loop(
-        spark, corpus_dir, cap=cap, phase_timers=timers
+        spark, corpus_dir, cap=cap, n_chunks=n_chunks, phase_timers=timers
     )
     counts = {
         r["status"]: r["n"]

@@ -1289,7 +1289,8 @@ def _union_slices(
     next sub-job starts, and peak live scratch is 1/``slices`` of the
     one-shot plan. The union of per-slice outputs is row-identical to
     the unsliced run because the operator is per-doc independent
-    (pinned by tests/test_pipeline_ops.py::test_decontaminate_slices).
+    (pinned by
+    tests/test_pipeline_ops.py::test_decontaminate_slices_identity).
     pmod keeps negative ids in range, so the slices PARTITION the
     corpus for any integral id."""
     outs = []

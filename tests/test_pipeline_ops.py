@@ -3148,3 +3148,48 @@ def test_curation_loop_resume_layout_mismatch(spark, tmp_path):
     dedup_index_write(legacy, f"{state}/index")  # root layout, no partition
     with pytest.raises(ValueError, match="chunk-partitioned"):
         streaming_curation_loop(spark, SF_SMALL, state_dir=state)
+
+
+def test_dedup_index_compact_tiers(spark, tmp_path):
+    """The LSM-style ``into=`` tiers: fold early chunks into one base
+    partition, later chunks into a second, and verdicts stay identical
+    with both tiers live — the shape a 100 TB index uses so a
+    compaction pass rewrites one tier, not the whole history."""
+    import os
+
+    from strat_backtest_spark.operators.dedup import (
+        compacted_chunks,
+        dedup_incremental,
+        dedup_index_compact,
+        dedup_index_write,
+    )
+
+    path, delta = _compact_index(spark, tmp_path)
+
+    def verdicts():
+        return {
+            r["doc_id"]: r["verdict"]
+            for r in dedup_incremental(spark, delta, path).collect()
+        }
+
+    want = verdicts()
+    # tier 1: fold chunks 0-1 into the default base (-1)
+    s1 = dedup_index_compact(spark, path, exclude_chunks=[2, 3])
+    assert s1["folded_chunks"] == [0, 1]
+    # two more batches land, then tier 2 folds everything newer into -2
+    for k in (4, 5):
+        chunk_docs = spark.createDataFrame(
+            [(k * 10, f"{_CBASE} family{k}")], "doc_id long, text string"
+        )
+        dedup_index_write(chunk_docs, path, partition=k)
+    s2 = dedup_index_compact(spark, path, into=-2)
+    assert s2["folded_chunks"] == [2, 3, 4, 5]
+    assert sorted(os.listdir(f"{path}/bands")) == ["chunk=-1", "chunk=-2"]
+    assert compacted_chunks(path) == {0, 1, 2, 3, 4, 5}
+    assert verdicts() == want
+    # the tier-2 content is probed too: an exact dup of chunk 4's doc
+    probe = spark.createDataFrame(
+        [(990, f"{_CBASE} family4")], "doc_id long, text string"
+    )
+    got = dedup_incremental(spark, probe, path).collect()
+    assert got[0]["verdict"] == "dup_exact"

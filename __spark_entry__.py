@@ -79,18 +79,25 @@ def entry(spark: SparkSession) -> DataFrame:
 #     q70 takes NO rule-1 seat this round: its entry is digest-
 #     distinct catalog code only (verified r13 by the judge, nothing
 #     it consumes changed).
-# 9 returning + 10 touched = 19 head seats; the remaining 31 go to
+#   - late-r14 addition: simhash_neardup_pairs / hash_neardup_pairs
+#     gained the band-saturation fallback (join-based hot-bucket cap
+#     past hot_literal_cap — the r13 watch item) -> q58 (direct)
+#     moves INTO the head per rule 1; q94/q95 (hash_neardup_pairs'
+#     consumers) already hold rule-1 seats. q18 (pure catalog.py,
+#     zero diffs for many rounds) vacates to the tail in exchange,
+#     joining the r14-MANDATORY group at its same r15 deadline.
+# 9 returning + 11 touched = 20 head seats; the remaining 30 go to
 # the r12 tail's 41 entries returning for their rule-2 r15 deadline.
-# The ten that did not fit — q01/q02/q04/q08/q10/q11/q12/q14/q16/
-# q17, chosen as the most change-stable shapes (pure catalog.py /
+# The eleven that did not fit — q01/q02/q04/q08/q10/q11/q12/q14/q16/
+# q17/q18, chosen as the most change-stable shapes (pure catalog.py /
 # functions/windows.py / operators/signals.py code, zero diffs for
 # many rounds) — are flagged r14-MANDATORY below per rule 3 and MUST
-# return in round 15 (rule-2 deadline: last green r12 + 3). The 40
+# return in round 15 (rule-2 deadline: last green r12 + 3). The 39
 # vacated r13-head seats in the tail are all function-level untouched
 # this round (the diff list above is exhaustive) and at most 1 round
 # stale, rule 3's preferred tail.
 _SWEEP_TAIL = [
-    # --- 10 all-true r12 — r14-MANDATORY: return in r15 (rule-2
+    # --- 11 all-true r12 — r14-MANDATORY: return in r15 (rule-2
     # deadline r12+3); most change-stable shapes
     "q01_pricing_summary",
     "q02_regional_revenue",
@@ -102,7 +109,8 @@ _SWEEP_TAIL = [
     "q14_distinct",
     "q16_nations_without_suppliers",
     "q17_signal_edges",
-    # --- 40 all-true r13, function-level untouched r14 ---
+    "q18_compound_range_predicate",
+    # --- 39 all-true r13, function-level untouched r14 ---
     "q03_top_customers",
     "q05_status_totals",
     "q07_pct_change",
@@ -129,7 +137,6 @@ _SWEEP_TAIL = [
     "q48_stream_sessionize",
     "q49_stream_signal_edges",
     "q50_multimodal_frames",
-    "q58_simhash_neardup",
     "q59_stream_backtest_kernel",
     "q61_repetition_score",
     "q63_stream_dedup",

@@ -897,6 +897,15 @@ def connected_components(
     ).select("id", F.coalesce("root", "id").alias("component"))
 
 
+#: Over-cap (band, band_val) keys above which the plan-literal
+#: NOT-isin formulation stops scaling (collect size on the driver,
+#: isin literal count in the plan / codegen) and the banded-Hamming
+#: paths switch to the join-based saturation fallback. 8192 64-bit
+#: keys collect in ~1 MB and codegen fine; a healthy banding (band
+#: space ≫ n_docs / cap) produces orders of magnitude fewer.
+_HOT_LITERAL_CAP = 8192
+
+
 def _drop_hot_buckets(
     banded: DataFrame, capped_by_band: dict[int, set[int]]
 ) -> DataFrame:
@@ -917,6 +926,53 @@ def _drop_hot_buckets(
     return banded.filter(~drop)
 
 
+def _collect_capped_buckets(
+    banded: DataFrame, max_bucket_size: int, hot_literal_cap: int
+) -> "dict[int, set[int]] | None":
+    """One aggregate pass over the banded stream; returns the over-cap
+    (band, band_val) hot set as a driver dict, or ``None`` when the
+    hot-key count exceeds ``hot_literal_cap`` — the ADVERSARIAL BAND
+    SATURATION signal (degenerate corpus or undersized band space)
+    under which collecting the set and folding it into plan literals
+    would blow the driver / the codegen'd predicate. Callers must then
+    take the join-based fallback (``_drop_hot_buckets_join`` + a
+    pair-level ``dropDuplicates``), which degrades to one extra
+    shuffle instead of failing. ``limit(cap + 1)`` bounds the collect
+    itself, so even a fully saturated band space moves at most
+    ``cap + 1`` rows to the driver."""
+    rows = (
+        banded.groupBy("band", "band_val")
+        .count()
+        .filter(F.col("count") > max_bucket_size)
+        .limit(hot_literal_cap + 1)
+        .collect()
+    )
+    if len(rows) > hot_literal_cap:
+        return None
+    capped_by_band: dict[int, set[int]] = {}
+    for row in rows:
+        capped_by_band.setdefault(int(row["band"]), set()).add(int(row["band_val"]))
+    return capped_by_band
+
+
+def _drop_hot_buckets_join(
+    banded: DataFrame, max_bucket_size: int
+) -> DataFrame:
+    """Saturation fallback for the cap filter: drop over-cap buckets
+    via a left-anti join against the recomputed hot-key aggregate —
+    never materialized on the driver, so it scales to a hot set of any
+    size (AQE broadcasts it when it is in fact small). Costs a second
+    aggregate pass over the banded stream, paid ONLY in the saturated
+    regime the literal path refuses."""
+    hot = (
+        banded.groupBy("band", "band_val")
+        .count()
+        .filter(F.col("count") > max_bucket_size)
+        .select("band", "band_val")
+    )
+    return banded.join(hot, ["band", "band_val"], "left_anti")
+
+
 def simhash_neardup_pairs(
     df: DataFrame,
     max_hamming: int = 3,
@@ -926,6 +982,7 @@ def simhash_neardup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     impl: str = "arrow",
+    hot_literal_cap: int = _HOT_LITERAL_CAP,
 ) -> DataFrame:
     """SimHash near-dup pairs: (id_a < id_b, hamming ≤ ``max_hamming``).
 
@@ -940,7 +997,9 @@ def simhash_neardup_pairs(
     share one exact band). One shuffle on (band, band_value); the
     Hamming check (bit_count of xor, one long per side) runs only
     inside buckets; hot buckets are capped like every other dedup
-    path.
+    path. Past ``hot_literal_cap`` over-cap buckets (adversarial band
+    saturation) the plan-literal hot-set formulation is abandoned for
+    the join-based fallback — identical pair set, one extra shuffle.
     """
     width = bits // bands
     mask = (1 << width) - 1
@@ -948,18 +1007,15 @@ def simhash_neardup_pairs(
     banded = band_simhash(sh, bits=bits, bands=bands, id_col=id_col).withColumnRenamed(
         id_col, "id"
     )
-    # capped (hot) buckets: driver-bounded tiny — only buckets whose
-    # size exceeds the cap, collected so the first-band-wins predicate
-    # below can skip them exactly
-    capped = (
-        banded.groupBy("band", "band_val")
-        .count()
-        .filter(F.col("count") > max_bucket_size)
-        .collect()
-    )
-    capped_by_band: dict[int, set[int]] = {}
-    for r in capped:
-        capped_by_band.setdefault(int(r["band"]), set()).add(int(r["band_val"]))
+    # capped (hot) buckets: driver-bounded tiny in the designed regime
+    # — only buckets whose size exceeds the cap, collected so the
+    # first-band-wins predicate below can skip them exactly. None =
+    # saturated (more hot keys than plan literals can carry).
+    capped_by_band = _collect_capped_buckets(banded, max_bucket_size, hot_literal_cap)
+    if capped_by_band is None:
+        return _banded_hamming_pairs_saturated(
+            banded, "simhash", max_bucket_size, max_hamming
+        )
     # same one-aggregate fold as hash_neardup_pairs: the collected hot
     # set IS the cap filter — no second count window over the stream
     banded = _drop_hot_buckets(banded, capped_by_band)
@@ -999,6 +1055,40 @@ def simhash_neardup_pairs(
             F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def _banded_hamming_pairs_saturated(
+    banded: DataFrame, hash_name: str, max_bucket_size: int, max_hamming: int
+) -> DataFrame:
+    """Saturated-regime banded-Hamming pairs: cap filter as an
+    anti-join (``_drop_hot_buckets_join``) and multi-band pair
+    de-duplication as a ``dropDuplicates`` over the candidate stream
+    instead of the first-surviving-band-wins literal chain. SAME pair
+    set as the literal path — a pair is emitted iff it shares at least
+    one surviving bucket, and its hamming derives from the full hashes
+    so every duplicate row is identical — at the cost of the pair-id
+    shuffle the chain exists to avoid. Only reachable when the hot-key
+    count already exceeds ``hot_literal_cap``, i.e. when the corpus or
+    banding is degenerate and graceful degradation beats a driver OOM.
+    ``banded`` must carry (band, band_val, id, <hash_name>)."""
+    banded = _drop_hot_buckets_join(banded, max_bucket_size)
+    a = banded.select(
+        "band", "band_val", F.col("id").alias("id_a"), F.col(hash_name).alias("h_a")
+    )
+    b = banded.select(
+        "band", "band_val", F.col("id").alias("id_b"), F.col(hash_name).alias("h_b")
+    )
+    return (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -2364,6 +2454,7 @@ def hash_neardup_pairs(
     max_hamming: int = 4,
     max_bucket_size: int = 2000,
     id_col: str = "doc_id",
+    hot_literal_cap: int = _HOT_LITERAL_CAP,
 ) -> DataFrame:
     """``simhash_neardup_pairs``' banded-Hamming join generalized to a
     PRECOMPUTED ``bits``-bit hash column (perceptual image hashes,
@@ -2371,8 +2462,9 @@ def hash_neardup_pairs(
     stage, not from text). Same pigeonhole guarantee: a pair within
     Hamming ``bands - 1`` shares at least one exact band slice; same
     first-surviving-band-wins JVM predicate instead of a pair-stream
-    distinct; same hot-bucket cap. One shuffle on (band, band_value);
-    payloads never ride past the hash column.
+    distinct; same hot-bucket cap, with the same join-based fallback
+    past ``hot_literal_cap`` over-cap buckets. One shuffle on
+    (band, band_value); payloads never ride past the hash column.
 
     Negative hashes (bit 63 set, stored in a signed long) band
     correctly: arithmetic shiftright's low ``width`` bits equal the
@@ -2420,16 +2512,13 @@ def hash_neardup_pairs(
     # cap filter (a literal NOT-isin predicate — no second count
     # window over the banded stream) and the first-band-wins chain's
     # hot-band exclusion below. Driver-bounded by the over-cap bucket
-    # count, not the corpus (r10 verdict's fold).
-    capped = (
-        banded.groupBy("band", "band_val")
-        .count()
-        .filter(F.col("count") > max_bucket_size)
-        .collect()
-    )
-    capped_by_band: dict[int, set[int]] = {}
-    for row in capped:
-        capped_by_band.setdefault(int(row["band"]), set()).add(int(row["band_val"]))
+    # count, not the corpus (r10 verdict's fold); None = saturated,
+    # take the join-based fallback instead of a driver-sized collect.
+    capped_by_band = _collect_capped_buckets(banded, max_bucket_size, hot_literal_cap)
+    if capped_by_band is None:
+        return _banded_hamming_pairs_saturated(
+            banded, "__h", max_bucket_size, max_hamming
+        )
     banded = _drop_hot_buckets(banded, capped_by_band)
     a = banded.select(
         "band", "band_val", F.col("id").alias("id_a"), F.col("__h").alias("h_a")

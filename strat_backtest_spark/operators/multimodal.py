@@ -71,29 +71,127 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_MAX_PIXELS = 1 << 26  # 64M pixels (~256 MB RGBA) — untrusted-payload bound
 
 
+#: Adam7 interlace passes: (x0, y0, dx, dy) per the PNG spec's 8×8
+#: sampling grid; pass k's sub-image is img[y0::dy, x0::dx].
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+#: Legal (color type -> bit depths) combinations, PNG spec table 11.1.
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8), 4: (8, 16), 6: (8, 16)}
+
+
+def _png_unfilter(raw: bytes, off: int, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Unfilter ``h`` scanlines of ``stride`` bytes starting at byte
+    ``off`` of the inflated stream (all five filter types:
+    none/sub/up/average/paeth); ``bpp`` is the filter's left-pixel
+    byte offset — max(1, bits_per_pixel // 8), so sub-byte depths
+    filter on whole bytes per the spec. Returns (h, stride) uint8.
+    Filters none/up/sub are fully vectorized (sub is a per-byte-lane
+    prefix sum mod 256 — valid because stride is always a multiple of
+    bpp); average/paeth carry a data dependency on the just-decoded
+    left pixel, so they remain a per-byte loop on plain-Python ints
+    (measured 8.5 MB/s average / 4.0 MB/s paeth on 512×512 RGB,
+    ~13×/7× over a numpy-scalar loop)."""
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = raw[off + y * (stride + 1)]
+        line = np.frombuffer(
+            raw[off + y * (stride + 1) + 1:off + (y + 1) * (stride + 1)],
+            dtype=np.uint8,
+        ).astype(np.int32)
+        if f == 0:
+            cur = line
+        elif f == 2:  # up
+            cur = (line + prev) & 0xFF
+        elif f == 1:  # sub: per-byte-lane prefix sum mod 256
+            cur = (
+                (line.reshape(stride // bpp, bpp).astype(np.int64).cumsum(axis=0) & 0xFF)
+                .reshape(stride)
+                .astype(np.int32)
+            )
+        elif f in (3, 4):  # average / paeth: sequential in x (see above)
+            # The first bpp bytes (a = c = 0) vectorize: average
+            # degrades to prev>>1, paeth to prev (p=b ⇒ pb=0 wins the
+            # tie-break).
+            cl = line.tolist()
+            pl = prev.tolist()
+            if f == 3:
+                for x in range(bpp):
+                    cl[x] = (cl[x] + (pl[x] >> 1)) & 0xFF
+                for x in range(bpp, stride):
+                    cl[x] = (cl[x] + ((cl[x - bpp] + pl[x]) >> 1)) & 0xFF
+            else:
+                for x in range(bpp):
+                    cl[x] = (cl[x] + pl[x]) & 0xFF
+                for x in range(bpp, stride):
+                    a = cl[x - bpp]
+                    b = pl[x]
+                    c = pl[x - bpp]
+                    p = a + b - c
+                    pa = p - a
+                    if pa < 0:
+                        pa = -pa
+                    pb = p - b
+                    if pb < 0:
+                        pb = -pb
+                    pc = p - c
+                    if pc < 0:
+                        pc = -pc
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cl[x] = (cl[x] + pred) & 0xFF
+            cur = np.asarray(cl, dtype=np.int32)
+        else:
+            raise ValueError(f"PNG bad filter byte {f}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out
+
+
+def _png_samples(out: np.ndarray, w: int, h: int, ch: int, depth: int) -> np.ndarray:
+    """Unfiltered scanline bytes (h, stride) -> sample array
+    (h, w, ch): uint16 for depth 16 (big-endian per spec), raw sample
+    values (NOT rescaled) for sub-byte depths — gray rescale and PLTE
+    lookup are the caller's, so palette indices survive intact."""
+    if depth == 8:
+        return out.reshape(h, w, ch)
+    if depth == 16:
+        return out.reshape(h, w * ch * 2).view(">u2").astype(np.uint16).reshape(h, w, ch)
+    # depth 1/2/4 (ch == 1): unpack bits, drop per-row padding bits
+    bits = np.unpackbits(out, axis=1)[:, : w * depth].reshape(h, w, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (bits * weights).sum(axis=2, dtype=np.uint16).astype(np.uint8).reshape(h, w, 1)
+
+
 def decode_png(payload: bytes) -> np.ndarray:
     """Pure-Python PNG decode — stdlib zlib + numpy, no imaging
     library: chunk walk, IDAT inflate, per-scanline unfilter (all five
-    filter types: none/sub/up/average/paeth). Supports the common
-    non-interlaced 8-bit color types (gray=0, RGB=2, palette=3,
-    gray+alpha=4, RGBA=6); sub-byte-depth palette/16-bit/interlaced
-    raise NotImplementedError. 8-bit palette (the most common PNG
-    class in web crawls — r11 verdict item 4) is a PLTE lookup after
-    the same unfilter pass, expanded to (H, W, 3), or (H, W, 4) when
-    a tRNS chunk supplies per-entry alpha. Returns (H, W) uint8 for
-    grayscale, (H, W, C) otherwise.
+    filter types: none/sub/up/average/paeth). Supports the FULL spec
+    matrix: every legal (color type, bit depth) combination — gray=0
+    at 1/2/4/8/16, RGB=2 at 8/16, palette=3 at 1/2/4/8, gray+alpha=4
+    and RGBA=6 at 8/16 — plus Adam7 interlacing (each pass unfiltered
+    independently, scattered into the final image on the spec's 8×8
+    grid). 8-bit palette (the most common PNG class in web crawls —
+    r11 verdict item 4) is a PLTE lookup after the unfilter pass,
+    expanded to (H, W, 3), or (H, W, 4) when a tRNS chunk supplies
+    per-entry alpha. Returns (H, W) for grayscale, (H, W, C)
+    otherwise; dtype uint8, except depth-16 which returns uint16
+    (full precision preserved — downstream hashes/features operate on
+    any integer dtype). Sub-byte grayscale is rescaled to the 8-bit
+    range by the spec's factor (255 / (2^depth − 1): ×255/×85/×17);
+    sub-byte palette indices are NOT rescaled (they index PLTE).
 
     Untrusted-payload hardening (ADVICE r9): declared dimensions are
     bounded BEFORE any allocation and the inflate is length-capped via
     ``decompressobj`` — a crafted zlib bomb or huge-IHDR payload fails
-    fast instead of allocating unbounded memory. Filters none/up/sub
-    are fully vectorized (sub is a per-channel-lane prefix sum mod
-    256); average/paeth carry a data dependency on the just-decoded
-    left pixel, so they remain a per-byte loop — run on plain-Python
-    ints (measured 8.5 MB/s average / 4.0 MB/s paeth on 512×512 RGB,
-    ~13×/7× over the prior numpy-scalar loop). For corpora where
-    those filters dominate (photographic PNGs from real encoders),
-    inject PIL through the ``Decoder`` slot for another ~100×."""
+    fast instead of allocating unbounded memory."""
     import struct
     import zlib
 
@@ -118,9 +216,12 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color, _comp, _filt, interlace = ihdr
-    if depth != 8 or interlace != 0 or color not in (0, 2, 3, 4, 6):
-        raise NotImplementedError(
-            f"PNG depth={depth} color={color} interlace={interlace} unsupported"
+    if color not in _PNG_DEPTHS or depth not in _PNG_DEPTHS[color] or interlace not in (
+        0,
+        1,
+    ):
+        raise ValueError(
+            f"PNG depth={depth} color={color} interlace={interlace} illegal"
         )
     if color == 3:
         if plte is None or len(plte) == 0 or len(plte) % 3 != 0:
@@ -128,67 +229,42 @@ def decode_png(payload: bytes) -> np.ndarray:
     ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
     if w <= 0 or h <= 0 or w * h > _PNG_MAX_PIXELS:
         raise ValueError(f"PNG dimensions {w}x{h} outside decoder bounds")
-    stride = w * ch
-    expected = h * (stride + 1)
+    bits_pp = ch * depth
+    bpp = max(1, bits_pp // 8)
+
+    def _stride(pw: int) -> int:
+        return (pw * bits_pp + 7) // 8
+
+    # pass geometry: one full-frame pass when non-interlaced, the
+    # seven Adam7 sub-images otherwise (empty passes contribute NO
+    # scanlines — the spec's skipped-pass rule)
+    if interlace == 0:
+        passes = [(0, 0, 1, 1, w, h)]
+    else:
+        passes = []
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+            ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+            passes.append((x0, y0, dx, dy, pw, ph))
+    expected = sum(ph * (_stride(pw) + 1) for *_xy, pw, ph in passes if pw and ph)
     dobj = zlib.decompressobj()
     raw = dobj.decompress(b"".join(idat), expected)
     if len(raw) != expected:
         raise ValueError("PNG inflated size mismatch")
     if dobj.unconsumed_tail and dobj.decompress(dobj.unconsumed_tail, 1):
-        raise ValueError("PNG inflated size mismatch")  # data beyond h*(stride+1)
-    out = np.empty((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int32)
-    for y in range(h):
-        f = raw[y * (stride + 1)]
-        line = np.frombuffer(
-            raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)], dtype=np.uint8
-        ).astype(np.int32)
-        if f == 0:
-            cur = line
-        elif f == 2:  # up
-            cur = (line + prev) & 0xFF
-        elif f == 1:  # sub: per-channel-lane prefix sum mod 256
-            cur = (line.reshape(w, ch).astype(np.int64).cumsum(axis=0) & 0xFF).reshape(
-                stride
-            ).astype(np.int32)
-        elif f in (3, 4):  # average / paeth: sequential in x (see docstring)
-            # The left-pixel data dependency forbids numpy vectorization,
-            # so the loop runs on plain-Python ints (lists) — numpy
-            # scalar indexing per element is ~5× slower than list access.
-            # The first ch bytes (a = c = 0) vectorize: average degrades
-            # to prev>>1, paeth to prev (p=b ⇒ pb=0 wins the tie-break).
-            cl = line.tolist()
-            pl = prev.tolist()
-            if f == 3:
-                for x in range(ch):
-                    cl[x] = (cl[x] + (pl[x] >> 1)) & 0xFF
-                for x in range(ch, stride):
-                    cl[x] = (cl[x] + ((cl[x - ch] + pl[x]) >> 1)) & 0xFF
-            else:
-                for x in range(ch):
-                    cl[x] = (cl[x] + pl[x]) & 0xFF
-                for x in range(ch, stride):
-                    a = cl[x - ch]
-                    b = pl[x]
-                    c = pl[x - ch]
-                    p = a + b - c
-                    pa = p - a
-                    if pa < 0:
-                        pa = -pa
-                    pb = p - b
-                    if pb < 0:
-                        pb = -pb
-                    pc = p - c
-                    if pc < 0:
-                        pc = -pc
-                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                    cl[x] = (cl[x] + pred) & 0xFF
-            cur = np.asarray(cl, dtype=np.int32)
-        else:
-            raise ValueError(f"PNG bad filter byte {f}")
-        out[y] = cur.astype(np.uint8)
-        prev = cur
-    img = out.reshape(h, w, ch)
+        raise ValueError("PNG inflated size mismatch")  # data beyond the pass layout
+
+    sample_dtype = np.uint16 if depth == 16 else np.uint8
+    img = np.zeros((h, w, ch), dtype=sample_dtype)
+    off = 0
+    for x0, y0, dx, dy, pw, ph in passes:
+        if not pw or not ph:
+            continue
+        stride = _stride(pw)
+        out = _png_unfilter(raw, off, ph, stride, bpp)
+        off += ph * (stride + 1)
+        img[y0::dy, x0::dx] = _png_samples(out, pw, ph, ch, depth)
+
     if color == 3:
         # PLTE lookup: unfiltered bytes are palette indices. tRNS (if
         # present) carries alpha for the FIRST len(trns) entries;
@@ -204,6 +280,9 @@ def decode_png(payload: bytes) -> np.ndarray:
         ta = np.frombuffer(trns, dtype=np.uint8)[: pal.shape[0]]
         alpha[: ta.size] = ta
         return np.dstack([rgb_img, alpha[idx]])
+    if color == 0 and depth < 8:
+        # spec display convention: left-bit-replicate == ×(255/(2^d−1))
+        img = (img * np.uint8(255 // ((1 << depth) - 1))).astype(np.uint8)
     return img[:, :, 0] if ch == 1 else img
 
 

@@ -198,6 +198,59 @@ def test_simhash_neardup_capped_bucket_parity(spark):
     assert got == want
 
 
+def test_banded_hamming_saturation_fallback_parity(spark):
+    """Adversarial band saturation (more over-cap buckets than
+    ``hot_literal_cap`` plan literals) must flip both banded-Hamming
+    paths to the join-based fallback with an IDENTICAL pair set —
+    same corpus, ``hot_literal_cap=0`` forces the fallback while the
+    default takes the literal chain; dicts (pair -> hamming) must be
+    equal, and the fixture must actually have hot buckets so the
+    forced run exercises the anti-join cap too."""
+    from strat_backtest_spark.operators.dedup import (
+        hash_neardup_pairs,
+        simhash_neardup_pairs,
+    )
+
+    texts = [
+        (
+            f"d{i:02d}",
+            "common shared words everywhere "
+            + ("alpha" if i % 2 else "beta") * (i % 5 + 1),
+        )
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(texts, "doc_id string, text string")
+    kw = dict(max_hamming=10, bands=4, bits=32, max_bucket_size=6)
+    literal = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_neardup_pairs(docs, **kw).collect()
+    }
+    saturated = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_neardup_pairs(docs, hot_literal_cap=0, **kw).collect()
+    }
+    assert literal, "no pairs at all; weak fixture"
+    assert saturated == literal
+
+    # generic precomputed-hash path: clustered longs so buckets both
+    # collide (pairs exist) and blow the tiny cap (anti-join bites)
+    hashed = spark.createDataFrame(
+        [(f"h{i:02d}", (i % 3) * 0x0101010101 + (i // 3)) for i in range(24)],
+        "doc_id string, phash long",
+    )
+    hkw = dict(hash_col="phash", bits=40, bands=5, max_hamming=6, max_bucket_size=3)
+    h_literal = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hash_neardup_pairs(hashed, **hkw).collect()
+    }
+    h_saturated = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hash_neardup_pairs(hashed, hot_literal_cap=0, **hkw).collect()
+    }
+    assert h_literal, "no pairs on the precomputed-hash path; weak fixture"
+    assert h_saturated == h_literal
+
+
 def test_minhash_arrow_jvm_parity(spark):
     """The Arrow (mapInPandas + hashlib) and JVM (Column expressions)
     minhash implementations must produce IDENTICAL signatures — the
@@ -1644,6 +1697,171 @@ def test_decode_png_palette(spark):
     stripped = no_plte[:start] + no_plte[start + plte_len:]
     with pytest.raises(ValueError, match="PLTE"):
         decode_png(stripped)
+
+
+def _filter_scanlines(rows, bpp, filters):
+    """Forward-filter raw scanline byte rows (test-side twin of the
+    decoder's unfilter): one explicit filter byte per scanline, left
+    offset ``bpp`` bytes."""
+    out = b""
+    prev = [0] * len(rows[0])
+    for y, rb in enumerate(rows):
+        f = filters[y % len(filters)]
+        cur = list(rb)
+        line = []
+        for x in range(len(cur)):
+            a = cur[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            line.append((cur[x] - pred) & 0xFF)
+        out += bytes([f]) + bytes(line)
+        prev = cur
+    return out
+
+
+def _make_png_ex(img, depth, palette=None, interlace=0, filters=(0,)):
+    """Generalized minimal PNG writer for the decoder units: any legal
+    (color, depth) incl. 16-bit (big-endian) and sub-byte packing,
+    optional Adam7 interlacing (each pass filtered independently)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    img = np.asarray(img)
+    h, w = img.shape[:2]
+    ch = 1 if img.ndim == 2 else img.shape[2]
+    color = 3 if palette is not None else {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    full = img.reshape(h, w, ch)
+    bpp = max(1, ch * depth // 8)
+
+    def rows_of(sub):  # (ph, pw, ch) samples -> list of packed scanline bytes
+        ph, pw = sub.shape[:2]
+        if depth == 16:
+            return [sub[y].astype(">u2").tobytes() for y in range(ph)]
+        if depth == 8:
+            return [sub[y].astype(np.uint8).tobytes() for y in range(ph)]
+        outr = []
+        for y in range(ph):
+            vals = sub[y, :, 0].astype(np.uint8)
+            bits = ((vals[:, None] >> np.arange(depth - 1, -1, -1)) & 1).ravel()
+            outr.append(np.packbits(bits).tobytes())
+        return outr
+
+    if interlace == 0:
+        raw = _filter_scanlines(rows_of(full), bpp, filters)
+    else:
+        adam7 = [
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ]
+        raw = b""
+        for x0, y0, dx, dy in adam7:
+            sub = full[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                raw += _filter_scanlines(rows_of(sub), bpp, filters)
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+    mid = b""
+    if palette is not None:
+        mid += chunk(b"PLTE", np.asarray(palette, dtype=np.uint8).tobytes())
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + mid
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_16bit():
+    """Depth-16 decode (big-endian samples, filter left-offset 2·ch
+    bytes) round-trips bit-exactly as uint16 for gray and RGB across
+    every filter type — the r13 watch item's 16-bit half."""
+    import numpy as np
+
+    from strat_backtest_spark.operators.multimodal import decode_png
+
+    rng = np.random.default_rng(7)
+    gray16 = rng.integers(0, 1 << 16, (7, 5), dtype=np.uint16)
+    rgb16 = rng.integers(0, 1 << 16, (6, 4, 3), dtype=np.uint16)
+    got_g = decode_png(_make_png_ex(gray16, 16, filters=[0, 1, 2, 3, 4]))
+    got_c = decode_png(_make_png_ex(rgb16, 16, filters=[4, 3, 2, 1, 0]))
+    assert got_g.dtype == np.uint16 and np.array_equal(got_g, gray16)
+    assert got_c.dtype == np.uint16 and np.array_equal(got_c, rgb16)
+
+
+def test_decode_png_subbyte():
+    """Sub-byte depths: 1/2/4-bit grayscale decodes with the spec's
+    left-bit-replicate rescale (×255/×85/×17) and per-row padding bits
+    ignored (odd widths); 4-bit palette indices are NOT rescaled and
+    look up PLTE correctly."""
+    import numpy as np
+
+    from strat_backtest_spark.operators.multimodal import decode_png
+
+    rng = np.random.default_rng(11)
+    for depth, scale in ((1, 255), (2, 85), (4, 17)):
+        g = rng.integers(0, 1 << depth, (5, 11), dtype=np.uint8)  # odd width: padding
+        got = decode_png(_make_png_ex(g, depth, filters=[0, 1, 2]))
+        assert np.array_equal(got, g * scale), f"depth {depth}"
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (4, 7), dtype=np.uint8)
+    got = decode_png(_make_png_ex(idx, 4, palette=pal, filters=[0]))
+    assert np.array_equal(got, pal[idx])
+
+
+def test_decode_png_interlaced():
+    """Adam7 interlacing: all seven passes (incl. partial and EMPTY
+    passes on small images) reassemble to the exact source image, with
+    per-pass filter state independent of neighboring passes — the r13
+    watch item's interlace half."""
+    import numpy as np
+
+    from strat_backtest_spark.operators.multimodal import decode_png
+
+    rng = np.random.default_rng(13)
+    # 9x10 RGB exercises every pass with ragged edges
+    rgb = rng.integers(0, 256, (10, 9, 3), dtype=np.uint8)
+    got = decode_png(_make_png_ex(rgb, 8, interlace=1, filters=[1, 2, 3, 4]))
+    assert np.array_equal(got, rgb)
+    # 3x3: passes 2 (x0=4) and 3 (y0=4) are EMPTY — zero scanlines
+    small = rng.integers(0, 256, (3, 3), dtype=np.uint8)
+    assert np.array_equal(
+        decode_png(_make_png_ex(small, 8, interlace=1, filters=[4])), small
+    )
+    # 16-bit interlaced gray: both generalizations composed
+    g16 = rng.integers(0, 1 << 16, (6, 7), dtype=np.uint16)
+    got16 = decode_png(_make_png_ex(g16, 16, interlace=1, filters=[2, 1]))
+    assert got16.dtype == np.uint16 and np.array_equal(got16, g16)
+    # illegal combos still refuse loudly
+    import pytest
+
+    bad = bytearray(_make_png_ex(small, 8, interlace=1))
+    bad[24] = 3  # depth byte in IHDR -> illegal for gray? 3 is illegal everywhere
+    import struct
+    import zlib
+
+    # recompute IHDR CRC so the chunk walk stays intact
+    ihdr = bytes(bad[16:29])
+    bad[29:33] = struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="illegal"):
+        decode_png(bytes(bad))
 
 
 def test_chunked_replay_empty_input(spark):

@@ -441,6 +441,7 @@ def run_kernel(
     strategy: str = "ma_cross",
     params: dict | None = None,
     parity: bool = True,
+    partition_cols: tuple[str, ...] = ("ticker", "run_id"),
 ) -> DataFrame:
     """Run the order-matching simulation per (ticker, run_id) group.
 
@@ -458,6 +459,18 @@ def run_kernel(
     frame construction — ~1 ms × (tickers × grid points), the
     dominant cost of a parameter sweep.
 
+    ``partition_cols`` keys the exchange. Any key set under which every
+    (ticker, run_id) group lands whole in one partition is valid — the
+    walker splits partitions on key changes, so co-resident groups cost
+    nothing. Single-run callers (``Backtest.run`` / ``final_net_worth``)
+    pass ``("ticker",)``: their feed leaves the signal windows already
+    hash-partitioned by ticker, and Spark ELIDES a repartition whose
+    keys match the child's existing partitioning — the kernel then adds
+    ZERO exchanges (a (ticker, run_id) repartition never matches and
+    re-shuffled the whole feed). The default keeps (ticker, run_id) for
+    parameter sweeps, where runs of one ticker must spread (a
+    single-ticker SA chain would otherwise serialize on one core).
+
     Returns the tagged kernel output (KERNEL_OUT_SCHEMA); split with
     :func:`split_kernel_output`.
     """
@@ -466,7 +479,7 @@ def run_kernel(
 
     srt = (
         feed.select("ticker", "run_id", "date", "close", "action")
-        .repartition("ticker", "run_id")
+        .repartition(*partition_cols)
         .sortWithinPartitions("ticker", "run_id", "date")
     )
 

@@ -29,19 +29,36 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from strat_backtest_spark.operators.kernel import run_kernel, split_kernel_output
 from strat_backtest_spark.operators.portfolio import final_net_worth_from_events
 from strat_backtest_spark.operators.signals import ma_cross_signals_grid
-from strat_backtest_spark.schemas import PARAMS_SCHEMA
+
+
+def _grid_rows(fast_range, lagging_range) -> list[tuple[int, int, int]]:
+    """(run_id, fast, lagging) rows for a grid — driver-local."""
+    fasts = np.arange(*fast_range)
+    laggings = np.arange(*lagging_range)
+    return [
+        (int(i), int(f), int(l))
+        for i, (f, l) in enumerate((f, l) for f in fasts for l in laggings)
+    ]
+
+
+def _params_local_relation(spark: SparkSession, rows) -> DataFrame:
+    """Params rows as a VALUES LocalRelation. ``createDataFrame`` builds
+    an RDD-backed DataFrame: every consumer (even a broadcast) then runs
+    a defaultParallelism-task job of near-empty Python pickle partitions
+    just to read a handful of ints — measured ~0.7 s/task of pure Python
+    worker spin-up in the q41 stage profile. A VALUES relation is plan
+    data: broadcasts materialize driver-side with zero jobs."""
+    vals = ", ".join(
+        f"(CAST({i} AS BIGINT), CAST({f} AS INT), CAST({l} AS INT))"
+        for i, f, l in rows
+    )
+    return spark.sql(f"SELECT * FROM VALUES {vals} AS t(run_id, fast, lagging)")
 
 
 def expand_grid(spark: SparkSession, fast_range, lagging_range) -> DataFrame:
     """_Range-style [start, stop, step) triples → params DataFrame
     (reference: np.arange + itertools.product, optimize.py:27-38,218)."""
-    fasts = np.arange(*fast_range)
-    laggings = np.arange(*lagging_range)
-    rows = [
-        (int(i), int(f), int(l))
-        for i, (f, l) in enumerate((f, l) for f in fasts for l in laggings)
-    ]
-    return spark.createDataFrame(rows, PARAMS_SCHEMA)
+    return _params_local_relation(spark, _grid_rows(fast_range, lagging_range))
 
 
 def evaluate_params(
@@ -62,8 +79,26 @@ def evaluate_params(
     feed) is replaced by one map-side-combining agg over |events| rows
     — events are edge-sparse, orders of magnitude smaller than the
     feed. The kernel remains the only consumer of the expanded feed,
-    which therefore no longer needs persist()."""
-    signals = ma_cross_signals_grid(bars, params)
+    which therefore no longer needs persist().
+
+    ``bars`` itself has THREE plan consumers (signal windows, the
+    bars×runs feed base, last_bar) — unpinned, each branch re-ran the
+    full bars lineage (for synthetic bars: a scan plus a two-stage
+    sort-aggregation). materialize=True pins bars for the duration of
+    the job and unpins right after the eager checkpoint; the
+    materialize=False caller (SA) already walks a localCheckpointed
+    bars table, so pinning there would only duplicate storage."""
+    if materialize:
+        bars = bars.persist()
+    if isinstance(params, DataFrame):
+        # legacy callers hand a DataFrame; the plan-embedded signal
+        # grid needs the rows anyway, so collect ONCE here (tiny by
+        # contract) instead of inside ma_cross_signals_grid
+        param_rows = [(r["run_id"], r["fast"], r["lagging"]) for r in params.collect()]
+    else:
+        param_rows = [(int(i), int(f), int(l)) for i, f, l in params]
+        params = _params_local_relation(bars.sparkSession, param_rows)
+    signals = ma_cross_signals_grid(bars, param_rows)
     base = bars.select("ticker", "date", "close").crossJoin(
         F.broadcast(params.select("run_id"))
     )
@@ -86,7 +121,10 @@ def evaluate_params(
     # materialize it so repeated calls don't stack lazy kernel DAGs.
     # A caller that collects the result immediately (SA's score step)
     # passes materialize=False and saves one job per chain step.
-    return out.localCheckpoint(eager=True) if materialize else out
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        bars.unpersist()  # checkpoint cut the lineage; pin no longer needed
+    return out
 
 
 def grid_search(
@@ -98,9 +136,9 @@ def grid_search(
     """Best (fast, lagging) per ticker — reference Optimize._grid_search
     (optimize.py:209-229) as one distributed job. Deterministic argmax
     tiebreak: lowest run_id."""
-    spark = bars.sparkSession
-    params = expand_grid(spark, fast_range, lagging_range)
-    scored = evaluate_params(bars, params, initial_amount)
+    scored = evaluate_params(
+        bars, _grid_rows(fast_range, lagging_range), initial_amount
+    )
     from strat_backtest_spark.functions.numeric import round_half_up_col
 
     w = Window.partitionBy("ticker").orderBy(F.desc("net_worth"), F.asc("run_id"))
@@ -185,7 +223,6 @@ def simulated_annealing(
     BATCH of clamped integer-step neighbors in one cluster job and
     Metropolis-accepts against the incumbent. Single-ticker bars
     expected (aggregate over tickers otherwise)."""
-    spark = bars.sparkSession
     # The chain re-consumes bars every step (and evaluate_params reads
     # them in four plan branches): pin them once so the upstream DAG
     # (scan + bar derivation + filters) doesn't re-run ~4x per
@@ -197,8 +234,7 @@ def simulated_annealing(
 
     def score(states: list[tuple[int, int]]) -> list[float]:
         rows = [(i, int(f), int(l)) for i, (f, l) in enumerate(states)]
-        params = spark.createDataFrame(rows, PARAMS_SCHEMA)
-        scored = evaluate_params(bars, params, initial_amount, materialize=False)
+        scored = evaluate_params(bars, rows, initial_amount, materialize=False)
         got = {
             r["run_id"]: r["net_worth"]
             for r in scored.groupBy("run_id")

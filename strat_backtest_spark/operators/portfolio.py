@@ -73,7 +73,15 @@ def final_net_worth_from_events(
     trade events instead of two window passes over |bars|×|runs| rows.
     Shared by the optimizer objective (grid / SA) and
     ``Backtest.final_net_worth``. ``run_ids`` is the (run_id) universe
-    so zero-trade groups still get their (init-only) row."""
+    so zero-trade groups still get their (init-only) row.
+
+    Plan shape (round 14): the (ticker, run_id) universe is DRIVEN off
+    ``last_bar`` — one row per ticker by construction — instead of a
+    separate ``bars.select("ticker").distinct()`` branch. The old shape
+    recomputed the whole bars lineage (scan + aggregation) a second
+    time just to learn the ticker set last_bar already carries, plus a
+    distinct exchange; driving off last_bar is row-identical (every
+    bars ticker has exactly one last_bar row) and removes both."""
     last_bar = bars.groupBy("ticker").agg(
         F.max_by("close", "date").alias("__last_close")
     )
@@ -86,7 +94,6 @@ def final_net_worth_from_events(
         ).alias("__cs"),
         F.max_by("shares_owned", "date").alias("__last_shares"),
     )
-    universe = bars.select("ticker").distinct().crossJoin(F.broadcast(run_ids))
     net = (
         F.coalesce(F.col("__last_shares"), F.lit(0.0)) * F.col("__last_close")
         - F.coalesce(F.col("__cb"), F.lit(0.0))
@@ -94,8 +101,8 @@ def final_net_worth_from_events(
         + F.lit(float(initial_amount))
     )
     return (
-        universe.join(agg, ["ticker", "run_id"], "left")
-        .join(F.broadcast(last_bar), "ticker")
+        last_bar.crossJoin(F.broadcast(run_ids))
+        .join(agg, ["ticker", "run_id"], "left")
         .withColumn("net_worth", net)
         .select("ticker", "run_id", "net_worth")
     )

@@ -146,6 +146,10 @@ class Backtest:
             strategy=self.strategy.kernel_driver,
             params=self.strategy.kernel_params(),
             parity=self.parity,
+            # single-run feed leaves signal_feed hash-partitioned by
+            # ticker (the window exchange); keying the kernel on ticker
+            # alone lets Spark elide its repartition — zero exchanges
+            partition_cols=("ticker",),
         ).cache()  # consumed twice (orders + events); sim runs once
         self._cached = [feed, kernel_out]
         orders, events = split_kernel_output(kernel_out)
@@ -213,9 +217,13 @@ class Backtest:
             strategy=self.strategy.kernel_driver,
             params=self.strategy.kernel_params(),
             parity=self.parity,
+            partition_cols=("ticker",),  # see run(): elided exchange
         )
         _, events = split_kernel_output(kernel_out)
-        run_ids = bars.sparkSession.createDataFrame([(0,)], "run_id long")
+        # VALUES LocalRelation, not createDataFrame: an RDD-backed
+        # one-row table costs a full (defaultParallelism-task) Python
+        # job per consumer; plan-literal rows broadcast with zero jobs
+        run_ids = bars.sparkSession.sql("SELECT CAST(0 AS BIGINT) AS run_id")
         return final_net_worth_from_events(
             bars, events, run_ids, self.initial_amount
         )

@@ -109,7 +109,10 @@ def final_net_worth_from_events(
 
 
 def attach_benchmark(
-    portfolio: DataFrame, benchmark: DataFrame, mode: str = "positional"
+    portfolio: DataFrame,
+    benchmark: DataFrame,
+    mode: str = "positional",
+    row_stats: DataFrame | None = None,
 ) -> DataFrame:
     """Attach the market-index column (reference: strats.py:592-600).
 
@@ -125,11 +128,21 @@ def attach_benchmark(
 
     mode='date' is the fix: a plain date equi-join (benchmark
     broadcast — it is one row per trading day).
+
+    ``row_stats`` lets a caller that KNOWS a row-count-preserving
+    proxy for the portfolio (e.g. ``Backtest.run``'s cached feed: the
+    portfolio is feed ⟕ one-event-per-bar-date, so per-group max(date)
+    and count are identical) supply the per-(ticker, run_id)
+    ``(__last_date, __n)`` aggregate directly — the optimizer cannot
+    prove that equivalence, so computing stats from the portfolio here
+    re-ran its join lineage a second time.
     """
     if mode == "date":
         return portfolio.join(F.broadcast(benchmark), "date", "left")
 
-    stats = portfolio.groupBy("ticker", "run_id").agg(
+    stats = row_stats if row_stats is not None else portfolio.groupBy(
+        "ticker", "run_id"
+    ).agg(
         F.max("date").alias("__last_date"), F.count(F.lit(1)).alias("__n")
     )
     b = benchmark.join(F.broadcast(stats), F.col("date") <= F.col("__last_date"))

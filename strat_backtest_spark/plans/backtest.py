@@ -156,7 +156,18 @@ class Backtest:
         portfolio = build_portfolio(feed, events, self.initial_amount)
         if self.benchmark is not None:
             mode = "positional" if self.parity else "date"
-            portfolio = attach_benchmark(portfolio, self.benchmark, mode=mode)
+            # build_portfolio is row-preserving over the feed (left join
+            # against at most one kernel event row per bar date), so the
+            # positional attach's per-group (max date, row count) can be
+            # aggregated from the CACHED feed instead of re-running the
+            # portfolio's join lineage — knowledge Catalyst cannot infer
+            row_stats = feed.groupBy("ticker", "run_id").agg(
+                F.max("date").alias("__last_date"),
+                F.count(F.lit(1)).alias("__n"),
+            )
+            portfolio = attach_benchmark(
+                portfolio, self.benchmark, mode=mode, row_stats=row_stats
+            )
         self._orders = orders
         self._portfolio = portfolio
         return portfolio

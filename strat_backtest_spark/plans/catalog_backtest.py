@@ -465,12 +465,15 @@ def q42_backtest_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     bt.run()
     m = bt.metrics(risk_free_rate=0.03)
     date_cols = {"start_time", "end_time"}
+    # one schema fetch: dict(m.dtypes) inside the per-column loop
+    # re-resolved the full metrics plan once per output column
+    dtypes = dict(m.dtypes)
     return m.select(
         *[
             F.date_format(c, "yyyy-MM-dd").alias(c)
             if c in date_cols
             else round_half_up_col(F.col(c), 6).alias(c)
-            if dict(m.dtypes)[c] == "double"
+            if dtypes[c] == "double"
             else F.col(c)
             for c in m.columns
         ]

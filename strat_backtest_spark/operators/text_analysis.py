@@ -79,8 +79,8 @@ def with_token_counts(
                 F.lower(F.col(col)), F.lit(r"([a-z0-9]+|[^a-z0-9\s])"), 1
             )
         )
-    return df.withColumn("n_tokens", F.size(toks)).withColumn(
-        "n_bpe_tokens", bpe_count
+    return df.select(
+        "*", F.size(toks).alias("n_tokens"), bpe_count.alias("n_bpe_tokens")
     )
 
 
@@ -107,12 +107,16 @@ def quality_score(df: DataFrame, col: str = "text") -> DataFrame:
         + stop_ratio * 0.3
         + (1 - punct_ratio) * 0.3
     )
-    return (
-        df.withColumn("n_tokens", n_tok)
-        .withColumn("mean_token_len", F.round(mean_tok_len, 6))
-        .withColumn("stopword_ratio", F.round(stop_ratio, 6))
-        .withColumn("punct_ratio", F.round(punct_ratio, 6))
-        .withColumn("quality_score", F.round(score, 6))
+    # ONE select, not five chained withColumn: each withColumn copies
+    # and re-analyzes the whole plan driver-side (~5 py4j round-trips
+    # plus analysis per call) — same output columns in the same order
+    return df.select(
+        "*",
+        n_tok.alias("n_tokens"),
+        F.round(mean_tok_len, 6).alias("mean_token_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(score, 6).alias("quality_score"),
     )
 
 

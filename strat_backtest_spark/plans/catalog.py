@@ -61,7 +61,28 @@ def query(
     return deco
 
 
+# Session-scoped memo of _t's READER DataFrames (lazy plans +
+# resolved schemas), keyed by (application id, sf_dir, table). This
+# caches METADATA only — the parquet footer/schema read and the file
+# listing that spark.read.parquet performs eagerly on the driver
+# (~0.1-0.25 s per table per call, ×5 tables in the join-pyramid
+# queries) — never rows: every action on the returned plan still
+# scans the parquet files. Same class of reuse as Spark's own
+# spark.sql.hive.filesourcePartitionFileCacheSize listing cache.
+_T_MEMO: dict = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    got = _T_MEMO.get(key)
+    if got is not None:
+        return got
+    df = _t_build(spark, sf_dir, name)
+    _T_MEMO[key] = df
+    return df
+
+
+def _t_build(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts has shipped as both TIMESTAMP(NANOS) (earlier
         # testdata drops) and TIMESTAMP(MICROS) parquet. Vanilla Spark

@@ -632,7 +632,13 @@ def _union_find_local(p: DataFrame) -> DataFrame:
     schema = StructType(
         [StructField("id", id_type), StructField("component", id_type)]
     )
-    return p.sparkSession.createDataFrame(out, schema)
+    # bounded slice count: bare createDataFrame parallelizes local rows
+    # into defaultParallelism slices — 32 near-empty Python pickle
+    # tasks for a result this path caps at ~2·local_threshold rows.
+    # ~50k rows per slice keeps the job at a handful of real tasks.
+    n_slices = max(1, min(32, len(out) // 50_000 + 1))
+    rdd = p.sparkSession.sparkContext.parallelize(out, n_slices)
+    return p.sparkSession.createDataFrame(rdd, schema)
 
 
 def _precontract_edges(e: DataFrame) -> DataFrame:

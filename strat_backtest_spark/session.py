@@ -50,6 +50,13 @@ def get_spark(app_name: str = "strat_backtest_spark", cpus: str | int | None = N
         # task overhead at 100 TB; local testdata is tiny either way.
         .config("spark.sql.files.maxPartitionBytes", "256m")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # Let the planner pick shuffled-hash join when its size checks
+        # pass (guide: sort-merge always works but pays two sorts; SHJ
+        # skips them when one side's per-partition build fits). Scale-
+        # neutral: the size conditions, not this flag, decide per join
+        # — measured q02 (fact-to-fact orderkey join) 1.27 s -> 0.93 s
+        # same-session A/B at sf0.1; oracle hashes unchanged at all SFs.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         # Read TIMESTAMP(NANOS) parquet (Spark has no ns timestamp type)
         # as raw LongType nanos; sources convert to micros explicitly.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from strat_backtest_spark.operators.kernel import run_kernel, split_kernel_output
 from strat_backtest_spark.operators.portfolio import final_net_worth_from_events
-from strat_backtest_spark.operators.signals import ma_cross_signals_grid
+from strat_backtest_spark.operators.signals import ma_cross_feed_grid
 
 
 def _grid_rows(fast_range, lagging_range) -> list[tuple[int, int, int]]:
@@ -93,26 +93,19 @@ def evaluate_params(
     if isinstance(params, DataFrame):
         # legacy callers hand a DataFrame; the plan-embedded signal
         # grid needs the rows anyway, so collect ONCE here (tiny by
-        # contract) instead of inside ma_cross_signals_grid
+        # contract) instead of inside the feed builder
         param_rows = [(r["run_id"], r["fast"], r["lagging"]) for r in params.collect()]
     else:
         param_rows = [(int(i), int(f), int(l)) for i, f, l in params]
         params = _params_local_relation(bars.sparkSession, param_rows)
-    signals = ma_cross_signals_grid(bars, param_rows)
-    base = bars.select("ticker", "date", "close").crossJoin(
-        F.broadcast(params.select("run_id"))
-    )
-    # edge-sparse signals are usually broadcast-sized, but their row
-    # count is |tickers|×|runs|×edges — it GROWS with the fleet, so the
-    # strategy is left to AQE instead of a hint that would force an
-    # OOM-scale broadcast on a 1000-executor grid (AQE converts to
-    # broadcast at runtime whenever the built side is actually small)
-    feed = base.join(
-        signals.select("ticker", "run_id", "date", "action"),
-        ["ticker", "run_id", "date"],
-        "left",
-    )
-    kernel_out = run_kernel(feed, initial_amount)
+    # Full feed straight off the multi-window pass (see
+    # ma_cross_feed_grid): the former bars×runs ⟕ edge-rows join built
+    # the expanded table twice and re-shuffled it into the kernel; the
+    # direct feed stays hash(ticker)-partitioned from the window
+    # exchange, so the kernel's ("ticker",) repartition is elided and
+    # each bar row crosses the network exactly once.
+    feed = ma_cross_feed_grid(bars, param_rows)
+    kernel_out = run_kernel(feed, initial_amount, partition_cols=("ticker",))
     _, events = split_kernel_output(kernel_out)
     out = final_net_worth_from_events(
         bars, events, params.select("run_id"), initial_amount

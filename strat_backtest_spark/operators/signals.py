@@ -137,6 +137,75 @@ def ma_cross_signals_grid(bars: DataFrame, params) -> DataFrame:
     )
 
 
+def ma_cross_feed_grid(bars: DataFrame, params) -> DataFrame:
+    """FULL kernel feed for a parameter grid — every (ticker, run_id,
+    date, close) row with ``action`` null off-edge — emitted straight
+    off the one-exchange multi-window pass of
+    :func:`ma_cross_signals_grid` (same SMA/cross/lag expressions, same
+    explode; the edge filter becomes a CASE that nulls the action
+    instead of dropping the row).
+
+    Why this exists (round 14): the grid evaluator used to build the
+    feed as ``bars × run_ids ⟕ edge-rows`` — constructing the
+    |bars|×|runs| table a second time just to re-attach the sparse
+    edges, and then re-shuffling that expanded table into the kernel.
+    Emitting the full feed here keeps the expansion INSIDE the
+    window-partitioned stage, so it stays hash(ticker)-partitioned
+    (deterministically — the window exchange, not an AQE join choice)
+    and the kernel's ``partition_cols=("ticker",)`` repartition is
+    ELIDED: a grid job moves each bar row across the network exactly
+    once, in the window exchange, at any scale.
+
+    params: list of (run_id, fast, lagging) rows (or DataFrame)."""
+    if isinstance(params, DataFrame):
+        rows = [(r["run_id"], r["fast"], r["lagging"]) for r in params.collect()]
+    else:
+        rows = [(int(i), int(f), int(l)) for i, f, l in params]
+    w = ticker_window()
+    lengths = sorted({f for _, f, _ in rows} | {l for _, _, l in rows})
+
+    df = bars.select(
+        "ticker", "date", "close",
+        *[rolling_mean("close", n, w).alias(f"__sma_{n}") for n in lengths],
+    )
+    crosses = [
+        F.coalesce(
+            F.col(f"__sma_{f}") > F.col(f"__sma_{l}"), F.lit(False)
+        ).alias(f"__cross_{rid}")
+        for rid, f, l in rows
+    ]
+    df = df.select("ticker", "date", "close", *crosses)
+    df = df.select(
+        "ticker", "date", "close",
+        *[F.col(f"__cross_{rid}") for rid, _, _ in rows],
+        *[F.lag(f"__cross_{rid}").over(w).alias(f"__prev_{rid}") for rid, _, _ in rows],
+    )
+    runs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(rid).cast("long").alias("run_id"),
+                    F.when(
+                        F.col(f"__prev_{rid}").isNull()
+                        | (F.col(f"__cross_{rid}") != F.col(f"__prev_{rid}")),
+                        F.when(F.col(f"__cross_{rid}"), F.lit("buy")).otherwise(
+                            F.lit("sell")
+                        ),
+                    ).alias("action"),
+                )
+                for rid, _, _ in rows
+            ]
+        )
+    )
+    return df.select("ticker", "date", "close", runs.alias("r")).select(
+        "ticker",
+        F.col("r.run_id").alias("run_id"),
+        "date",
+        "close",
+        F.col("r.action").alias("action"),
+    )
+
+
 def band_signals(bars: DataFrame, run_id: int = 0) -> DataFrame:
     """All-bars feed for path-dependent strategies (custom_strats.py:83-101):
     every bar is a potential decision point, so the 'signals' table is

@@ -600,10 +600,12 @@ def ngram_jaccard_pairs(
     return base.groupBy(*group_cols).applyInPandas(_block_pairs, out_schema)
 
 
-def _union_find_local(p: DataFrame) -> DataFrame:
+def _union_find_local(p: DataFrame, rows=None) -> DataFrame:
     """Driver-side union-find over a SIZE-GATED ids-only edge collect;
     labels each node with its component minimum — identical contract
-    to the distributed star contraction."""
+    to the distributed star contraction. ``rows`` lets the caller hand
+    over an already-collected edge list (the size gate's bounded
+    collect) so the checkpoint isn't scanned a second time."""
     parent: dict = {}
 
     def find(x):
@@ -614,7 +616,8 @@ def _union_find_local(p: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    rows = p.collect()
+    if rows is None:
+        rows = p.collect()
     for r in rows:
         a, b = r[0], r[1]
         parent.setdefault(a, a)
@@ -788,8 +791,13 @@ def connected_components(
     p, p_ids = _checkpoint(
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
     )
-    if p.count() <= local_threshold:
-        return _union_find_local(p)
+    # size gate and edge fetch in ONE bounded action: collect at most
+    # threshold+1 rows (ids only, ≤ ~3 MB at the gate) — under the
+    # gate they ARE the union-find input, so the old count()-then-
+    # collect() pair of passes over the checkpoint becomes one job
+    gate_rows = p.limit(local_threshold + 1).collect()
+    if len(gate_rows) <= local_threshold:
+        return _union_find_local(p, rows=gate_rows)
     nodes = (
         p.select(F.col("u").alias("id"))
         .union(p.select(F.col("v").alias("id")))

@@ -48,6 +48,14 @@ def _params_local_relation(spark: SparkSession, rows) -> DataFrame:
     just to read a handful of ints — measured ~0.7 s/task of pure Python
     worker spin-up in the q41 stage profile. A VALUES relation is plan
     data: broadcasts materialize driver-side with zero jobs."""
+    if not rows:
+        # 'VALUES' with an empty list is a ParseException; an empty grid
+        # (e.g. expand_grid over an empty np.arange) must still return a
+        # typed empty relation like createDataFrame([], schema) did
+        return spark.sql(
+            "SELECT CAST(NULL AS BIGINT) AS run_id, CAST(NULL AS INT) AS fast,"
+            " CAST(NULL AS INT) AS lagging WHERE FALSE"
+        )
     vals = ", ".join(
         f"(CAST({i} AS BIGINT), CAST({f} AS INT), CAST({l} AS INT))"
         for i, f, l in rows
@@ -61,9 +69,38 @@ def expand_grid(spark: SparkSession, fast_range, lagging_range) -> DataFrame:
     return _params_local_relation(spark, _grid_rows(fast_range, lagging_range))
 
 
+def _sweep_partition_cols(bars: DataFrame, n_runs: int) -> tuple[str, ...]:
+    """Adaptive kernel-exchange key for a parameter sweep.
+
+    ``("ticker",)`` lets Spark ELIDE the kernel repartition (the grid
+    feed leaves the signal windows hash(ticker)-partitioned), but it
+    lands EVERY run of a ticker in one partition — a single-ticker
+    51-point grid (the reference's headline workload) would walk all 51
+    simulations serially on one core. ``("ticker", "run_id")`` spreads
+    runs across the cluster at the price of one feed exchange.
+
+    Rule: keep the elision only when the ticker count alone saturates
+    the cluster (≥ 4× defaultParallelism — the hash-collision cushion
+    of guide §2.5; at 1× about e⁻¹ ≈ 37% of partitions would sit
+    empty). The ticker count costs one approx_count_distinct job over
+    ``bars`` — map-side HLL sketches, a merge of a few KB — and for the
+    materialize=True grid path that job doubles as the cache warm-up
+    the feed build was about to pay anyway. A single-run sweep never
+    spreads: (ticker, run_id) has the same granularity as (ticker) but
+    would forfeit the elision."""
+    if n_runs <= 1:
+        return ("ticker",)
+    target = 4 * bars.sparkSession.sparkContext.defaultParallelism
+    n_tickers = bars.agg(
+        F.approx_count_distinct("ticker").alias("n")
+    ).collect()[0]["n"]
+    return ("ticker",) if n_tickers >= target else ("ticker", "run_id")
+
+
 def evaluate_params(
     bars: DataFrame, params: DataFrame, initial_amount: float,
     materialize: bool = True,
+    partition_cols: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Final net worth for every (ticker, run_id): the shared engine of
     grid search and SA neighborhoods. One bars scan, one kernel pass.
@@ -104,8 +141,14 @@ def evaluate_params(
     # direct feed stays hash(ticker)-partitioned from the window
     # exchange, so the kernel's ("ticker",) repartition is elided and
     # each bar row crosses the network exactly once.
+    if partition_cols is None:
+        # adaptive: elide the kernel exchange only when tickers alone
+        # saturate the cluster; spread few-ticker sweeps on run_id too
+        # (optimization round 2: the fixed ("ticker",) key serialized a
+        # single-ticker grid/SA chain on one core)
+        partition_cols = _sweep_partition_cols(bars, len(param_rows))
     feed = ma_cross_feed_grid(bars, param_rows)
-    kernel_out = run_kernel(feed, initial_amount, partition_cols=("ticker",))
+    kernel_out = run_kernel(feed, initial_amount, partition_cols=partition_cols)
     _, events = split_kernel_output(kernel_out)
     out = final_net_worth_from_events(
         bars, events, params.select("run_id"), initial_amount
@@ -222,12 +265,20 @@ def simulated_annealing(
     # iteration. Single-ticker bars are small by contract; a persist()
     # would do at larger scale.
     bars = bars.localCheckpoint(eager=True)
+    # Kernel spread decision ONCE for the whole chain (the ticker set
+    # is fixed across steps; deciding inside evaluate_params would cost
+    # one count job per score call). Single-ticker chains — the SA
+    # contract — spread each neighbor batch on ("ticker", "run_id")
+    # instead of serializing every step on one core.
+    pcols = _sweep_partition_cols(bars, neighbors_per_step)
 
     from strat_backtest_spark.functions.numeric import round_half_up_col
 
     def score(states: list[tuple[int, int]]) -> list[float]:
         rows = [(i, int(f), int(l)) for i, (f, l) in enumerate(states)]
-        scored = evaluate_params(bars, rows, initial_amount, materialize=False)
+        scored = evaluate_params(
+            bars, rows, initial_amount, materialize=False, partition_cols=pcols
+        )
         got = {
             r["run_id"]: r["net_worth"]
             for r in scored.groupBy("run_id")

@@ -136,6 +136,11 @@ def attach_benchmark(
     ``(__last_date, __n)`` aggregate directly — the optimizer cannot
     prove that equivalence, so computing stats from the portfolio here
     re-ran its join lineage a second time.
+
+    Preconditions (inherent to Q6's by-date alignment): ``portfolio``
+    has at most one row per (ticker, run_id, date) — a net-worth curve
+    — and ``benchmark`` one row per date. The reference's
+    ``pd.concat(axis=1)`` requires the same uniqueness.
     """
     if mode == "date":
         return portfolio.join(F.broadcast(benchmark), "date", "left")
@@ -152,4 +157,32 @@ def attach_benchmark(
         .filter(F.col("__rfe") <= F.col("__n"))
         .select("ticker", "run_id", "date", "sp500")
     )
-    return portfolio.join(b, ["ticker", "run_id", "date"], "full_outer")
+    # The outer alignment used to be portfolio ⟗ b on (ticker, run_id,
+    # date). Under the uniqueness preconditions above that join is
+    # exactly union + single-non-null merge per key — and the union
+    # form is one exchange instead of three: the join shuffled BOTH
+    # sides on (t, r, date) and its FullOuter output partitioning is
+    # Unknown, so the metrics windows downstream re-shuffled the merged
+    # table a third time. Here the union is repartitioned ONCE on
+    # (ticker, run_id); the (t, r, date) group-merge and every
+    # downstream (t, r) window/aggregate are satisfied by that single
+    # hash(t, r) exchange (clustering-subset rule), and the two SMJ
+    # sorts disappear with the join. Values pass through max() — at
+    # most one non-null contributor per group and column — so the
+    # output is row- and bit-identical to the join form.
+    keys = ["ticker", "run_id", "date"]
+    pcols = [c for c in portfolio.columns if c not in keys]
+    ptypes = dict(portfolio.dtypes)
+    sp_type = dict(b.dtypes)["sp500"]
+    left = portfolio.select(
+        *keys, *pcols, F.lit(None).cast(sp_type).alias("sp500")
+    )
+    right = b.select(
+        *keys, *[F.lit(None).cast(ptypes[c]).alias(c) for c in pcols], "sp500"
+    )
+    return (
+        left.unionByName(right)
+        .repartition("ticker", "run_id")
+        .groupBy(*keys)
+        .agg(*[F.max(c).alias(c) for c in [*pcols, "sp500"]])
+    )

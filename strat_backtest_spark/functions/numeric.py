@@ -46,6 +46,25 @@ def round_half_up_col(c, decimals: int):
     return F.signum(c) * fl / scale
 
 
+def round_half_up_spark_expr(col_sql: str, decimals: int) -> str:
+    """Spark-SQL text twin of :func:`round_half_up_col` — parses to the
+    IDENTICAL expression tree (all fractional literals carry the ``D``
+    double suffix so ANSI mode cannot read them as DECIMAL, and the
+    2^53 CASE branch is spelled out exactly as the Column builder emits
+    it). Exists because building the Column form costs ~40 py4j
+    round-trips per output column; a 20-column projection through
+    ``selectExpr`` is ONE round-trip plus a JVM-side parse. Tree
+    equality with the Column form is pinned by
+    tests/test_r15_optimizations.py."""
+    scale = f"{float(10.0 ** decimals)!r}D"
+    y = f"((abs({col_sql}) * {scale}) + 0.5D)"
+    fl = (
+        f"CASE WHEN ({y} < 9007199254740992.0D) "
+        f"THEN CAST(FLOOR({y}) AS DOUBLE) ELSE {y} END"
+    )
+    return f"((signum({col_sql}) * {fl}) / {scale})"
+
+
 def round_half_up_sql(expr: str, decimals: int) -> str:
     """The DuckDB-side twin of :func:`round_half_up_col`: identical
     operation sequence, identical IEEE results."""

@@ -26,13 +26,36 @@ year, strats.py:696) — NULL is the deliberate, strictly-more-usable
 replacement. A portfolio without an attached benchmark column gets
 NULL for the benchmark-dependent stats (beta/alpha/r_squared) rather
 than an AnalysisException.
+
+Construction note (round 15): every expression is built as Spark-SQL
+TEXT through ``selectExpr``/``F.expr`` instead of stacked Column
+operators. The Column form cost ~2,300 py4j round-trips per build
+(~0.7-1.7 s of driver wall on this host, per cProfile) — a real
+per-query cost the bench times inside fn(); the text form is one
+round-trip per select plus a JVM parse. The parsed trees are IDENTICAL
+to the Column-built ones (pinned by
+tests/test_r15_optimizations.py::test_compute_metrics_text_equals_column_build
+via normalized analyzed-plan comparison): every fractional literal
+carries the ``D`` double suffix — a bare ``0.5`` is DECIMAL under ANSI
+and would drift the ^255-amplified, hash-checked stats.
 """
 
 from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
+
+_PK = "PARTITION BY ticker, run_id"
+_W = f"{_PK} ORDER BY date"
+_CUM = f"{_W} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+_FULL = f"{_W} ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"
+
+
+def _dlit(x: float) -> str:
+    """A Python float as a Spark-SQL DOUBLE literal (repr round-trips
+    the exact binary value; the D suffix blocks ANSI DECIMAL typing)."""
+    return f"{float(x)!r}D"
 
 
 def compute_metrics(
@@ -43,8 +66,6 @@ def compute_metrics(
 ) -> DataFrame:
     """Returns one row per (ticker, run_id) with the full stats suite."""
     keys = ["ticker", "run_id"]
-    w = Window.partitionBy(*keys).orderBy("date")
-    cum = w.rowsBetween(Window.unboundedPreceding, 0)
 
     if "sp500" not in portfolio.columns:
         portfolio = portfolio.withColumn("sp500", F.lit(None).cast("double"))
@@ -57,153 +78,125 @@ def compute_metrics(
     # positional [0]/[-1] anchors (reference indexes the concat'd frame
     # by position, so a null first/last value is kept, not skipped —
     # min_by/max_by would silently pick the first NON-null).
-    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    filled = portfolio.select(
+    filled = portfolio.selectExpr(
         *keys,
         "date",
         "net_worth",
         "sp500",
-        F.last("net_worth", ignorenulls=True).over(cum).alias("__nw_ff"),
-        F.last("sp500", ignorenulls=True).over(cum).alias("__sp_ff"),
-        F.first("net_worth").over(full).alias("__nw_first"),
-        F.last("net_worth").over(full).alias("__nw_last"),
-        F.first("sp500").over(full).alias("__sp_first"),
-        F.last("sp500").over(full).alias("__sp_last"),
+        f"last(net_worth, true) OVER ({_CUM}) AS __nw_ff",
+        f"last(sp500, true) OVER ({_CUM}) AS __sp_ff",
+        f"first(net_worth) OVER ({_FULL}) AS __nw_first",
+        f"last(net_worth) OVER ({_FULL}) AS __nw_last",
+        f"first(sp500) OVER ({_FULL}) AS __sp_first",
+        f"last(sp500) OVER ({_FULL}) AS __sp_last",
     )
-    r_s = F.try_divide(F.col("__nw_ff"), F.lag("__nw_ff").over(w)) - 1
-    r_m = F.try_divide(F.col("__sp_ff"), F.lag("__sp_ff").over(w)) - 1
 
-    prepped = filled.select(
+    prepped = filled.selectExpr(
         *keys,
         "date",
         "net_worth",
-        r_s.alias("r_s"),
-        r_m.alias("r_m"),
-        (F.try_divide(F.col("net_worth"), F.max("net_worth").over(cum)) - 1).alias(
-            "drawdown"
-        ),
-        F.col("sp500"),
+        f"(try_divide(__nw_ff, lag(__nw_ff) OVER ({_W})) - 1) AS r_s",
+        f"(try_divide(__sp_ff, lag(__sp_ff) OVER ({_W})) - 1) AS r_m",
+        f"(try_divide(net_worth, max(net_worth) OVER ({_CUM})) - 1) AS drawdown",
+        "sp500",
         "__nw_first",
         "__nw_last",
         "__sp_first",
         "__sp_last",
     )
 
-    start_amt = F.lit(float(initial_amount))
-    days = F.datediff(F.max("date"), F.min("date"))
-    years = F.floor(days / 365)  # Q10: integer years
-    mean_rs = F.avg("r_s")
-    mean_rm = F.avg("r_m")
     # Q11: pandas .sum() skips NaN pairs but divides by FULL row count.
-    prepped = prepped.withColumn(
-        "__cov_term",
-        (F.col("r_s") - F.avg("r_s").over(Window.partitionBy(*keys)))
-        * (F.col("r_m") - F.avg("r_m").over(Window.partitionBy(*keys))),
+    prepped = prepped.selectExpr(
+        "*",
+        f"((r_s - avg(r_s) OVER ({_PK})) * (r_m - avg(r_m) OVER ({_PK})))"
+        " AS __cov_term",
     )
 
     port_agg = prepped.groupBy(*keys).agg(
-        F.min("date").alias("start_time"),
-        F.max("date").alias("end_time"),
-        F.first("__nw_last").alias("end_amount"),
-        F.first("__nw_first").alias("first_net_worth"),
-        (F.min("drawdown") * 100).alias("max_drawdown_pct"),
-        (F.avg("drawdown") * 100).alias("avg_drawdown_pct"),
-        mean_rs.alias("mean_r_s"),
-        F.stddev_samp("r_s").alias("std_r_s"),
-        F.var_samp("r_s").alias("var_r_s"),
-        mean_rm.alias("mean_r_m"),
-        F.stddev_samp("r_m").alias("std_r_m"),
-        F.sum("__cov_term").alias("cov_num"),
-        F.count(F.lit(1)).alias("n_rows"),
-        F.first("__sp_last").alias("sp500_last"),
-        F.first("__sp_first").alias("sp500_first"),
-        years.alias("years"),
+        F.expr("min(date) AS start_time"),
+        F.expr("max(date) AS end_time"),
+        F.expr("first(__nw_last) AS end_amount"),
+        F.expr("first(__nw_first) AS first_net_worth"),
+        F.expr("(min(drawdown) * 100) AS max_drawdown_pct"),
+        F.expr("(avg(drawdown) * 100) AS avg_drawdown_pct"),
+        F.expr("avg(r_s) AS mean_r_s"),
+        F.expr("stddev_samp(r_s) AS std_r_s"),
+        F.expr("var_samp(r_s) AS var_r_s"),
+        F.expr("avg(r_m) AS mean_r_m"),
+        F.expr("stddev_samp(r_m) AS std_r_m"),
+        F.expr("sum(__cov_term) AS cov_num"),
+        F.expr("count(1) AS n_rows"),
+        F.expr("first(__sp_last) AS sp500_last"),
+        F.expr("first(__sp_first) AS sp500_first"),
+        # Q10: integer years
+        F.expr("FLOOR((datediff(max(date), min(date)) / 365)) AS years"),
     )
 
     ord_agg = orders.groupBy(*keys).agg(
-        F.avg(F.datediff("end_time", "start_time")).alias("avg_hold_days"),
-        F.avg(F.when(F.col("profit") < 0, F.col("profit"))).alias("avg_losses"),
-        F.avg(F.when(F.col("profit") > 0, F.col("profit"))).alias("avg_profits"),
-        F.min(F.when(F.col("profit") < 0, F.col("profit"))).alias("biggest_loss"),
-        F.max("profit").alias("biggest_win"),
-        F.sum(F.when(F.col("profit") < 0, F.col("profit"))).alias("loss_sum"),
-        F.sum(F.when(F.col("profit") > 0, F.col("profit"))).alias("profit_sum"),
-        F.sum(F.when(F.col("filled"), F.col("profit"))).alias("filled_profit_sum"),
-        F.sum(F.col("start_amount") * F.col("num_shares")).alias("total_risked"),
-        F.count(F.lit(1)).alias("n_orders"),
+        F.expr("avg(datediff(end_time, start_time)) AS avg_hold_days"),
+        F.expr("avg(CASE WHEN (profit < 0) THEN profit END) AS avg_losses"),
+        F.expr("avg(CASE WHEN (profit > 0) THEN profit END) AS avg_profits"),
+        F.expr("min(CASE WHEN (profit < 0) THEN profit END) AS biggest_loss"),
+        F.expr("max(profit) AS biggest_win"),
+        F.expr("sum(CASE WHEN (profit < 0) THEN profit END) AS loss_sum"),
+        F.expr("sum(CASE WHEN (profit > 0) THEN profit END) AS profit_sum"),
+        F.expr("sum(CASE WHEN filled THEN profit END) AS filled_profit_sum"),
+        F.expr("sum((start_amount * num_shares)) AS total_risked"),
+        F.expr("count(1) AS n_orders"),
     )
 
     m = port_agg.join(ord_agg, keys, "left")
 
-    rf = F.lit(float(risk_free_rate))
-    cagr = (
-        F.pow(
-            F.try_divide(F.col("end_amount"), start_amt),
-            F.try_divide(F.lit(1.0), F.col("years")),
-        )
-        - 1
-    ) * 100
+    init = _dlit(initial_amount)
+    rf = _dlit(risk_free_rate)
+    sqrt252 = _dlit(math.sqrt(252))
+
     # Q12: loss coerced to -1 when zero or null.
-    loss = F.when(
-        F.col("loss_sum").isNull() | (F.col("loss_sum") == 0), F.lit(-1.0)
-    ).otherwise(F.col("loss_sum"))
-    profit_factor = F.try_divide(F.coalesce(F.col("profit_sum"), F.lit(0.0)), -loss)
-    risk_reward = F.when(
-        F.col("n_orders") > 0,
-        F.try_divide(F.col("filled_profit_sum"), F.col("total_risked")),
+    loss = (
+        "CASE WHEN ((loss_sum IS NULL) OR (loss_sum = 0)) "
+        "THEN -1.0D ELSE loss_sum END"
     )
     # Q9: mean daily return compounded over 255 trading days. Explicit
-    # square-and-multiply instead of F.pow: Java Math.pow and C libm
+    # square-and-multiply instead of pow(): Java Math.pow and C libm
     # pow disagree in the last ULP for some inputs, and the ^255
     # amplification makes that visible through the DuckDB oracle's
     # hash gate — a fixed left-associated product of binary powers is
     # the same IEEE op sequence in any engine.
-    b1 = F.col("mean_r_s") + 1
-    b2 = b1 * b1
-    b4 = b2 * b2
-    b8 = b4 * b4
-    b16 = b8 * b8
-    b32 = b16 * b16
-    b64 = b32 * b32
-    b128 = b64 * b64
-    annual_er = b1 * b2 * b4 * b8 * b16 * b32 * b64 * b128 - 1
-    sharpe = F.try_divide(annual_er - rf, F.col("std_r_s") * math.sqrt(252))
-    volatility = F.col("std_r_s") * math.sqrt(252)
-    covariance = F.try_divide(F.col("cov_num"), F.col("n_rows"))  # Q11
-    beta = F.try_divide(covariance, F.col("var_r_s"))
-    stock_return = F.try_divide(
-        F.col("end_amount") - F.col("first_net_worth"), F.col("first_net_worth")
-    )
-    alpha = (
-        stock_return
-        - rf
-        - beta
-        * ((F.try_divide(F.col("sp500_last"), F.col("sp500_first")) - 1) - rf)
-    )
-    r_squared = F.try_divide(
-        covariance, F.sqrt(F.col("var_r_s")) * F.col("std_r_m")
-    )
+    b = ["(mean_r_s + 1)"]
+    for _ in range(7):
+        b.append(f"({b[-1]} * {b[-1]})")
+    prod = b[0]
+    for t in b[1:]:
+        prod = f"({prod} * {t})"
+    annual_er = f"({prod} - 1)"
+    covariance = "try_divide(cov_num, n_rows)"  # Q11
+    beta = f"try_divide({covariance}, var_r_s)"
+    stock_return = "try_divide((end_amount - first_net_worth), first_net_worth)"
 
-    return m.select(
+    return m.selectExpr(
         *keys,
-        F.col("start_time"),
-        F.col("end_time"),
-        start_amt.alias("start_amount"),
-        F.col("end_amount"),
-        F.col("avg_hold_days").alias("average_hold_time_days"),
-        F.col("avg_losses").alias("average_losses"),
-        F.col("avg_profits").alias("average_profits"),
-        F.col("biggest_loss"),
-        F.col("biggest_win").alias("biggest_win"),
-        cagr.alias("cagr_pct"),
-        F.col("max_drawdown_pct"),
-        F.col("avg_drawdown_pct"),
-        (F.col("end_amount") - start_amt).alias("net_profit"),
-        profit_factor.alias("profit_factor"),
-        risk_reward.alias("risk_reward"),
-        sharpe.alias("sharpe_ratio"),
-        volatility.alias("volatility_annualized"),
-        beta.alias("beta"),
-        alpha.alias("alpha"),
-        r_squared.alias("r_squared"),
+        "start_time",
+        "end_time",
+        f"{init} AS start_amount",
+        "end_amount",
+        "avg_hold_days AS average_hold_time_days",
+        "avg_losses AS average_losses",
+        "avg_profits AS average_profits",
+        "biggest_loss",
+        "biggest_win AS biggest_win",
+        f"((power(try_divide(end_amount, {init}), try_divide(1.0D, years)) - 1)"
+        " * 100) AS cagr_pct",
+        "max_drawdown_pct",
+        "avg_drawdown_pct",
+        f"(end_amount - {init}) AS net_profit",
+        f"try_divide(coalesce(profit_sum, 0.0D), -{loss}) AS profit_factor",
+        "CASE WHEN (n_orders > 0) THEN try_divide(filled_profit_sum,"
+        " total_risked) END AS risk_reward",
+        f"try_divide(({annual_er} - {rf}), (std_r_s * {sqrt252}))"
+        " AS sharpe_ratio",
+        f"(std_r_s * {sqrt252}) AS volatility_annualized",
+        f"{beta} AS beta",
+        f"(({stock_return} - {rf}) - ({beta} * ((try_divide(sp500_last,"
+        f" sp500_first) - 1) - {rf}))) AS alpha",
+        f"try_divide({covariance}, (SQRT(var_r_s) * std_r_m)) AS r_squared",
     )

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types a
 
 from strat_backtest_spark.functions.numeric import (
     round_half_up_col,
+    round_half_up_spark_expr,
     round_half_up_sql,
 )
 from strat_backtest_spark.plans.catalog import _t, query
@@ -466,15 +467,20 @@ def q42_backtest_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = bt.metrics(risk_free_rate=0.03)
     date_cols = {"start_time", "end_time"}
     # one schema fetch: dict(m.dtypes) inside the per-column loop
-    # re-resolved the full metrics plan once per output column
+    # re-resolved the full metrics plan once per output column.
+    # selectExpr + the text twin of round_half_up_col: the Column form
+    # of this 21-column projection alone cost ~1,400 py4j round-trips
+    # (~1 s of driver wall per build); the text form is one round-trip
+    # and parses to the identical tree (pinned in
+    # tests/test_r15_optimizations.py).
     dtypes = dict(m.dtypes)
-    return m.select(
+    return m.selectExpr(
         *[
-            F.date_format(c, "yyyy-MM-dd").alias(c)
+            f"date_format({c}, 'yyyy-MM-dd') AS {c}"
             if c in date_cols
-            else round_half_up_col(F.col(c), 6).alias(c)
+            else f"{round_half_up_spark_expr(c, 6)} AS {c}"
             if dtypes[c] == "double"
-            else F.col(c)
+            else c
             for c in m.columns
         ]
     )

@@ -60,6 +60,14 @@ def get_spark(app_name: str = "strat_backtest_spark", cpus: str | int | None = N
         # Read TIMESTAMP(NANOS) parquet (Spark has no ns timestamp type)
         # as raw LongType nanos; sources convert to micros explicitly.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # PySpark 4's error-context capture walks the Python stack and
+        # round-trips the call site to the JVM on EVERY decorated
+        # DataFrame/Column API call — pure driver-side overhead in plan
+        # construction (guide §5: the driver should do almost no work),
+        # measured as a visible slice of the expression-heavy backtest
+        # builds. Costs only the "user code line" hint in error
+        # messages; the JVM error itself is unchanged.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -10,6 +10,7 @@ import pytest
 from conftest import SF_MED, SF_SMALL
 
 
+@pytest.mark.slow
 def test_catalog_matches_duckdb(spark):
     from oracle_utils import run_catalog
 
@@ -19,6 +20,7 @@ def test_catalog_matches_duckdb(spark):
     assert not failures, "; ".join(f"{r['name']}: {r['detail'][:120]}" for r in failures)
 
 
+@pytest.mark.slow
 def test_catalog_matches_duckdb_at_driver_sf(spark):
     """The driver's scale factor — slower, but the only pass that
     catches scale-dependent divergence before the gate does."""
@@ -30,6 +32,7 @@ def test_catalog_matches_duckdb_at_driver_sf(spark):
     assert not failures, "; ".join(f"{r['name']}: {r['detail'][:120]}" for r in failures)
 
 
+@pytest.mark.slow
 def test_catalog_matches_duckdb_at_sf_large(spark):
     """10x the gate's scale. Boundary-coincidence bugs surface with
     data volume, and each jump has found a fresh class: sf0.01 caught
@@ -41,6 +44,50 @@ def test_catalog_matches_duckdb_at_sf_large(spark):
 
     results = run_catalog(spark, SF_LARGE, verbose=False)
     assert results, "catalog is empty"
+    failures = [r for r in results if not r["ok"]]
+    assert not failures, "; ".join(f"{r['name']}: {r['detail'][:120]}" for r in failures)
+
+
+# One query per operator family — the default (not-slow) gate's oracle
+# coverage. The three FULL sweeps above are `slow` (the suite outgrew
+# the driver's verify window at 33-55 min); the driver's own gate
+# cross-checks a 50-query sample independently, and local round work
+# still runs the full sweeps explicitly (pytest -m slow).
+_FAST_SUBSET = [
+    "q01_pricing_summary",   # scan+agg
+    "q02_regional_revenue",  # join pyramid
+    "q06_rolling_mean",      # window battery
+    "q09_cumprod",           # window exp-sum-log
+    "q21_dedup_exact",       # hash dedup
+    "q22_minhash_signatures",
+    "q23_minhash_lsh_pairs",
+    "q30_cosine_topk",
+    "q32_asof_join",
+    "q35_sessionization",
+    "q36_token_topk",
+    "q40_backtest_networth",  # kernel path
+    "q41_grid_search",        # sweep path
+    "q42_backtest_metrics",   # metrics + Q6 attach
+    "q46_simulated_annealing",
+    "q47_embedding_neardup",
+    "q53_resample_ohlc",
+    "q55_curation_pipeline",
+    "q56_dedup_components",
+    "q58_simhash_neardup",
+    "q66_chunking",
+    "q72_stoploss_networth",
+    "q79_pack_sequences",
+    "q86_ngram_topk",
+    "q94_image_neardup",
+]
+
+
+def test_catalog_subset_matches_duckdb(spark):
+    """Representative per-family oracle coverage inside the fast gate."""
+    from oracle_utils import run_catalog
+
+    results = run_catalog(spark, SF_SMALL, names=_FAST_SUBSET, verbose=False)
+    assert len(results) == len(_FAST_SUBSET), "subset names drifted from catalog"
     failures = [r for r in results if not r["ok"]]
     assert not failures, "; ".join(f"{r['name']}: {r['detail'][:120]}" for r in failures)
 

@@ -3,6 +3,8 @@ exercise only the synthetic data's happy path."""
 
 import datetime
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from conftest import SF_SMALL
@@ -498,6 +500,7 @@ def test_decontaminate_precomputed_hashes(spark, tmp_path):
         decontaminate(docs, None)
 
 
+@pytest.mark.slow
 def test_connected_components_precontract_invariance(spark):
     """The partition-local contraction is a connectivity certificate:
     labels must be byte-identical with and without it, for any
@@ -2308,6 +2311,7 @@ def test_audio_fingerprint_pairs_reencoded_audio(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+@pytest.mark.slow
 def test_dedup_incremental_broadcast_equals_semi(spark, tmp_path):
     """Path equivalence for the delta-broadcast probe (the tfidf
     broadcast-vocab precedent): identical verdicts from the
@@ -2345,6 +2349,7 @@ def test_dedup_incremental_broadcast_equals_semi(spark, tmp_path):
     assert {"dup_near", "kept"} <= set(bc.values()) <= {"dup_exact", "dup_near", "kept"}
 
 
+@pytest.mark.slow
 def test_ivf_pre_assigned_equals_on_the_fly(spark, tmp_path):
     """Path equivalence for the persisted-IVF corpus: assignment at
     write time + partition-pruned read must give value-identical top-k
@@ -2381,6 +2386,7 @@ def test_ivf_pre_assigned_equals_on_the_fly(spark, tmp_path):
     assert key(fly) == key(persisted) and len(key(fly)) > 0
 
 
+@pytest.mark.slow
 def test_quality_classifier_exact_and_null_safe(spark):
     """The logit must equal the direct per-token recompute (exact
     integer sum, order-free) and a null/empty text must score exactly
@@ -2409,6 +2415,7 @@ def test_quality_classifier_exact_and_null_safe(spark):
     assert got[2] == (7, False) and got[3] == (7, False)
 
 
+@pytest.mark.slow
 def test_dedup_incremental_null_text_kept(spark, tmp_path):
     """ADVICE-r10 regression: md5(NULL text) is NULL and Spark windows
     group NULLs into one partition — without the isNotNull filter the
@@ -2545,6 +2552,7 @@ def test_quality_classifier_bigrams_and_vectorized_parity(spark):
         assert got2[did] == s, (did, got2[did], s)
 
 
+@pytest.mark.slow
 def test_curation_quota_counts_rebuild(spark):
     """The q100 cold-restart claim, made concrete: the per-source
     admitted counters rebuilt from the durable verdict store
@@ -2623,6 +2631,7 @@ def test_delta_probe_rows_rejects_malformed_digests(spark):
         delta_probe_rows(delta, digests=wrong_name)
 
 
+@pytest.mark.slow
 def test_curation_loop_cold_restart(spark, tmp_path):
     """Kill/resume for the COMPOSED q100 loop (parity with the
     per-operator restart tests for the streaming kernel and quota):
@@ -2673,6 +2682,7 @@ def test_curation_loop_cold_restart(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_curation_loop_midbatch_crash_resume(spark, tmp_path):
     """At-least-once for the COMPOSED q100 loop (r12 verdict item 2):
     production foreachBatch replays a batch after ANY crash, so the
@@ -2733,6 +2743,7 @@ def test_curation_loop_midbatch_crash_resume(spark, tmp_path):
         assert got == want, f"crash window {point!r} diverged"
 
 
+@pytest.mark.slow
 def test_ivf_index_append_equals_rebuild(spark, tmp_path):
     """q99's contract: ivf_index_write(half) + ivf_index_append(rest)
     must answer probe-pruned queries value-identically to a one-shot
@@ -2782,6 +2793,7 @@ def test_ivf_index_append_equals_rebuild(spark, tmp_path):
     assert inc == full and len(inc) > 0
 
 
+@pytest.mark.slow
 def test_ivf_index_drift_gate(spark, tmp_path):
     """The re-train trigger: a snug index (vectors near their
     centroids) passes the gate; appending a drifted batch (vectors far
@@ -2959,6 +2971,7 @@ def test_dedup_index_compact_exclude_and_target_files(spark, tmp_path):
     assert got == before
 
 
+@pytest.mark.slow
 def test_dedup_index_compact_replay_after_fold(spark, tmp_path):
     """The defined replay interaction (r13 verdict item 2): once a
     chunk is folded into the base, the free ``chunk != k`` prune no
@@ -3043,6 +3056,7 @@ def test_dedup_index_compact_replay_after_fold(spark, tmp_path):
     assert got[0]["verdict"] == "dup_exact"
 
 
+@pytest.mark.slow
 def test_dedup_index_compact_crash_recovery(spark, tmp_path):
     """Re-running after a mid-compaction crash repairs the index: an
     UNCOMMITTED stage (no _SUCCESS) is rolled back; a COMMITTED stage
@@ -3234,6 +3248,7 @@ def test_dedup_incremental_index_filter_layout_error(spark, tmp_path):
         ).collect()
 
 
+@pytest.mark.slow
 def test_curation_loop_nonmodular_chunks_crash_resume(spark, tmp_path):
     """r13 verdict item 4: batch identity now derives from the input
     FILES, not from ``doc_id % n_chunks`` — so the mid-batch
@@ -3295,6 +3310,7 @@ def test_curation_loop_nonmodular_chunks_crash_resume(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_curation_loop_replay_after_compaction(spark, tmp_path):
     """END-TO-END for the compaction/replay interaction the compactor
     defines: a batch commits both writes and crashes; a maintenance

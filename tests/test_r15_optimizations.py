@@ -100,6 +100,220 @@ def test_evaluate_params_partition_cols_value_invariant(spark):
     assert _rows(a, cols) == _rows(b, cols)
 
 
+def _norm_analyzed(df) -> str:
+    import re
+
+    return re.sub(r"#\d+", "#", df._jdf.queryExecution().analyzed().toString())
+
+
+def test_round_half_up_spark_expr_tree_equals_column_form(spark):
+    """The Spark-SQL text twin must parse to the IDENTICAL expression
+    tree as the Column builder — same IEEE op sequence, zero FP risk."""
+    from strat_backtest_spark.functions.numeric import (
+        round_half_up_col,
+        round_half_up_spark_expr,
+    )
+
+    df = spark.range(3).select((F.col("id") * 1.5).alias("x"))
+    for dec in (4, 6):
+        old = df.select(round_half_up_col(F.col("x"), dec).alias("r"))
+        new = df.selectExpr(f"{round_half_up_spark_expr('x', dec)} AS r")
+        assert _norm_analyzed(old) == _norm_analyzed(new)
+
+
+def _compute_metrics_column_form(portfolio, orders, initial_amount, risk_free_rate):
+    """Frozen copy of the pre-round-15 Column-built compute_metrics —
+    the reference the selectExpr rewrite is pinned against."""
+    import math
+
+    from pyspark.sql import Window
+
+    keys = ["ticker", "run_id"]
+    w = Window.partitionBy(*keys).orderBy("date")
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+
+    if "sp500" not in portfolio.columns:
+        portfolio = portfolio.withColumn("sp500", F.lit(None).cast("double"))
+
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    filled = portfolio.select(
+        *keys,
+        "date",
+        "net_worth",
+        "sp500",
+        F.last("net_worth", ignorenulls=True).over(cum).alias("__nw_ff"),
+        F.last("sp500", ignorenulls=True).over(cum).alias("__sp_ff"),
+        F.first("net_worth").over(full).alias("__nw_first"),
+        F.last("net_worth").over(full).alias("__nw_last"),
+        F.first("sp500").over(full).alias("__sp_first"),
+        F.last("sp500").over(full).alias("__sp_last"),
+    )
+    r_s = F.try_divide(F.col("__nw_ff"), F.lag("__nw_ff").over(w)) - 1
+    r_m = F.try_divide(F.col("__sp_ff"), F.lag("__sp_ff").over(w)) - 1
+
+    prepped = filled.select(
+        *keys,
+        "date",
+        "net_worth",
+        r_s.alias("r_s"),
+        r_m.alias("r_m"),
+        (F.try_divide(F.col("net_worth"), F.max("net_worth").over(cum)) - 1).alias(
+            "drawdown"
+        ),
+        F.col("sp500"),
+        "__nw_first",
+        "__nw_last",
+        "__sp_first",
+        "__sp_last",
+    )
+
+    start_amt = F.lit(float(initial_amount))
+    days = F.datediff(F.max("date"), F.min("date"))
+    years = F.floor(days / 365)
+    mean_rs = F.avg("r_s")
+    mean_rm = F.avg("r_m")
+    prepped = prepped.withColumn(
+        "__cov_term",
+        (F.col("r_s") - F.avg("r_s").over(Window.partitionBy(*keys)))
+        * (F.col("r_m") - F.avg("r_m").over(Window.partitionBy(*keys))),
+    )
+
+    port_agg = prepped.groupBy(*keys).agg(
+        F.min("date").alias("start_time"),
+        F.max("date").alias("end_time"),
+        F.first("__nw_last").alias("end_amount"),
+        F.first("__nw_first").alias("first_net_worth"),
+        (F.min("drawdown") * 100).alias("max_drawdown_pct"),
+        (F.avg("drawdown") * 100).alias("avg_drawdown_pct"),
+        mean_rs.alias("mean_r_s"),
+        F.stddev_samp("r_s").alias("std_r_s"),
+        F.var_samp("r_s").alias("var_r_s"),
+        mean_rm.alias("mean_r_m"),
+        F.stddev_samp("r_m").alias("std_r_m"),
+        F.sum("__cov_term").alias("cov_num"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.first("__sp_last").alias("sp500_last"),
+        F.first("__sp_first").alias("sp500_first"),
+        years.alias("years"),
+    )
+
+    ord_agg = orders.groupBy(*keys).agg(
+        F.avg(F.datediff("end_time", "start_time")).alias("avg_hold_days"),
+        F.avg(F.when(F.col("profit") < 0, F.col("profit"))).alias("avg_losses"),
+        F.avg(F.when(F.col("profit") > 0, F.col("profit"))).alias("avg_profits"),
+        F.min(F.when(F.col("profit") < 0, F.col("profit"))).alias("biggest_loss"),
+        F.max("profit").alias("biggest_win"),
+        F.sum(F.when(F.col("profit") < 0, F.col("profit"))).alias("loss_sum"),
+        F.sum(F.when(F.col("profit") > 0, F.col("profit"))).alias("profit_sum"),
+        F.sum(F.when(F.col("filled"), F.col("profit"))).alias("filled_profit_sum"),
+        F.sum(F.col("start_amount") * F.col("num_shares")).alias("total_risked"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+    m = port_agg.join(ord_agg, keys, "left")
+
+    rf = F.lit(float(risk_free_rate))
+    cagr = (
+        F.pow(
+            F.try_divide(F.col("end_amount"), start_amt),
+            F.try_divide(F.lit(1.0), F.col("years")),
+        )
+        - 1
+    ) * 100
+    loss = F.when(
+        F.col("loss_sum").isNull() | (F.col("loss_sum") == 0), F.lit(-1.0)
+    ).otherwise(F.col("loss_sum"))
+    profit_factor = F.try_divide(F.coalesce(F.col("profit_sum"), F.lit(0.0)), -loss)
+    risk_reward = F.when(
+        F.col("n_orders") > 0,
+        F.try_divide(F.col("filled_profit_sum"), F.col("total_risked")),
+    )
+    b1 = F.col("mean_r_s") + 1
+    b2 = b1 * b1
+    b4 = b2 * b2
+    b8 = b4 * b4
+    b16 = b8 * b8
+    b32 = b16 * b16
+    b64 = b32 * b32
+    b128 = b64 * b64
+    annual_er = b1 * b2 * b4 * b8 * b16 * b32 * b64 * b128 - 1
+    sharpe = F.try_divide(annual_er - rf, F.col("std_r_s") * math.sqrt(252))
+    volatility = F.col("std_r_s") * math.sqrt(252)
+    covariance = F.try_divide(F.col("cov_num"), F.col("n_rows"))
+    beta = F.try_divide(covariance, F.col("var_r_s"))
+    stock_return = F.try_divide(
+        F.col("end_amount") - F.col("first_net_worth"), F.col("first_net_worth")
+    )
+    alpha = (
+        stock_return
+        - rf
+        - beta
+        * ((F.try_divide(F.col("sp500_last"), F.col("sp500_first")) - 1) - rf)
+    )
+    r_squared = F.try_divide(
+        covariance, F.sqrt(F.col("var_r_s")) * F.col("std_r_m")
+    )
+
+    return m.select(
+        *keys,
+        F.col("start_time"),
+        F.col("end_time"),
+        start_amt.alias("start_amount"),
+        F.col("end_amount"),
+        F.col("avg_hold_days").alias("average_hold_time_days"),
+        F.col("avg_losses").alias("average_losses"),
+        F.col("avg_profits").alias("average_profits"),
+        F.col("biggest_loss"),
+        F.col("biggest_win").alias("biggest_win"),
+        cagr.alias("cagr_pct"),
+        F.col("max_drawdown_pct"),
+        F.col("avg_drawdown_pct"),
+        (F.col("end_amount") - start_amt).alias("net_profit"),
+        profit_factor.alias("profit_factor"),
+        risk_reward.alias("risk_reward"),
+        sharpe.alias("sharpe_ratio"),
+        volatility.alias("volatility_annualized"),
+        beta.alias("beta"),
+        alpha.alias("alpha"),
+        r_squared.alias("r_squared"),
+    )
+
+
+def test_compute_metrics_text_equals_column_build(spark):
+    """The selectExpr rewrite of compute_metrics must analyze to the
+    IDENTICAL plan as the Column-built original — same expression
+    trees, same IEEE op sequence (the ^255 sharpe chain makes any
+    literal-typing slip visible through the hash oracle)."""
+    from datetime import date
+
+    from strat_backtest_spark.operators.metrics import compute_metrics
+
+    portfolio = spark.createDataFrame(
+        [
+            ("a", 0, date(2024, 1, 1), 10000.0, 1.0),
+            ("a", 0, date(2024, 1, 2), 10100.0, 2.0),
+            ("a", 0, date(2024, 1, 3), None, 3.0),
+        ],
+        "ticker string, run_id long, date date, net_worth double, sp500 double",
+    )
+    orders = spark.createDataFrame(
+        [("a", 0, 1, 5.0, date(2024, 1, 1), 100.0, True,
+          date(2024, 1, 2), 101.0, 5.0, None)],
+        "ticker string, run_id long, order_id long, num_shares double, "
+        "start_time date, start_amount double, filled boolean, "
+        "end_time date, end_amount double, profit double, stop_loss double",
+    )
+    new = compute_metrics(portfolio, orders, 10_000.0, 0.03)
+    old = _compute_metrics_column_form(portfolio, orders, 10_000.0, 0.03)
+    assert new.columns == old.columns
+    assert _norm_analyzed(new) == _norm_analyzed(old)
+    # sanity: also identical without a benchmark column
+    p2 = portfolio.drop("sp500")
+    assert _norm_analyzed(compute_metrics(p2, orders, 10_000.0, 0.03)) == (
+        _norm_analyzed(_compute_metrics_column_form(p2, orders, 10_000.0, 0.03))
+    )
+
+
 def test_params_local_relation_empty_grid(spark):
     """expand_grid over an empty range must return an empty typed
     relation, not raise a ParseException (VALUES with no rows)."""

@@ -694,6 +694,7 @@ def test_streaming_partial_close_refill_e2e(spark, tmp_path):
             )
 
 
+@pytest.mark.slow
 def test_streaming_partial_close_fuzz(spark, tmp_path):
     """Seeded random-walk differential for the partial-close stream:
     small initial capital forces remainder exhaustion and re-fills at

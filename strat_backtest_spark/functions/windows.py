@@ -31,6 +31,26 @@ def _cum(w: WindowSpec) -> WindowSpec:
     return w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
 
+def ticker_window_sql(*extra_keys: str, order_col: str = "date") -> str:
+    """Spark-SQL OVER-clause text twin of :func:`ticker_window` — for
+    selectExpr-built plans (one JVM parse instead of a py4j round-trip
+    per Column op; trees identical, pinned by the r15 tests)."""
+    keys = ", ".join(["ticker", *extra_keys])
+    return f"PARTITION BY {keys} ORDER BY {order_col}"
+
+
+def rolling_mean_sql(col_sql: str, n: int, w_sql: str | None = None) -> str:
+    """Spark-SQL text twin of :func:`rolling_mean` (W1 — null until n
+    observations). Parses to the identical tree."""
+    w = w_sql if w_sql is not None else ticker_window_sql()
+    start = f"{n - 1} PRECEDING" if n > 1 else "CURRENT ROW"
+    frame = f"{w} ROWS BETWEEN {start} AND CURRENT ROW"
+    return (
+        f"CASE WHEN (count({col_sql}) OVER ({frame}) >= {n})"
+        f" THEN avg({col_sql}) OVER ({frame}) END"
+    )
+
+
 def rolling_mean(col: str | Column, n: int, w: WindowSpec) -> Column:
     """W1 — pandas ``rolling(n).mean()`` parity (custom_strats.py:38-39):
     null until n observations exist (min_periods defaults to the window

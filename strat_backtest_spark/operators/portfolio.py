@@ -35,27 +35,26 @@ def build_portfolio(feed: DataFrame, trade_events: DataFrame, initial_amount: fl
     ev = trade_events.withColumnRenamed("shares_owned", "shares_owned_event")
     df = feed.join(ev, ["ticker", "run_id", "date"], "left")
 
-    w = _w()
-    cum = w.rowsBetween(Window.unboundedPreceding, 0)
-
-    buy = F.coalesce(F.col("buy_shares"), F.lit(0.0))
-    sell = F.coalesce(F.col("sell_shares"), F.lit(0.0))
-    shares = F.coalesce(
-        F.last("shares_owned_event", ignorenulls=True).over(cum), F.lit(0.0)
+    # Expressions as Spark-SQL text (one parse instead of ~200 py4j
+    # round-trips of Column stacking; trees identical — pinned by
+    # tests/test_r15_optimizations.py). D-suffixed literals: a bare
+    # 0.0 is DECIMAL under ANSI.
+    cum = (
+        "PARTITION BY ticker, run_id ORDER BY date"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
     )
-
-    df = (
-        df.withColumn("buy", buy)
-        .withColumn("sell", sell)
-        .withColumn("shares_owned", shares)
+    df = df.selectExpr(
+        "*",
+        "coalesce(buy_shares, 0.0D) AS buy",
+        "coalesce(sell_shares, 0.0D) AS sell",
+        f"coalesce(last(shares_owned_event, true) OVER ({cum}), 0.0D)"
+        " AS shares_owned",
     )
     net_worth = (
-        F.col("shares_owned") * F.col("close")
-        - F.sum(F.col("buy") * F.col("close")).over(cum)
-        + F.sum(F.col("sell") * F.col("close")).over(cum)
-        + F.lit(float(initial_amount))
+        f"((((shares_owned * close) - sum((buy * close)) OVER ({cum}))"
+        f" + sum((sell * close)) OVER ({cum})) + {float(initial_amount)!r}D)"
     )
-    return df.withColumn("net_worth", net_worth).drop(
+    return df.selectExpr("*", f"{net_worth} AS net_worth").drop(
         "buy_shares", "sell_shares", "shares_owned_event", "event_close"
     )
 
@@ -83,27 +82,22 @@ def final_net_worth_from_events(
     distinct exchange; driving off last_bar is row-identical (every
     bars ticker has exactly one last_bar row) and removes both."""
     last_bar = bars.groupBy("ticker").agg(
-        F.max_by("close", "date").alias("__last_close")
+        F.expr("max_by(close, date) AS __last_close")
     )
     agg = events.groupBy("ticker", "run_id").agg(
-        F.sum(
-            F.coalesce(F.col("buy_shares"), F.lit(0.0)) * F.col("event_close")
-        ).alias("__cb"),
-        F.sum(
-            F.coalesce(F.col("sell_shares"), F.lit(0.0)) * F.col("event_close")
-        ).alias("__cs"),
-        F.max_by("shares_owned", "date").alias("__last_shares"),
+        F.expr("sum((coalesce(buy_shares, 0.0D) * event_close)) AS __cb"),
+        F.expr("sum((coalesce(sell_shares, 0.0D) * event_close)) AS __cs"),
+        F.expr("max_by(shares_owned, date) AS __last_shares"),
     )
     net = (
-        F.coalesce(F.col("__last_shares"), F.lit(0.0)) * F.col("__last_close")
-        - F.coalesce(F.col("__cb"), F.lit(0.0))
-        + F.coalesce(F.col("__cs"), F.lit(0.0))
-        + F.lit(float(initial_amount))
+        "((((coalesce(__last_shares, 0.0D) * __last_close)"
+        " - coalesce(__cb, 0.0D)) + coalesce(__cs, 0.0D))"
+        f" + {float(initial_amount)!r}D)"
     )
     return (
         last_bar.crossJoin(F.broadcast(run_ids))
         .join(agg, ["ticker", "run_id"], "left")
-        .withColumn("net_worth", net)
+        .selectExpr("*", f"{net} AS net_worth")
         .select("ticker", "run_id", "net_worth")
     )
 

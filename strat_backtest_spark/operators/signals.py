@@ -156,53 +156,56 @@ def ma_cross_feed_grid(bars: DataFrame, params) -> DataFrame:
     ELIDED: a grid job moves each bar row across the network exactly
     once, in the window exchange, at any scale.
 
+    Built as Spark-SQL text (round 15): the Column form cost ~100 py4j
+    round-trips PER RUN (5,041 for a 51-point grid, ~1.6 s of driver
+    wall — and an SA chain rebuilds the feed every step). The text
+    form is four parses regardless of grid size; tree equality with
+    the Column form is pinned by tests/test_r15_optimizations.py.
+
     params: list of (run_id, fast, lagging) rows (or DataFrame)."""
+    from strat_backtest_spark.functions.windows import (
+        rolling_mean_sql,
+        ticker_window_sql,
+    )
+
     if isinstance(params, DataFrame):
         rows = [(r["run_id"], r["fast"], r["lagging"]) for r in params.collect()]
     else:
         rows = [(int(i), int(f), int(l)) for i, f, l in params]
-    w = ticker_window()
+    w = ticker_window_sql()
     lengths = sorted({f for _, f, _ in rows} | {l for _, _, l in rows})
 
-    df = bars.select(
+    df = bars.selectExpr(
         "ticker", "date", "close",
-        *[rolling_mean("close", n, w).alias(f"__sma_{n}") for n in lengths],
+        *[f"{rolling_mean_sql('close', n)} AS __sma_{n}" for n in lengths],
     )
-    crosses = [
-        F.coalesce(
-            F.col(f"__sma_{f}") > F.col(f"__sma_{l}"), F.lit(False)
-        ).alias(f"__cross_{rid}")
-        for rid, f, l in rows
-    ]
-    df = df.select("ticker", "date", "close", *crosses)
-    df = df.select(
+    df = df.selectExpr(
         "ticker", "date", "close",
-        *[F.col(f"__cross_{rid}") for rid, _, _ in rows],
-        *[F.lag(f"__cross_{rid}").over(w).alias(f"__prev_{rid}") for rid, _, _ in rows],
+        *[
+            f"coalesce((__sma_{f} > __sma_{l}), false) AS __cross_{rid}"
+            for rid, f, l in rows
+        ],
     )
-    runs = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(rid).cast("long").alias("run_id"),
-                    F.when(
-                        F.col(f"__prev_{rid}").isNull()
-                        | (F.col(f"__cross_{rid}") != F.col(f"__prev_{rid}")),
-                        F.when(F.col(f"__cross_{rid}"), F.lit("buy")).otherwise(
-                            F.lit("sell")
-                        ),
-                    ).alias("action"),
-                )
-                for rid, _, _ in rows
-            ]
-        )
+    df = df.selectExpr(
+        "ticker", "date", "close",
+        *[f"__cross_{rid}" for rid, _, _ in rows],
+        *[
+            f"lag(__cross_{rid}) OVER ({w}) AS __prev_{rid}"
+            for rid, _, _ in rows
+        ],
     )
-    return df.select("ticker", "date", "close", runs.alias("r")).select(
-        "ticker",
-        F.col("r.run_id").alias("run_id"),
-        "date",
-        "close",
-        F.col("r.action").alias("action"),
+    structs = ", ".join(
+        f"struct(CAST({rid} AS BIGINT) AS run_id,"
+        f" (CASE WHEN ((__prev_{rid} IS NULL) OR (__cross_{rid} !="
+        f" __prev_{rid})) THEN (CASE WHEN __cross_{rid} THEN 'buy'"
+        " ELSE 'sell' END) END) AS action)"
+        for rid, _, _ in rows
+    )
+    return df.selectExpr(
+        "ticker", "date", "close", f"explode(array({structs})) AS r"
+    ).selectExpr(
+        "ticker", "r.run_id AS run_id", "date", "close",
+        "r.action AS action",
     )
 
 

@@ -66,7 +66,12 @@ def with_token_counts(
     approximation. The libraries are not in this container, so the
     default stays the oracle-mirrorable JVM expression; the Spark-side
     plumbing (batching, schema, column contract) is identical either
-    way."""
+    way.
+
+    Precondition: ``df`` must not already carry ``n_tokens`` /
+    ``n_bpe_tokens`` columns — the single-select append (one plan
+    analysis instead of one per withColumn) would yield duplicate
+    names and ambiguous references downstream."""
     toks = tokens_col(col)
     if tokenizer is not None:
         _bpe_count = F.pandas_udf(
@@ -87,7 +92,11 @@ def with_token_counts(
 def quality_score(df: DataFrame, col: str = "text") -> DataFrame:
     """Document quality features: length, mean token length, stopword
     ratio, punctuation ratio, and a composite score — the standard
-    cheap pre-filters before expensive dedup/training steps."""
+    cheap pre-filters before expensive dedup/training steps.
+
+    Precondition: ``df`` must not already carry any of the five output
+    feature columns (``n_tokens`` … ``quality_score``) — the
+    single-select append would duplicate the names."""
     toks = tokens_col(col)
     n_tok = F.size(toks)
     n_chars = F.length(col)

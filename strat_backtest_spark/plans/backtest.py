@@ -60,31 +60,33 @@ class MACrossStrategy:
         # column that is a pure window expression of the feed itself.
         # Same semantics as ma_cross_signals (operators/signals.py):
         # null action off-edge, first row always an edge.
+        # Spark-SQL text, not stacked Columns: one parse per select
+        # instead of ~150 py4j round-trips; tree equality with the
+        # Column form is pinned (tests/test_r15_optimizations.py).
         from strat_backtest_spark.functions.windows import (
-            rolling_mean,
-            ticker_window,
+            rolling_mean_sql,
+            ticker_window_sql,
         )
 
-        w = ticker_window()
-        cross = F.coalesce(
-            rolling_mean("close", self.fast, w)
-            > rolling_mean("close", self.lagging, w),
-            F.lit(False),
+        w = ticker_window_sql()
+        cross = (
+            f"coalesce(({rolling_mean_sql('close', self.fast)}"
+            f" > {rolling_mean_sql('close', self.lagging)}), false)"
         )
-        df = bars.select(
+        df = bars.selectExpr(
             "ticker",
-            F.lit(run_id).cast("long").alias("run_id"),
+            f"CAST({int(run_id)} AS BIGINT) AS run_id",
             "date",
             "close",
-            cross.alias("__cross"),
+            f"{cross} AS __cross",
         )
-        prev = F.lag("__cross").over(ticker_window())
-        action = F.when(
-            prev.isNull() | (F.col("__cross") != prev),
-            F.when(F.col("__cross"), F.lit("buy")).otherwise(F.lit("sell")),
+        prev = f"lag(__cross) OVER ({w})"
+        action = (
+            f"CASE WHEN (({prev} IS NULL) OR (__cross != {prev}))"
+            " THEN (CASE WHEN __cross THEN 'buy' ELSE 'sell' END) END"
         )
-        return df.select(
-            "ticker", "run_id", "date", "close", action.alias("action")
+        return df.selectExpr(
+            "ticker", "run_id", "date", "close", f"{action} AS action"
         )
 
     def kernel_params(self) -> dict:

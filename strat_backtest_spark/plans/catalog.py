@@ -69,7 +69,18 @@ def query(
 # queries) — never rows: every action on the returned plan still
 # scans the parquet files. Same class of reuse as Spark's own
 # spark.sql.hive.filesourcePartitionFileCacheSize listing cache.
+#
+# Caveat: the memo never invalidates within an application — if the
+# parquet under sf_dir is REWRITTEN mid-session (more/fewer files, new
+# schema), the memoized plan serves the stale file list. Fine under
+# the immutable-testdata bench contract; interactive sessions that
+# rewrite inputs should call clear_table_memo() (or restart the app).
 _T_MEMO: dict = {}
+
+
+def clear_table_memo() -> None:
+    """Drop every memoized reader plan (see _T_MEMO caveat above)."""
+    _T_MEMO.clear()
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -16,6 +16,13 @@ def _rows(df, cols):
     )
 
 
+def _bars(spark, sf_dir):
+    from strat_backtest_spark.plans.catalog import _t
+    from strat_backtest_spark.sources.bars import bars_from_events
+
+    return bars_from_events(_t(spark, sf_dir, "events"))
+
+
 def test_attach_benchmark_positional_equals_full_outer_join(spark):
     """attach_benchmark mode='positional' (union + single-non-null
     merge) must equal the full-outer-join construction it replaced —
@@ -312,6 +319,181 @@ def test_compute_metrics_text_equals_column_build(spark):
     assert _norm_analyzed(compute_metrics(p2, orders, 10_000.0, 0.03)) == (
         _norm_analyzed(_compute_metrics_column_form(p2, orders, 10_000.0, 0.03))
     )
+
+
+def _norm_optimized(df) -> str:
+    import re
+
+    return re.sub(
+        r"#\d+", "#", df._jdf.queryExecution().optimizedPlan().toString()
+    )
+
+
+def test_signal_feed_text_equals_column_build(spark):
+    """MACrossStrategy.signal_feed's selectExpr rewrite must optimize to
+    the identical plan as the Column-built original."""
+    from strat_backtest_spark.plans.backtest import MACrossStrategy
+    from strat_backtest_spark.functions.windows import rolling_mean, ticker_window
+
+    bars = _bars(spark, SF_SMALL)
+    new = MACrossStrategy(fast=3, lagging=8).signal_feed(bars, run_id=0)
+
+    # frozen Column form
+    w = ticker_window()
+    cross = F.coalesce(
+        rolling_mean("close", 3, w) > rolling_mean("close", 8, w),
+        F.lit(False),
+    )
+    df = bars.select(
+        "ticker",
+        F.lit(0).cast("long").alias("run_id"),
+        "date",
+        "close",
+        cross.alias("__cross"),
+    )
+    prev = F.lag("__cross").over(ticker_window())
+    action = F.when(
+        prev.isNull() | (F.col("__cross") != prev),
+        F.when(F.col("__cross"), F.lit("buy")).otherwise(F.lit("sell")),
+    )
+    old = df.select("ticker", "run_id", "date", "close", action.alias("action"))
+    assert _norm_optimized(new) == _norm_optimized(old)
+
+
+def test_build_portfolio_text_equals_column_build(spark):
+    """build_portfolio / final_net_worth_from_events selectExpr rewrites
+    must optimize to the identical plans as the Column originals."""
+    from datetime import date
+
+    from pyspark.sql import Window
+    from strat_backtest_spark.operators.portfolio import (
+        build_portfolio,
+        final_net_worth_from_events,
+    )
+
+    feed = spark.createDataFrame(
+        [("a", 0, date(2024, 1, 1), 10.0, "buy")],
+        "ticker string, run_id long, date date, close double, action string",
+    )
+    events = spark.createDataFrame(
+        [("a", 0, date(2024, 1, 1), 1.0, None, 1.0, 10.0)],
+        "ticker string, run_id long, date date, buy_shares double, "
+        "sell_shares double, shares_owned double, event_close double",
+    )
+    new = build_portfolio(feed, events, 10_000.0)
+
+    # frozen Column form
+    ev = events.withColumnRenamed("shares_owned", "shares_owned_event")
+    df = feed.join(ev, ["ticker", "run_id", "date"], "left")
+    w = Window.partitionBy("ticker", "run_id").orderBy("date")
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    buy = F.coalesce(F.col("buy_shares"), F.lit(0.0))
+    sell = F.coalesce(F.col("sell_shares"), F.lit(0.0))
+    shares = F.coalesce(
+        F.last("shares_owned_event", ignorenulls=True).over(cum), F.lit(0.0)
+    )
+    df = (
+        df.withColumn("buy", buy)
+        .withColumn("sell", sell)
+        .withColumn("shares_owned", shares)
+    )
+    net_worth = (
+        F.col("shares_owned") * F.col("close")
+        - F.sum(F.col("buy") * F.col("close")).over(cum)
+        + F.sum(F.col("sell") * F.col("close")).over(cum)
+        + F.lit(10_000.0)
+    )
+    old = df.withColumn("net_worth", net_worth).drop(
+        "buy_shares", "sell_shares", "shares_owned_event", "event_close"
+    )
+    assert new.columns == old.columns
+    assert _norm_optimized(new) == _norm_optimized(old)
+
+    # final_net_worth_from_events
+    run_ids = spark.sql("SELECT CAST(0 AS BIGINT) AS run_id")
+    new_f = final_net_worth_from_events(feed, events, run_ids, 10_000.0)
+    last_bar = feed.groupBy("ticker").agg(
+        F.max_by("close", "date").alias("__last_close")
+    )
+    agg = events.groupBy("ticker", "run_id").agg(
+        F.sum(
+            F.coalesce(F.col("buy_shares"), F.lit(0.0)) * F.col("event_close")
+        ).alias("__cb"),
+        F.sum(
+            F.coalesce(F.col("sell_shares"), F.lit(0.0)) * F.col("event_close")
+        ).alias("__cs"),
+        F.max_by("shares_owned", "date").alias("__last_shares"),
+    )
+    net = (
+        F.coalesce(F.col("__last_shares"), F.lit(0.0)) * F.col("__last_close")
+        - F.coalesce(F.col("__cb"), F.lit(0.0))
+        + F.coalesce(F.col("__cs"), F.lit(0.0))
+        + F.lit(10_000.0)
+    )
+    old_f = (
+        last_bar.crossJoin(F.broadcast(run_ids))
+        .join(agg, ["ticker", "run_id"], "left")
+        .withColumn("net_worth", net)
+        .select("ticker", "run_id", "net_worth")
+    )
+    assert _norm_optimized(new_f) == _norm_optimized(old_f)
+
+
+def test_feed_grid_text_equals_column_build(spark):
+    """ma_cross_feed_grid's selectExpr rewrite must optimize to the
+    identical plan as the Column-built original (frozen below)."""
+    from strat_backtest_spark.functions.windows import rolling_mean, ticker_window
+    from strat_backtest_spark.operators.signals import ma_cross_feed_grid
+
+    bars = _bars(spark, SF_SMALL)
+    rows = [(0, 3, 8), (1, 5, 13)]
+    new = ma_cross_feed_grid(bars, rows)
+
+    # frozen Column form
+    w = ticker_window()
+    lengths = sorted({f for _, f, _ in rows} | {l for _, _, l in rows})
+    df = bars.select(
+        "ticker", "date", "close",
+        *[rolling_mean("close", n, w).alias(f"__sma_{n}") for n in lengths],
+    )
+    crosses = [
+        F.coalesce(
+            F.col(f"__sma_{f}") > F.col(f"__sma_{l}"), F.lit(False)
+        ).alias(f"__cross_{rid}")
+        for rid, f, l in rows
+    ]
+    df = df.select("ticker", "date", "close", *crosses)
+    df = df.select(
+        "ticker", "date", "close",
+        *[F.col(f"__cross_{rid}") for rid, _, _ in rows],
+        *[F.lag(f"__cross_{rid}").over(w).alias(f"__prev_{rid}") for rid, _, _ in rows],
+    )
+    runs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(rid).cast("long").alias("run_id"),
+                    F.when(
+                        F.col(f"__prev_{rid}").isNull()
+                        | (F.col(f"__cross_{rid}") != F.col(f"__prev_{rid}")),
+                        F.when(F.col(f"__cross_{rid}"), F.lit("buy")).otherwise(
+                            F.lit("sell")
+                        ),
+                    ).alias("action"),
+                )
+                for rid, _, _ in rows
+            ]
+        )
+    )
+    old = df.select("ticker", "date", "close", runs.alias("r")).select(
+        "ticker",
+        F.col("r.run_id").alias("run_id"),
+        "date",
+        "close",
+        F.col("r.action").alias("action"),
+    )
+    assert new.columns == old.columns
+    assert _norm_optimized(new) == _norm_optimized(old)
 
 
 def test_params_local_relation_empty_grid(spark):

@@ -147,7 +147,17 @@ def evaluate_params(
         # (optimization round 2: the fixed ("ticker",) key serialized a
         # single-ticker grid/SA chain on one core)
         partition_cols = _sweep_partition_cols(bars, len(param_rows))
-    feed = ma_cross_feed_grid(bars, param_rows)
+    # spread follows the same adaptivity: when tickers alone saturate
+    # the cluster, the elided single-exchange feed is strictly better;
+    # when they don't, the per-run lag work must leave the per-ticker
+    # window partition too (a 10k-point single-ticker grid would
+    # otherwise run |runs| lag passes serially on one core — the same
+    # hole the kernel keying fix closed, one stage earlier). Either
+    # way the kernel repartition below matches the feed's last window
+    # exchange and is elided.
+    feed = ma_cross_feed_grid(
+        bars, param_rows, spread=partition_cols != ("ticker",)
+    )
     kernel_out = run_kernel(feed, initial_amount, partition_cols=partition_cols)
     _, events = split_kernel_output(kernel_out)
     out = final_net_worth_from_events(

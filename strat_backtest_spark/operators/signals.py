@@ -137,7 +137,7 @@ def ma_cross_signals_grid(bars: DataFrame, params) -> DataFrame:
     )
 
 
-def ma_cross_feed_grid(bars: DataFrame, params) -> DataFrame:
+def ma_cross_feed_grid(bars: DataFrame, params, spread: bool = False) -> DataFrame:
     """FULL kernel feed for a parameter grid — every (ticker, run_id,
     date, close) row with ``action`` null off-edge — emitted straight
     off the one-exchange multi-window pass of
@@ -161,6 +161,27 @@ def ma_cross_feed_grid(bars: DataFrame, params) -> DataFrame:
     wall — and an SA chain rebuilds the feed every step). The text
     form is four parses regardless of grid size; tree equality with
     the Column form is pinned by tests/test_r15_optimizations.py.
+
+    ``spread=True`` (round 15, the few-ticker complement of the
+    adaptive kernel keying): the default form computes every run's
+    ``lag`` window — |runs| O(|bars|) passes — inside the ONE
+    per-ticker window partition, which serializes a single-ticker
+    sweep's per-run work on one core no matter how large the grid
+    (measured: +5.7 s serial for 51 runs × 150k bars; it scales with
+    |runs|). The spread form explodes to (run_id, cross) rows right
+    after the (serial-by-nature) SMA pass and computes the ONE lag
+    per row in a (ticker, run_id)-partitioned window — the per-run
+    work then parallelizes across |tickers|×|runs| partitions. Same
+    exchange count either way (the (t, r) window exchange replaces
+    the kernel repartition, which elides on the matching
+    partitioning), but the expanded table crosses the network once
+    more than the elided form's zero — which is why the saturating-
+    ticker path keeps ``spread=False``. Values are identical: the
+    SMAs come off the same serial pass, ``cross`` is a row-wise
+    compare, and ``lag`` over (ticker, run_id) of the exploded rows
+    is ``lag`` over (ticker) of that run's column (dates are unique
+    per ticker by the bars contract) — pinned by
+    tests/test_r15_optimizations.py.
 
     params: list of (run_id, fast, lagging) rows (or DataFrame)."""
     from strat_backtest_spark.functions.windows import (
@@ -186,6 +207,30 @@ def ma_cross_feed_grid(bars: DataFrame, params) -> DataFrame:
             for rid, f, l in rows
         ],
     )
+    if spread:
+        cross_structs = ", ".join(
+            f"struct(CAST({rid} AS BIGINT) AS run_id,"
+            f" __cross_{rid} AS cross)"
+            for rid, _, _ in rows
+        )
+        df = df.selectExpr(
+            "ticker", "date", "close",
+            f"explode(array({cross_structs})) AS r",
+        ).selectExpr(
+            "ticker", "r.run_id AS run_id", "date", "close",
+            "r.cross AS __cross",
+        )
+        wr = ticker_window_sql("run_id")
+        df = df.selectExpr(
+            "ticker", "run_id", "date", "close", "__cross",
+            f"lag(__cross) OVER ({wr}) AS __prev",
+        )
+        return df.selectExpr(
+            "ticker", "run_id", "date", "close",
+            "(CASE WHEN ((__prev IS NULL) OR (__cross != __prev))"
+            " THEN (CASE WHEN __cross THEN 'buy' ELSE 'sell' END)"
+            " END) AS action",
+        )
     df = df.selectExpr(
         "ticker", "date", "close",
         *[f"__cross_{rid}" for rid, _, _ in rows],

@@ -504,3 +504,26 @@ def test_params_local_relation_empty_grid(spark):
     df = expand_grid(spark, (3, 3, 1), (8, 14, 5))
     assert df.columns == ["run_id", "fast", "lagging"]
     assert df.count() == 0
+
+
+def test_feed_grid_spread_equals_default(spark):
+    """The spread feed form (explode-before-lag, per-(ticker, run_id)
+    window — the few-ticker branch of the adaptive sweep) must emit
+    row-identical feeds to the default elided form: the SMAs come off
+    the same serial pass, cross is a row-wise compare, and lag over
+    (ticker, run_id) of the exploded rows is lag over (ticker) of that
+    run's column (dates unique per ticker)."""
+    from strat_backtest_spark.operators.signals import ma_cross_feed_grid
+
+    bars = _bars(spark, SF_SMALL)
+    rows = [(0, 3, 8), (1, 3, 13), (2, 5, 8), (3, 5, 13)]
+    cols = ["ticker", "run_id", "date", "close", "action"]
+    a = _rows(ma_cross_feed_grid(bars, rows, spread=False), cols)
+    b = _rows(ma_cross_feed_grid(bars, rows, spread=True), cols)
+    assert a == b and len(a) > 0
+
+    # single-ticker slice too (the workload the spread form exists for)
+    one = bars.filter(F.col("ticker") == bars.select("ticker").first()[0])
+    a1 = _rows(ma_cross_feed_grid(one, rows, spread=False), cols)
+    b1 = _rows(ma_cross_feed_grid(one, rows, spread=True), cols)
+    assert a1 == b1 and len(a1) > 0
